@@ -1,0 +1,122 @@
+"""Mention detection over code/comments/docstrings.
+
+Deterministic gazetteer-driven extraction: a compiled alternation regex
+(longest-surface-first, case-sensitive) scans each file's content; the
+matches are rendered into the reference's tuple-record format and run
+through :func:`mmore_ray.stages.parser.parse_extraction` — the same
+parser-defined merge semantics the reference applies to LLM output
+(`ner/extractor.py` + `ner/output_parser.py`; the reference's own tests
+mock the LLM with fixed tuple strings the same way,
+`tests/test_postprocessors.py:147-227`).
+
+Stage shape: callable CLASS → Ray actor pool (`map_batches(MentionScanner,
+concurrency=N)`); the regex and lookup tables are compiled once per
+actor in ``__init__``.  Output is one row per document with *nested*
+mention/edge lists (content is dropped here — wide rows don't travel
+past extraction), exploded downstream by
+:mod:`mmore_ray.stages.triples`.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..sources.corpus import CO_OCCURS_PRED, GAZETTEER
+from .parser import (
+    DEFAULT_RECORD_DELIMITER,
+    DEFAULT_TUPLE_DELIMITER,
+    parse_extraction,
+)
+
+MENTION_STRUCT = pa.struct(
+    [
+        ("surface", pa.string()),
+        ("entity_key", pa.string()),
+        ("entity_type", pa.string()),
+        ("n_occ", pa.int64()),
+        ("first_pos", pa.int64()),
+    ]
+)
+
+EDGE_STRUCT = pa.struct(
+    [
+        ("src", pa.string()),
+        ("dst", pa.string()),
+        ("weight", pa.float64()),
+        ("description", pa.string()),
+    ]
+)
+
+DOC_KEY_COLUMNS = ["repo", "path", "commit", "lang", "content_sha256"]
+
+
+def render_records(found: list[tuple[str, str]]) -> str:
+    """Render (surface, entity_type) matches (first-occurrence order) into
+    tuple-record text: one entity record per distinct surface, one
+    relationship record per unordered pair (offset order)."""
+    td, rd = DEFAULT_TUPLE_DELIMITER, DEFAULT_RECORD_DELIMITER
+    recs = [
+        f'("entity"{td}{s}{td}{t}{td}MENTION OF {s.upper()})' for s, t in found
+    ]
+    for i in range(len(found)):
+        for j in range(i + 1, len(found)):
+            a, b = found[i][0], found[j][0]
+            recs.append(
+                f'("relationship"{td}{a}{td}{b}{td}{CO_OCCURS_PRED}{td}1)'
+            )
+    return rd.join(recs)
+
+
+class MentionScanner:
+    """Actor-pool stage: corpus rows → per-doc mention/edge lists."""
+
+    def __init__(self, gazetteer: list[tuple[str, str, str]] | None = None):
+        gaz = gazetteer if gazetteer is not None else GAZETTEER
+        # Longest-first alternation → leftmost-longest match for
+        # overlapping surfaces; surfaces are regex-escaped literals.
+        ordered = sorted({(s, t) for s, t, _ in gaz}, key=lambda x: (-len(x[0]), x[0]))
+        self._type_of = {s: t for s, t in ordered}
+        self._pattern = re.compile("|".join(re.escape(s) for s, _ in ordered))
+
+    def _scan(self, content: str) -> tuple[list[dict], list[dict]]:
+        counts: dict[str, list[int]] = {}
+        order: list[str] = []
+        for m in self._pattern.finditer(content):
+            s = m.group(0)
+            slot = counts.get(s)
+            if slot is None:
+                counts[s] = [1, m.start()]
+                order.append(s)
+            else:
+                slot[0] += 1
+        found = [(s, self._type_of[s]) for s in order]
+        graph = parse_extraction(render_records(found))
+        mentions = [
+            {
+                "surface": s,
+                "entity_key": key,
+                "entity_type": graph.nodes[key]["type"],
+                "n_occ": counts[s][0],
+                "first_pos": counts[s][1] + 1,  # 1-based (SQL strpos parity)
+            }
+            for s in order
+            for key in (s.upper(),)
+        ]
+        edges = [
+            {"src": a, "dst": b, "weight": e["weight"], "description": e["description"][0]}
+            for (a, b), e in graph.edges.items()
+        ]
+        return mentions, edges
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mention_col, edge_col = [], []
+        for content in batch.column("content").to_pylist():
+            mentions, edges = self._scan(content)
+            mention_col.append(mentions)
+            edge_col.append(edges)
+        out = batch.select([c for c in DOC_KEY_COLUMNS if c in batch.column_names])
+        out = out.append_column("mentions", pa.array(mention_col, pa.list_(MENTION_STRUCT)))
+        out = out.append_column("edges", pa.array(edge_col, pa.list_(EDGE_STRUCT)))
+        return out
