@@ -55,6 +55,27 @@ GAZETTEER: list[tuple[str, str, str]] = [
     ("Mountain View", "LOCATION", "MOUNTAIN VIEW"),
     ("California", "LOCATION", "CALIFORNIA"),
     ("August 4, 1961", "DATE", "AUGUST 4, 1961"),
+    # Remaining surfaces of the reference NER gold corpus
+    # (examples/sample_data/example_outputs_ner, 6 EN + 6 FR docs);
+    # FR surfaces alias to the EN canonical where they co-refer.
+    ("artificial intelligence", "EVENT", "ARTIFICIAL INTELLIGENCE"),
+    ("March 15, 2024", "DATE", "MARCH 15, 2024"),
+    ("New York", "LOCATION", "NEW YORK"),
+    ("Cape Canaveral", "LOCATION", "CAPE CANAVERAL"),
+    ("December 12, 2024", "DATE", "DECEMBER 12, 2024"),
+    ("François Hollande", "PERSON", "FRANÇOIS HOLLANDE"),
+    ("12 août 1954", "DATE", "12 AOÛT 1954"),
+    ("Rouen", "LOCATION", "ROUEN"),
+    ("Californie", "LOCATION", "CALIFORNIA"),
+    ("tour Eiffel", "LOCATION", "EIFFEL TOWER"),
+    ("intelligence artificielle", "EVENT", "ARTIFICIAL INTELLIGENCE"),
+    ("15 mars 2024", "DATE", "MARCH 15, 2024"),
+    ("Bernard Arnault", "PERSON", "BERNARD ARNAULT"),
+    ("LVMH", "ORGANIZATION", "LVMH"),
+    ("12 décembre 2024", "DATE", "DECEMBER 12, 2024"),
+    ("La Poste", "ORGANIZATION", "LA POSTE"),
+    ("Marseille", "LOCATION", "MARSEILLE"),
+    ("Biarritz", "LOCATION", "BIARRITZ"),
 ]
 
 # Sentences embedded into file docstrings/comments; doc_id % len(bank)

@@ -1,0 +1,99 @@
+"""End-to-end KG pipeline correctness on the tiny corpus.
+
+Gold triples are computed independently in pure Python from the
+sentence bank (generation-time knowledge, FIXTURES.md F7) and compared
+against the Ray pipeline output — P/R must be 1.0 on this deterministic
+corpus (≥0.95 is the north-rule gate)."""
+
+import hashlib
+from itertools import combinations
+
+import pytest
+
+from mmore_ray.pipelines.kg import canonical_alias_map, kg_datasets
+from mmore_ray.sources.corpus import GAZETTEER, SENTENCE_BANK, synthesize_corpus
+
+
+def _gold_for(table):
+    """Independent gold computation: regex-free, set-based."""
+    canon = canonical_alias_map()
+    surfaces = sorted(((s, t) for s, t, _ in GAZETTEER), key=lambda x: -len(x[0]))
+    gold_mentions = set()      # (sha, entity_key)
+    gold_triples = {}          # (sha, subj, pred, obj) -> weight
+    for content in table.column("content").to_pylist():
+        sha = hashlib.sha256(content.encode()).hexdigest()
+        present = []
+        for s, _ in surfaces:
+            if s in content:
+                present.append(s)
+        for s in present:
+            gold_mentions.add((sha, s.upper()))
+        canon_pairs = {}
+        for a, b in combinations(sorted(present), 2):
+            ca, cb = canon.get(a.upper(), a.upper()), canon.get(b.upper(), b.upper())
+            key = (sha, min(ca, cb), "CO_OCCURS", max(ca, cb))
+            canon_pairs[key] = canon_pairs.get(key, 0.0) + 1.0
+        gold_triples.update(canon_pairs)
+    return gold_mentions, gold_triples
+
+
+@pytest.fixture(scope="module")
+def kg_parts(ray_session):
+    ray = ray_session
+    table = synthesize_corpus(300, seed=42)
+    corpus = ray.data.from_arrow(table)
+    parts = kg_datasets(corpus)
+    return table, {
+        "mentions": parts["mentions"].to_pandas(),
+        "triples": parts["triples"].to_pandas(),
+        "graph": parts["graph"].to_pandas(),
+        "lineage": parts["lineage"].to_pandas(),
+    }
+
+
+def test_mentions_match_gold(kg_parts):
+    table, out = kg_parts
+    gold_mentions, _ = _gold_for(table)
+    got = set(zip(out["mentions"].content_sha256, out["mentions"].entity_key))
+    assert got == gold_mentions  # P = R = 1.0
+
+
+def test_triples_match_gold(kg_parts):
+    table, out = kg_parts
+    _, gold_triples = _gold_for(table)
+    t = out["triples"]
+    got = {
+        (r.content_sha256, r.subj, r.pred, r.obj): r.weight
+        for r in t.itertuples()
+    }
+    assert got == gold_triples
+
+
+def test_graph_rollup_sums_doc_weights(kg_parts):
+    table, out = kg_parts
+    _, gold_triples = _gold_for(table)
+    rolled = {}
+    for (sha, s, p, o), w in gold_triples.items():
+        rolled[(s, p, o)] = rolled.get((s, p, o), 0.0) + w
+    got = {(r.subj, r.pred, r.obj): r.weight for r in out["graph"].itertuples()}
+    assert got == rolled
+
+
+def test_lineage_sha256_invariant(kg_parts):
+    table, out = kg_parts
+    input_shas = {
+        hashlib.sha256(c.encode()).hexdigest()
+        for c in table.column("content").to_pylist()
+    }
+    assert set(out["lineage"].content_sha256) == input_shas
+    assert len(out["lineage"]) == table.num_rows
+
+
+def test_canonicalization_merges_alias_clusters(kg_parts):
+    _, out = kg_parts
+    m = out["mentions"]
+    alphabet = m[m.surface == "Alphabet Inc"]
+    assert not alphabet.empty
+    assert (alphabet.canonical == "GOOGLE LLC").all()
+    # link scores present and in range
+    assert ((m.link_score >= 0) & (m.link_score <= 1)).all()
