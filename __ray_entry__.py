@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` itself BEFORE importing this module;
+nothing here (nor in mmore_ray library code) calls ``ray.init`` /
+``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``       — flagship KG pipeline on /root/testdata/sf0.001.
+- ``queries()``     — one entry per implemented operator/pipeline
+                      (SURVEY.md §2), each ``fn(sf_dir) -> Dataset``.
+- ``oracle_sql()``  — DuckDB-equivalent SQL per query (same column
+                      names; order-insensitive value parity verified in
+                      tests/test_queries_oracle.py).
 """
 
 from __future__ import annotations
@@ -20,25 +19,27 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline: derive the source-code corpus from the
+    sf0.001 documents table, extract/link/canonicalize, return the
+    per-doc canonical triples Dataset."""
+    import ray.data
+
+    from mmore_ray.pipelines.kg import kg_datasets
+    from mmore_ray.sources.corpus import derive_corpus_batch
+
+    corpus = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(derive_corpus_batch, batch_format="pyarrow")
+    return kg_datasets(corpus)["triples"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from mmore_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mmore_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,392 @@
+"""Driver-checked query suite.
+
+One function per implemented operator/pipeline (SURVEY.md §2), each
+taking ``sf_dir`` and returning a Ray ``Dataset`` whose rows match the
+DuckDB oracle SQL in :data:`ORACLES` value-for-value at sf=0.01.
+
+Numeric parity rule: floating-point aggregates do not hash stably
+across engines (summation order), so every money/value aggregate is
+integerized FIRST via the shared rounding ``floor(x * scale + 0.5) →
+int64`` and summed exactly; column names carry the scale suffix
+(``_cents``, ``_e4``).  Weights in the KG outputs are exact small
+counts, kept as double.
+
+Scale notes per query are in the docstrings; the common patterns:
+  * partial (combiner) aggregation inside ``map_batches`` before every
+    ``groupby`` shuffle;
+  * broadcast joins for dimension tables (``ray.put`` once);
+  * ``Dataset.join`` (hash-partitioned) when both sides are large.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..sources.corpus import CO_OCCURS_PRED, corpus_sql, gazetteer_sql
+from .kg import kg_datasets
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _int_scale(x, scale: int):
+    """floor(x*scale + 0.5) as int64 — same expression as the SQL side."""
+    return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5).astype(np.int64)
+
+
+def _sql_scale(expr: str, scale: int) -> str:
+    return f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)"
+
+
+def _grouped_sum(ds, keys: list[str], partial_fn, sum_cols: list[str]):
+    """Combiner pattern: per-batch partial aggregate, then the (small)
+    global groupby shuffle; Sum aliases keep the partial column names."""
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial_fn, batch_format="pandas")
+        .groupby(keys)
+        .aggregate(*[Sum(c, alias_name=c) for c in sum_cols])
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (corpus derived from the documents table)
+# ---------------------------------------------------------------------------
+
+def _corpus_ds(sf_dir: str):
+    from ..sources.corpus import derive_corpus_batch
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        derive_corpus_batch, batch_format="pyarrow"
+    )
+
+
+def kg_corpus(sf_dir: str):
+    """North-rule input table + sha256 lineage column."""
+    from ..stages.normalize import add_sha256
+
+    return _corpus_ds(sf_dir).map_batches(add_sha256, batch_format="pyarrow")
+
+
+def kg_mentions(sf_dir: str):
+    ds = kg_datasets(_corpus_ds(sf_dir))["mentions"]
+    return ds.select_columns(
+        ["repo", "path", "content_sha256", "surface", "entity_key",
+         "entity_type", "n_occ", "first_pos", "kb_id", "canonical"]
+    )
+
+
+def kg_triples(sf_dir: str):
+    ds = kg_datasets(_corpus_ds(sf_dir))["triples"]
+    return ds.select_columns(
+        ["repo", "path", "content_sha256", "subj", "pred", "obj", "weight"]
+    )
+
+
+def kg_graph(sf_dir: str):
+    return kg_datasets(_corpus_ds(sf_dir))["graph"]
+
+
+def kg_lineage(sf_dir: str):
+    return kg_datasets(_corpus_ds(sf_dir))["lineage"]
+
+
+_KG_CTES = f"""WITH corpus AS ({{corpus}}),
+corpus_h AS (SELECT *, sha256(content) AS content_sha256 FROM corpus),
+mention AS (
+  SELECT c.repo, c.path, c.content_sha256,
+         g.surface,
+         upper(g.surface) AS entity_key,
+         g.entity_type,
+         (length(c.content) - length(replace(c.content, g.surface, ''))) // length(g.surface) AS n_occ,
+         CAST(strpos(c.content, g.surface) AS BIGINT) AS first_pos,
+         g.kb_id,
+         g.kb_id AS canonical
+  FROM corpus_h c JOIN {gazetteer_sql()} ON contains(c.content, g.surface)
+),
+doc_edge AS (
+  SELECT m1.repo, m1.path, m1.content_sha256,
+         least(m1.canonical, m2.canonical) AS subj,
+         '{CO_OCCURS_PRED}' AS pred,
+         greatest(m1.canonical, m2.canonical) AS obj
+  FROM mention m1 JOIN mention m2
+    ON m1.content_sha256 = m2.content_sha256 AND m1.surface < m2.surface
+),
+doc_triple AS (
+  SELECT repo, path, content_sha256, subj, pred, obj,
+         CAST(count(*) AS DOUBLE) AS weight
+  FROM doc_edge GROUP BY ALL
+)
+"""
+
+
+def _kg_sql(tail: str) -> str:
+    return _KG_CTES.format(corpus=corpus_sql()) + tail
+
+
+# ---------------------------------------------------------------------------
+# Relational queries over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+_Q1_CUTOFF = "2000-01-01"
+
+
+def q1_pricing(sf_dir: str):
+    """TPC-H-Q1-style pricing summary (filter → combiner → groupby)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pd.Timestamp(_Q1_CUTOFF)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.l_shipdate <= cutoff]
+        out = pd.DataFrame({
+            "l_returnflag": df.l_returnflag,
+            "l_linestatus": df.l_linestatus,
+            "sum_qty": _int_scale(df.l_quantity, 1),
+            "sum_base_cents": _int_scale(df.l_extendedprice, 100),
+            "sum_disc_e4": _int_scale(df.l_extendedprice * (1 - df.l_discount), 10_000),
+            "count_order": np.ones(len(df), dtype=np.int64),
+        })
+        return out.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    return _grouped_sum(ds, ["l_returnflag", "l_linestatus"], partial,
+                        ["sum_qty", "sum_base_cents", "sum_disc_e4", "count_order"])
+
+
+def q3_top_orders(sf_dir: str):
+    """Top-10 orders by lineitem revenue — combiner + hash-shuffle
+    ``Dataset.join`` against orders, then sort+limit (both sides scale;
+    no driver materialization before the limit)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "l_orderkey": df.l_orderkey,
+            "revenue_e4": _int_scale(df.l_extendedprice * (1 - df.l_discount), 10_000),
+        })
+        return out.groupby("l_orderkey", as_index=False).sum()
+
+    rev = _grouped_sum(li, ["l_orderkey"], partial, ["revenue_e4"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = rev.join(orders, join_type="inner", num_partitions=8,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+    # join keeps only the left key column; restore the orders-side name
+    joined = joined.rename_columns({"l_orderkey": "o_orderkey"}) \
+                   .select_columns(["o_orderkey", "o_custkey", "revenue_e4"])
+    return joined.sort([("revenue_e4"), ("o_orderkey")], descending=[True, False]).limit(10)
+
+
+def q_nation_revenue(sf_dir: str):
+    """Revenue per customer nation — two broadcast dimension lookups
+    (customer→nation map shipped once via ray.put) + combiner groupby."""
+    cust_tbl = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation_tbl = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    c2n = dict(zip(cust_tbl.c_custkey, cust_tbl.c_nationkey))
+    n2name = dict(zip(nation_tbl.n_nationkey, nation_tbl.n_name))
+    lookup_ref = ray.put((c2n, n2name))
+
+    class Partial:
+        def __init__(self, ref):
+            self.c2n, self.n2name = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "n_name": df.o_custkey.map(self.c2n).map(self.n2name),
+                "revenue_cents": _int_scale(df.o_totalprice, 100),
+                "n_orders": np.ones(len(df), dtype=np.int64),
+            })
+            return out.groupby("n_name", as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    return (
+        orders.map_batches(Partial, fn_constructor_kwargs={"ref": lookup_ref},
+                           batch_format="pandas", concurrency=(1, 4))
+        .groupby("n_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                   Sum("n_orders", alias_name="n_orders"))
+    )
+
+
+def q_filter_highvalue(sf_dir: str):
+    """Vectorized filter + projection (no shuffle)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.greater(t.column("o_totalprice"), 400_000.0),
+                       pc.equal(t.column("o_orderstatus"), "O"))
+        t = t.filter(mask)
+        cents = pa.array(_int_scale(t.column("o_totalprice").to_numpy(), 100))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_custkey": t.column("o_custkey"),
+            "totalprice_cents": cents,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_distinct_flags(sf_dir: str):
+    """Distinct combinations via pre-dedup combiner + groupby count."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).size()
+        return g.rename(columns={"size": "n_rows"}).astype({"n_rows": np.int64})
+
+    return _grouped_sum(ds, ["l_returnflag", "l_linestatus"], partial, ["n_rows"])
+
+
+def q_orders_per_month(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "order_year": df.o_orderdate.dt.year.astype(np.int64),
+            "order_month": df.o_orderdate.dt.month.astype(np.int64),
+            "n_orders": np.ones(len(df), dtype=np.int64),
+            "revenue_cents": _int_scale(df.o_totalprice, 100),
+        })
+        return out.groupby(["order_year", "order_month"], as_index=False).sum()
+
+    return _grouped_sum(ds, ["order_year", "order_month"], partial,
+                        ["n_orders", "revenue_cents"])
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour event-time windows per event type (streaming-shaped
+    workload mapped to groupby; SURVEY §2.10)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df.ts.astype("int64")
+        out = pd.DataFrame({
+            "event_type": df.event_type,
+            "window_id": (us // 3_600_000_000).astype(np.int64),
+            "n_events": np.ones(len(df), dtype=np.int64),
+            "sum_value_e2": _int_scale(df.value, 100),
+        })
+        return out.groupby(["event_type", "window_id"], as_index=False).sum()
+
+    return _grouped_sum(ds, ["event_type", "window_id"], partial,
+                        ["n_events", "sum_value_e2"])
+
+
+def q_topk_brand(sf_dir: str):
+    """Per-group top-k (rank within partition) via groupby().map_groups."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["p_retailprice", "p_partkey"],
+                            ascending=[False, True]).head(3)
+        return pd.DataFrame({
+            "p_brand": df.p_brand,
+            "p_partkey": df.p_partkey,
+            "price_cents": _int_scale(df.p_retailprice, 100),
+            "rnk": np.arange(1, len(df) + 1, dtype=np.int64),
+        })
+
+    return ds.groupby("p_brand").map_groups(topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "kg_corpus": kg_corpus,
+    "kg_mentions": kg_mentions,
+    "kg_triples": kg_triples,
+    "kg_graph": kg_graph,
+    "kg_lineage": kg_lineage,
+    "q1_pricing": q1_pricing,
+    "q3_top_orders": q3_top_orders,
+    "q_nation_revenue": q_nation_revenue,
+    "q_filter_highvalue": q_filter_highvalue,
+    "q_distinct_flags": q_distinct_flags,
+    "q_orders_per_month": q_orders_per_month,
+    "q_events_window": q_events_window,
+    "q_topk_brand": q_topk_brand,
+}
+
+# queries() entries with no SQL-expressible oracle (driver falls back to
+# a rows-only check); keep this set tight and justified per entry.
+NO_ORACLE: set[str] = set()
+
+ORACLES = {
+    "kg_corpus": f"SELECT repo, path, commit, lang, content, sha256(content) AS content_sha256 FROM ({corpus_sql()})",
+    "kg_mentions": _kg_sql("SELECT * FROM mention"),
+    "kg_triples": _kg_sql("SELECT * FROM doc_triple"),
+    "kg_graph": _kg_sql(
+        "SELECT subj, pred, obj, CAST(sum(weight) AS DOUBLE) AS weight FROM doc_triple GROUP BY ALL"
+    ),
+    "kg_lineage": _kg_sql(
+        """SELECT c.repo, c.path, c.content_sha256,
+                  coalesce(m.n, 0) AS n_mentions,
+                  coalesce(m.n * (m.n - 1) // 2, 0) AS n_edges
+           FROM corpus_h c LEFT JOIN (
+             SELECT content_sha256, count(*) AS n FROM mention GROUP BY 1
+           ) m USING (content_sha256)"""
+    ),
+    "q1_pricing": f"""
+        SELECT l_returnflag, l_linestatus,
+               sum({_sql_scale('l_quantity', 1)}) AS sum_qty,
+               sum({_sql_scale('l_extendedprice', 100)}) AS sum_base_cents,
+               sum({_sql_scale('l_extendedprice * (1 - l_discount)', 10000)}) AS sum_disc_e4,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+        GROUP BY l_returnflag, l_linestatus""",
+    "q3_top_orders": f"""
+        SELECT o.o_orderkey, o.o_custkey, r.revenue_e4
+        FROM orders o JOIN (
+          SELECT l_orderkey,
+                 sum({_sql_scale('l_extendedprice * (1 - l_discount)', 10000)}) AS revenue_e4
+          FROM lineitem GROUP BY 1
+        ) r ON o.o_orderkey = r.l_orderkey
+        ORDER BY r.revenue_e4 DESC, o.o_orderkey LIMIT 10""",
+    "q_nation_revenue": f"""
+        SELECT n.n_name,
+               sum({_sql_scale('o.o_totalprice', 100)}) AS revenue_cents,
+               count(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name""",
+    "q_filter_highvalue": f"""
+        SELECT o_orderkey, o_custkey,
+               {_sql_scale('o_totalprice', 100)} AS totalprice_cents
+        FROM orders WHERE o_totalprice > 400000 AND o_orderstatus = 'O'""",
+    "q_distinct_flags": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+        FROM lineitem GROUP BY 1, 2""",
+    "q_orders_per_month": f"""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+               CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+               count(*) AS n_orders,
+               sum({_sql_scale('o_totalprice', 100)}) AS revenue_cents
+        FROM orders GROUP BY 1, 2""",
+    "q_events_window": f"""
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS window_id,
+               count(*) AS n_events,
+               sum({_sql_scale('value', 100)}) AS sum_value_e2
+        FROM events GROUP BY 1, 2""",
+    "q_topk_brand": f"""
+        SELECT p_brand, p_partkey,
+               {_sql_scale('p_retailprice', 100)} AS price_cents,
+               CAST(row_number() OVER (PARTITION BY p_brand
+                    ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk
+        FROM part
+        QUALIFY rnk <= 3""",
+}

@@ -227,7 +227,7 @@ def gazetteer_sql() -> str:
     rows = ", ".join(
         f"({_sql_quote(s)}, {_sql_quote(t)}, {_sql_quote(k)})" for s, t, k in GAZETTEER
     )
-    return f"(VALUES {rows}) AS gaz(surface, entity_type, kb_id)"
+    return f"(VALUES {rows}) AS g(surface, entity_type, kb_id)"
 
 
 # ---------------------------------------------------------------------------
