@@ -39,8 +39,8 @@ import ray
 import ray.data
 
 from ..functions.hashing import stable_u64
-from ..stages.canonicalize import CanonicalRelabel, build_canonical_map
-from ..stages.linking import EntityLinker, default_alias_dict
+from ..stages.canonicalize import build_canonical_map
+from ..stages.linking import default_alias_dict
 from ..stages.mentions import MentionScanner
 from ..stages.normalize import add_sha256
 from ..stages.triples import (
@@ -53,8 +53,10 @@ from ..state import manifest as mf
 
 # Default actor-pool sizing: autoscaling pools so extraction never
 # starves the read/write stages; per-batch work is regex-bound CPU.
-_SCAN_CONCURRENCY = (1, 8)
-_BATCH_SIZE = 1024
+# Batches small enough that (docs / batch_size) >> pool size keeps every
+# actor busy even on modest shards.
+_SCAN_CONCURRENCY = (1, 64)
+_BATCH_SIZE = 256
 
 
 def canonical_alias_map(alias: dict[str, str] | None = None) -> dict[str, str]:
@@ -83,49 +85,75 @@ def extract_docs(corpus_ds, gazetteer=None, concurrency=_SCAN_CONCURRENCY):
     )
 
 
+def _link_mentions_fn(batch: pa.Table, alias_ref, canon_ref) -> pa.Table:
+    """Fused link + canonicalize over exploded mention rows.
+
+    Stateless task stage: the alias dict / canonical map are broadcast
+    once via ``ray.put`` and fetched from the local object store per
+    task (``ray.get`` of a local ref is cheap; no per-batch reshipping).
+    """
+    from ..stages.linking import trigram_jaccard
+
+    alias = ray.get(alias_ref)
+    canon = ray.get(canon_ref)
+    batch = explode_mentions(batch)
+    keys = batch.column("entity_key").to_pylist()
+    kb, canonical, scores = [], [], []
+    cache: dict[str, tuple[str, str, float]] = {}
+    for k in keys:
+        hit = cache.get(k)
+        if hit is None:
+            kb_id = alias.get(k, k)
+            hit = (kb_id, canon.get(k, k), trigram_jaccard(k, kb_id))
+            cache[k] = hit
+        kb.append(hit[0])
+        canonical.append(hit[1])
+        scores.append(hit[2])
+    batch = batch.append_column("kb_id", pa.array(kb, pa.string()))
+    batch = batch.append_column("link_score", pa.array(scores, pa.float64()))
+    return batch.append_column("canonical", pa.array(canonical, pa.string()))
+
+
+def _doc_triples_fn(batch: pa.Table, canon_ref) -> pa.Table:
+    """Fused explode-edges + canonical relabel + per-doc triple merge."""
+    canon = ray.get(canon_ref)
+    batch = explode_edges(batch)
+    for col, out in (("src", "src_canonical"), ("dst", "dst_canonical")):
+        vals = batch.column(col).to_pylist()
+        batch = batch.append_column(
+            out, pa.array([canon.get(v, v) for v in vals], pa.string())
+        )
+    return doc_triples(batch)
+
+
 def kg_datasets(corpus_ds, gazetteer=None, alias: dict[str, str] | None = None,
-                concurrency=_SCAN_CONCURRENCY) -> dict:
+                concurrency=_SCAN_CONCURRENCY, docs=None) -> dict:
     """Build the lazy dataset graph for all KG outputs.
 
     Returns dict with Datasets: ``docs`` (nested per-doc), ``mentions``
     (linked, canonical), ``triples`` (per-doc canonical triples),
     ``graph`` (global (subj,pred,obj,weight) rollup), ``lineage``.
+
+    ``docs`` may be passed in pre-materialized (run_kg does, so the
+    extraction executes once per shard instead of once per output).
     """
     surface_canon = canonical_alias_map(alias)
     canon_ref = ray.put(surface_canon)
     alias_ref = ray.put(alias if alias is not None else default_alias_dict())
 
-    docs = extract_docs(corpus_ds, gazetteer, concurrency)
+    if docs is None:
+        docs = extract_docs(corpus_ds, gazetteer, concurrency)
 
-    mentions = (
-        docs.map_batches(explode_mentions, batch_format="pyarrow")
-        .map_batches(
-            EntityLinker,
-            fn_constructor_kwargs={"alias_ref": alias_ref},
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-        )
-        .map_batches(
-            CanonicalRelabel,
-            fn_constructor_kwargs={"canon_ref": canon_ref,
-                                   "columns": {"kb_id": "canonical"}},
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-        )
+    mentions = docs.map_batches(
+        _link_mentions_fn,
+        fn_kwargs={"alias_ref": alias_ref, "canon_ref": canon_ref},
+        batch_format="pyarrow",
     )
 
-    triples = (
-        docs.map_batches(explode_edges, batch_format="pyarrow")
-        .map_batches(
-            CanonicalRelabel,
-            fn_constructor_kwargs={
-                "canon_ref": canon_ref,
-                "columns": {"src": "src_canonical", "dst": "dst_canonical"},
-            },
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-        )
-        .map_batches(doc_triples, batch_format="pyarrow")
+    triples = docs.map_batches(
+        _doc_triples_fn,
+        fn_kwargs={"canon_ref": canon_ref},
+        batch_format="pyarrow",
     )
 
     graph = (
@@ -167,12 +195,20 @@ def _shard_filter(bucket: int, num_shards: int):
 
 def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
            gazetteer=None, alias: dict[str, str] | None = None,
-           concurrency=_SCAN_CONCURRENCY) -> dict:
+           concurrency=_SCAN_CONCURRENCY, max_concurrent_shards: int = 2) -> dict:
     """Sharded, resumable KG run.
 
-    ``read_corpus`` is a zero-arg factory returning a fresh corpus
-    Dataset (so each shard re-plans its own read; at real scale shards
-    are disjoint input-file groups and the filter disappears).
+    ``read_corpus`` is a factory returning a fresh corpus Dataset:
+    either zero-arg (the whole corpus; a hash filter on (repo, path)
+    carves out each shard — fallback), or ``(shard, num_shards)``-arg
+    (the factory builds only that shard's rows — preferred, since at
+    real scale shards are disjoint input-file groups and nothing is
+    read twice).
+
+    Shards are independent jobs sharing the cluster; up to
+    ``max_concurrent_shards`` execute concurrently (driver threads —
+    the sandbox stand-in for concurrently submitted per-shard jobs),
+    which overlaps one shard's write barrier with the next one's scan.
 
     Layout under ``out_dir``::
 
@@ -183,18 +219,29 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
         triples_sorted/*.parquet        globally sorted (subj,pred,obj)
         _manifest/*.json                completed-partition records
     """
+    import inspect
+    from concurrent.futures import ThreadPoolExecutor
+
     out_dir = Path(out_dir)
     done = mf.completed_shards(out_dir, "extract")
     stats: dict = {"shards_skipped": sorted(done & set(range(num_shards)))}
 
-    for shard in range(num_shards):
-        if shard in done:
-            continue
-        t0 = time.perf_counter()
-        corpus = read_corpus().map_batches(
+    sharded_factory = len(inspect.signature(read_corpus).parameters) >= 2
+
+    def shard_corpus(shard: int):
+        if sharded_factory:
+            return read_corpus(shard, num_shards)
+        return read_corpus().map_batches(
             _shard_filter(shard, num_shards), batch_format="pyarrow"
         )
-        parts = kg_datasets(corpus, gazetteer, alias, concurrency)
+
+    def run_shard(shard: int) -> None:
+        t0 = time.perf_counter()
+        corpus = shard_corpus(shard)
+        # Materialize the compact per-doc extraction (content already
+        # dropped) so the three outputs below don't re-run the scan.
+        docs = extract_docs(corpus, gazetteer, concurrency).materialize()
+        parts = kg_datasets(corpus, gazetteer, alias, concurrency, docs=docs)
         tri_dir = out_dir / "triples" / f"shard={shard:04d}"
         men_dir = out_dir / "mentions" / f"shard={shard:04d}"
         lin_dir = out_dir / "lineage" / f"shard={shard:04d}"
@@ -213,6 +260,19 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
             "paths": {"triples": str(tri_dir), "mentions": str(men_dir),
                       "lineage": str(lin_dir)},
         })
+
+    todo = [s for s in range(num_shards) if s not in done]
+    if todo:
+        # Pre-warm lazy imports that Ray's write path performs; two
+        # shard threads importing them concurrently race to a partially
+        # initialized module.
+        try:
+            import fsspec.implementations.http  # noqa: F401
+        except ImportError:
+            pass
+        with ThreadPoolExecutor(max_workers=max(1, max_concurrent_shards)) as pool:
+            for fut in [pool.submit(run_shard, s) for s in todo]:
+                fut.result()
 
     if mf.load(out_dir, "finalize", 0) is None:
         t0 = time.perf_counter()

@@ -43,16 +43,10 @@ def _sql_scale(expr: str, scale: int) -> str:
     return f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)"
 
 
-def _grouped_sum(ds, keys: list[str], partial_fn, sum_cols: list[str]):
-    """Combiner pattern: per-batch partial aggregate, then the (small)
-    global groupby shuffle; Sum aliases keep the partial column names."""
-    from ray.data.aggregate import Sum
-
-    return (
-        ds.map_batches(partial_fn, batch_format="pandas")
-        .groupby(keys)
-        .aggregate(*[Sum(c, alias_name=c) for c in sum_cols])
-    )
+# All grouped sums go through stages.groupby.bucketed_sum: Ray's native
+# aggregate costs Python-level work per distinct group (measured 147k
+# groups → ~70-150 s vs ~3 s bucketed at sf0.1), and aggregates over
+# pandas-format blocks hit an additional slow path.
 
 
 # ---------------------------------------------------------------------------
@@ -138,15 +132,17 @@ _Q1_CUTOFF = "2000-01-01"
 
 
 def q1_pricing(sf_dir: str):
-    """TPC-H-Q1-style pricing summary (filter → combiner → groupby)."""
+    """TPC-H-Q1-style pricing summary (filter → bucketed combiner)."""
+    from ..stages.groupby import bucketed_sum
+
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
                 "l_extendedprice", "l_discount", "l_shipdate"])
     cutoff = pd.Timestamp(_Q1_CUTOFF)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df.l_shipdate <= cutoff]
-        out = pd.DataFrame({
+        return pd.DataFrame({
             "l_returnflag": df.l_returnflag,
             "l_linestatus": df.l_linestatus,
             "sum_qty": _int_scale(df.l_quantity, 1),
@@ -154,66 +150,58 @@ def q1_pricing(sf_dir: str):
             "sum_disc_e4": _int_scale(df.l_extendedprice * (1 - df.l_discount), 10_000),
             "count_order": np.ones(len(df), dtype=np.int64),
         })
-        return out.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
 
-    return _grouped_sum(ds, ["l_returnflag", "l_linestatus"], partial,
-                        ["sum_qty", "sum_base_cents", "sum_disc_e4", "count_order"])
+    return bucketed_sum(ds, ["l_returnflag", "l_linestatus"],
+                        ["sum_qty", "sum_base_cents", "sum_disc_e4", "count_order"],
+                        prepare=prepare, num_buckets=8)
 
 
 def q3_top_orders(sf_dir: str):
     """Top-10 orders by lineitem revenue — combiner + hash-shuffle
     ``Dataset.join`` against orders, then sort+limit (both sides scale;
     no driver materialization before the limit)."""
+    from ..stages.groupby import bucketed_sum, topk
+
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
             "l_orderkey": df.l_orderkey,
             "revenue_e4": _int_scale(df.l_extendedprice * (1 - df.l_discount), 10_000),
         })
-        return out.groupby("l_orderkey", as_index=False).sum()
 
-    rev = _grouped_sum(li, ["l_orderkey"], partial, ["revenue_e4"])
+    rev = bucketed_sum(li, ["l_orderkey"], ["revenue_e4"], prepare=prepare)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = rev.join(orders, join_type="inner", num_partitions=8,
+    joined = rev.join(orders, join_type="inner", num_partitions=16,
                       on=("l_orderkey",), right_on=("o_orderkey",))
     # join keeps only the left key column; restore the orders-side name
     joined = joined.rename_columns({"l_orderkey": "o_orderkey"}) \
                    .select_columns(["o_orderkey", "o_custkey", "revenue_e4"])
-    return joined.sort([("revenue_e4"), ("o_orderkey")], descending=[True, False]).limit(10)
+    return topk(joined, ["revenue_e4", "o_orderkey"], 10, descending=[True, False])
 
 
 def q_nation_revenue(sf_dir: str):
     """Revenue per customer nation — two broadcast dimension lookups
     (customer→nation map shipped once via ray.put) + combiner groupby."""
+    from ..stages.groupby import bucketed_sum
+
     cust_tbl = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation_tbl = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     c2n = dict(zip(cust_tbl.c_custkey, cust_tbl.c_nationkey))
     n2name = dict(zip(nation_tbl.n_nationkey, nation_tbl.n_name))
     lookup_ref = ray.put((c2n, n2name))
 
-    class Partial:
-        def __init__(self, ref):
-            self.c2n, self.n2name = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame({
-                "n_name": df.o_custkey.map(self.c2n).map(self.n2name),
-                "revenue_cents": _int_scale(df.o_totalprice, 100),
-                "n_orders": np.ones(len(df), dtype=np.int64),
-            })
-            return out.groupby("n_name", as_index=False).sum()
-
-    from ray.data.aggregate import Sum
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        c2n, n2name = ray.get(lookup_ref)  # local object-store fetch
+        return pd.DataFrame({
+            "n_name": df.o_custkey.map(c2n).map(n2name),
+            "revenue_cents": _int_scale(df.o_totalprice, 100),
+            "n_orders": np.ones(len(df), dtype=np.int64),
+        })
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    return (
-        orders.map_batches(Partial, fn_constructor_kwargs={"ref": lookup_ref},
-                           batch_format="pandas", concurrency=(1, 4))
-        .groupby("n_name")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
-                   Sum("n_orders", alias_name="n_orders"))
-    )
+    return bucketed_sum(orders, ["n_name"], ["revenue_cents", "n_orders"],
+                        prepare=prepare, num_buckets=8)
 
 
 def q_filter_highvalue(sf_dir: str):
@@ -238,49 +226,57 @@ def q_filter_highvalue(sf_dir: str):
 
 
 def q_distinct_flags(sf_dir: str):
-    """Distinct combinations via pre-dedup combiner + groupby count."""
+    """Distinct combinations via pre-dedup combiner + bucketed count."""
+    from ..stages.groupby import bucketed_sum
+
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).size()
-        return g.rename(columns={"size": "n_rows"}).astype({"n_rows": np.int64})
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_rows"] = np.int64(1)
+        return df
 
-    return _grouped_sum(ds, ["l_returnflag", "l_linestatus"], partial, ["n_rows"])
+    return bucketed_sum(ds, ["l_returnflag", "l_linestatus"], ["n_rows"],
+                        prepare=prepare, num_buckets=8)
 
 
 def q_orders_per_month(sf_dir: str):
+    from ..stages.groupby import bucketed_sum
+
     ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
             "order_year": df.o_orderdate.dt.year.astype(np.int64),
             "order_month": df.o_orderdate.dt.month.astype(np.int64),
             "n_orders": np.ones(len(df), dtype=np.int64),
             "revenue_cents": _int_scale(df.o_totalprice, 100),
         })
-        return out.groupby(["order_year", "order_month"], as_index=False).sum()
 
-    return _grouped_sum(ds, ["order_year", "order_month"], partial,
-                        ["n_orders", "revenue_cents"])
+    return bucketed_sum(ds, ["order_year", "order_month"],
+                        ["n_orders", "revenue_cents"], prepare=prepare,
+                        num_buckets=16)
 
 
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour event-time windows per event type (streaming-shaped
     workload mapped to groupby; SURVEY §2.10)."""
+    from ..stages.groupby import bucketed_sum
+
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
         us = df.ts.astype("int64")
-        out = pd.DataFrame({
+        return pd.DataFrame({
             "event_type": df.event_type,
             "window_id": (us // 3_600_000_000).astype(np.int64),
             "n_events": np.ones(len(df), dtype=np.int64),
             "sum_value_e2": _int_scale(df.value, 100),
         })
-        return out.groupby(["event_type", "window_id"], as_index=False).sum()
 
-    return _grouped_sum(ds, ["event_type", "window_id"], partial,
-                        ["n_events", "sum_value_e2"])
+    return bucketed_sum(ds, ["event_type", "window_id"],
+                        ["n_events", "sum_value_e2"], prepare=prepare,
+                        num_buckets=32)
 
 
 def q_topk_brand(sf_dir: str):

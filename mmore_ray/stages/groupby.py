@@ -1,0 +1,115 @@
+"""Scalable grouped aggregation and top-k.
+
+Ray Data's native ``groupby(key).aggregate(...)`` reduce phase costs
+Python-level work *per group*, which collapses at high key cardinality
+(measured: 147k groups → 70-150 s for a 600k-row sum that takes ~3 s
+bucketed).  The engine therefore aggregates in three stages:
+
+  1. **partial** — vectorized per-batch combine inside ``map_batches``
+     (pandas groupby / pyarrow), emitting Arrow (never pandas blocks:
+     aggregates over pandas blocks hit a separate slow path);
+  2. **bucket** — a deterministic hash of the key columns modulo
+     ``num_buckets`` (low cardinality, so the Ray shuffle's per-group
+     cost is bounded by ``num_buckets``, not by distinct keys);
+  3. **final** — one vectorized pandas aggregate per bucket via
+     ``groupby("_bucket").map_groups``.
+
+Scale sizing: pick ``num_buckets`` so (total distinct keys /
+num_buckets) × row width fits a worker's heap; skewed keys are already
+collapsed per batch by the partial, so a hot key costs one row per
+(batch, key) — salt only if one *single* key's partials outgrow a
+bucket.  Ray's native path is still right for LOW-cardinality keys
+(≲1k groups); callers choose.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_BUCKET = "_bucket"
+
+
+def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
+    h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def bucketed_sum(
+    ds,
+    keys: list[str],
+    sum_cols: list[str],
+    prepare=None,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """groupby(keys).sum(sum_cols) at any key cardinality.
+
+    ``prepare``: optional vectorized fn ``pd.DataFrame -> pd.DataFrame``
+    producing the key + value columns from a raw batch (runs inside the
+    partial stage, before the per-batch combine).
+    """
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        if prepare is not None:
+            df = prepare(df)
+        g = df.groupby(keys, as_index=False)[sum_cols].sum()
+        g[_BUCKET] = _bucket_of(g, keys, num_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=[_BUCKET]).groupby(keys, as_index=False)[sum_cols].sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        .groupby(_BUCKET)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def bucketed_agg(
+    ds,
+    keys: list[str],
+    agg_fn,
+    prepare=None,
+    num_buckets: int = 64,
+    batch_size: int = 65536,
+):
+    """General mergeable aggregate: ``agg_fn(df, keys) -> df`` must be
+    idempotent under re-aggregation (applied per batch AND per bucket),
+    e.g. sum/min/max/any-combine of pre-combined rows."""
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        if prepare is not None:
+            df = prepare(df)
+        g = agg_fn(df, keys)
+        g[_BUCKET] = _bucket_of(g, keys, num_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return agg_fn(df.drop(columns=[_BUCKET]), keys)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        .groupby(_BUCKET)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def topk(ds, sort_cols: list[str], k: int, descending: list[bool] | bool = True):
+    """Global top-k without a full sort shuffle: per-batch local top-k,
+    then one final top-k over the ≤ k×num_blocks survivors."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_cols)
+    ascending = [not d for d in descending]
+
+    def local(df: pd.DataFrame) -> pa.Table:
+        out = df.sort_values(sort_cols, ascending=ascending).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    reduced = ds.map_batches(local, batch_format="pandas", batch_size=65536)
+    # survivors are tiny; a single-partition sort finishes the job
+    return reduced.repartition(1).map_batches(
+        local, batch_format="pandas", batch_size=None
+    )
