@@ -14,4 +14,6 @@ Layout:
     state/      lineage manifest + resumable checkpoints
 """
 
+from . import _compat  # noqa: F401  (env shims; see _compat.py)
+
 __version__ = "0.1.0"

@@ -68,20 +68,24 @@ def canonical_alias_map(alias: dict[str, str] | None = None) -> dict[str, str]:
 
 
 def extract_docs(corpus_ds, gazetteer=None, concurrency=_SCAN_CONCURRENCY):
-    """corpus → per-doc nested mention/edge rows (content dropped)."""
-    kwargs = {}
-    if gazetteer is not None:
-        kwargs["gazetteer"] = gazetteer
-    return (
-        corpus_ds
-        .map_batches(add_sha256, batch_format="pyarrow", batch_size=_BATCH_SIZE)
-        .map_batches(
-            MentionScanner,
-            fn_constructor_kwargs=kwargs,
-            batch_format="pyarrow",
-            batch_size=_BATCH_SIZE,
-            concurrency=concurrency,
-        )
+    """corpus → per-doc nested mention/edge rows (content dropped).
+
+    Default gazetteer → elastic task stage (regex compiled once per
+    worker process); custom gazetteer → actor pool whose actors hold
+    the compiled state (``MentionScanner.__init__``)."""
+    ds = corpus_ds.map_batches(add_sha256, batch_format="pyarrow",
+                               batch_size=_BATCH_SIZE)
+    if gazetteer is None:
+        from ..stages.mentions import scan_batch
+
+        return ds.map_batches(scan_batch, batch_format="pyarrow",
+                              batch_size=_BATCH_SIZE)
+    return ds.map_batches(
+        MentionScanner,
+        fn_constructor_kwargs={"gazetteer": gazetteer},
+        batch_format="pyarrow",
+        batch_size=_BATCH_SIZE,
+        concurrency=concurrency,
     )
 
 
@@ -163,14 +167,6 @@ def kg_datasets(corpus_ds, gazetteer=None, alias: dict[str, str] | None = None,
         .rename_columns({"sum(weight)": "weight"})
     )
 
-    def lineage_rows(batch: pa.Table) -> pa.Table:
-        n_mentions = pc.list_value_length(batch.column("mentions"))
-        n_edges = pc.list_value_length(batch.column("edges"))
-        out = batch.select(["repo", "path", "content_sha256"])
-        out = out.append_column("n_mentions", n_mentions.cast(pa.int64()))
-        out = out.append_column("n_edges", n_edges.cast(pa.int64()))
-        return out
-
     lineage = docs.map_batches(lineage_rows, batch_format="pyarrow")
 
     return {
@@ -181,6 +177,16 @@ def kg_datasets(corpus_ds, gazetteer=None, alias: dict[str, str] | None = None,
         "lineage": lineage,
         "canonical_map": surface_canon,
     }
+
+
+def lineage_rows(batch: pa.Table) -> pa.Table:
+    """Per-doc lineage record: sha256 invariant + output counts."""
+    n_mentions = pc.list_value_length(batch.column("mentions"))
+    n_edges = pc.list_value_length(batch.column("edges"))
+    out = batch.select(["repo", "path", "content_sha256"])
+    out = out.append_column("n_mentions", n_mentions.cast(pa.int64()))
+    out = out.append_column("n_edges", n_edges.cast(pa.int64()))
+    return out
 
 
 def _shard_filter(bucket: int, num_shards: int):
@@ -235,62 +241,111 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
             _shard_filter(shard, num_shards), batch_format="pyarrow"
         )
 
+    surface_canon = canonical_alias_map(alias)
+    canon_ref = ray.put(surface_canon)
+    alias_ref = ray.put(alias if alias is not None else default_alias_dict())
+
     def run_shard(shard: int) -> None:
+        """Phase 1 (per shard, resumable): ONE streaming execution that
+        scans and tees every per-doc output.
+
+        docs → mentions → triples are all per-document derivations (no
+        shuffle), so a single map chain computes them from each batch
+        and writes docs/mentions/triples parquet as side outputs; the
+        lineage rows are the terminal sink.  Side-output files are named
+        by a content digest of the batch, so a retried task overwrites
+        its own file instead of duplicating it."""
         t0 = time.perf_counter()
-        corpus = shard_corpus(shard)
-        # Materialize the compact per-doc extraction (content already
-        # dropped) so the three outputs below don't re-run the scan.
-        docs = extract_docs(corpus, gazetteer, concurrency).materialize()
-        parts = kg_datasets(corpus, gazetteer, alias, concurrency, docs=docs)
-        tri_dir = out_dir / "triples" / f"shard={shard:04d}"
-        men_dir = out_dir / "mentions" / f"shard={shard:04d}"
-        lin_dir = out_dir / "lineage" / f"shard={shard:04d}"
+        dirs = {name: out_dir / name / f"shard={shard:04d}"
+                for name in ("docs", "mentions", "triples", "lineage")}
         # Idempotent re-run: a crashed shard may have left partial
         # parquet behind; writes append, so clear before re-writing.
-        for d in (tri_dir, men_dir, lin_dir):
+        for d in dirs.values():
             shutil.rmtree(d, ignore_errors=True)
-        parts["triples"].write_parquet(str(tri_dir))
-        parts["mentions"].write_parquet(str(men_dir))
-        lineage = parts["lineage"].materialize()
-        lineage.write_parquet(str(lin_dir))
-        n_docs = lineage.count()
+            d.mkdir(parents=True, exist_ok=True)
+        paths = {k: str(v) for k, v in dirs.items()}
+
+        def tee(batch: pa.Table, alias_ref=alias_ref, canon_ref=canon_ref,
+                paths=paths) -> pa.Table:
+            import hashlib
+
+            import pyarrow.parquet as pq
+
+            tag = hashlib.sha1(
+                "".join(batch.column("content_sha256").to_pylist()[:64]).encode()
+            ).hexdigest()[:16]
+            pq.write_table(batch, f"{paths['docs']}/part-{tag}.parquet")
+            mentions = _link_mentions_fn(batch, alias_ref, canon_ref)
+            pq.write_table(mentions, f"{paths['mentions']}/part-{tag}.parquet")
+            triples = _doc_triples_fn(batch, canon_ref)
+            pq.write_table(triples, f"{paths['triples']}/part-{tag}.parquet")
+            return lineage_rows(batch)
+
+        lineage = (
+            extract_docs(shard_corpus(shard), gazetteer, concurrency)
+            .map_batches(tee, batch_format="pyarrow", batch_size=4096)
+        )
+        lineage.write_parquet(paths["lineage"])
+        n_docs = sum(f.metadata.num_rows
+                     for f in _parquet_files(dirs["lineage"]))
         mf.publish(out_dir, "extract", shard, {
             "n_docs": n_docs,
             "seconds": round(time.perf_counter() - t0, 3),
-            "paths": {"triples": str(tri_dir), "mentions": str(men_dir),
-                      "lineage": str(lin_dir)},
+            "paths": paths,
         })
 
     todo = [s for s in range(num_shards) if s not in done]
     if todo:
-        # Pre-warm lazy imports that Ray's write path performs; two
-        # shard threads importing them concurrently race to a partially
-        # initialized module.
-        try:
-            import fsspec.implementations.http  # noqa: F401
-        except ImportError:
-            pass
+        # the finalize phase aggregates over every shard — any re-run
+        # extract invalidates it
+        (out_dir / mf.MANIFEST_DIR / "finalize_00000.json").unlink(missing_ok=True)
         with ThreadPoolExecutor(max_workers=max(1, max_concurrent_shards)) as pool:
             for fut in [pool.submit(run_shard, s) for s in todo]:
                 fut.result()
 
     if mf.load(out_dir, "finalize", 0) is None:
+        # Phase 3: global graph rollup + globally sorted triple shards.
+        # The rollup IS the exact key distribution, so the sorted write
+        # range-partitions on known boundaries instead of sampling
+        # (stages/sortwrite.py) — Dataset.sort measured ~4x slower here.
+        import numpy as np
+
+        from ..stages.groupby import bucketed_sum
+        from ..stages.sortwrite import write_sorted
+
         t0 = time.perf_counter()
         for d in (out_dir / "graph", out_dir / "triples_sorted"):
             shutil.rmtree(d, ignore_errors=True)
         triples = ray.data.read_parquet(str(out_dir / "triples"))
-        graph = (
-            triples.map_batches(partial_graph_rollup, batch_format="pyarrow")
-            .groupby(["subj", "pred", "obj"])
-            .sum("weight")
-            .rename_columns({"sum(weight)": "weight"})
-        )
-        graph.write_parquet(str(out_dir / "graph"))
-        ordered = triples.sort(["subj", "pred", "obj"])
-        ordered.write_parquet(str(out_dir / "triples_sorted"))
+
+        def add_nrows(df):
+            df = df.copy()
+            df["n_rows"] = np.int64(1)
+            return df
+
+        rolled = bucketed_sum(
+            triples.select_columns(["subj", "pred", "obj", "weight"]),
+            ["subj", "pred", "obj"], ["weight", "n_rows"],
+            prepare=add_nrows, num_buckets=32,
+        ).materialize()
+        rolled.select_columns(["subj", "pred", "obj", "weight"]) \
+              .write_parquet(str(out_dir / "graph"))
+        # distinct-key set is bounded by vocabulary (not corpus size);
+        # collect it for driver-side boundary computation
+        key_counts = [((r["subj"], r["pred"], r["obj"]), r["n_rows"])
+                      for r in rolled.take_all()]
+        write_sorted(triples, key_counts, out_dir / "triples_sorted",
+                     num_partitions=32)
         mf.publish(out_dir, "finalize", 0, {
             "seconds": round(time.perf_counter() - t0, 3),
         })
 
     stats["manifest"] = mf.all_entries(out_dir)
     return stats
+
+
+def _parquet_files(d: Path):
+    import pyarrow.parquet as pq
+
+    for f in sorted(Path(d).rglob("*.parquet")):
+        yield pq.ParquetFile(f)

@@ -120,3 +120,21 @@ class MentionScanner:
         out = out.append_column("mentions", pa.array(mention_col, pa.list_(MENTION_STRUCT)))
         out = out.append_column("edges", pa.array(edge_col, pa.list_(EDGE_STRUCT)))
         return out
+
+
+_PROCESS_SCANNER: MentionScanner | None = None
+
+
+def scan_batch(batch: pa.Table) -> pa.Table:
+    """Task-stage variant of the scanner for the DEFAULT gazetteer.
+
+    Stateful setup (regex compile) happens once per *worker process*
+    via a module-global cache — same amortization as an actor pool, but
+    task stages carry no pool-startup cost and scale elastically with
+    the cluster.  Custom gazetteers go through the actor-pool path
+    (state can't live in a module global keyed by arbitrary input).
+    """
+    global _PROCESS_SCANNER
+    if _PROCESS_SCANNER is None:
+        _PROCESS_SCANNER = MentionScanner()
+    return _PROCESS_SCANNER(batch)

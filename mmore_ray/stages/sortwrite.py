@@ -1,0 +1,136 @@
+"""Globally sorted parquet output via known-distribution range partitioning.
+
+``Dataset.sort`` samples boundaries and two-phase-shuffles every row —
+measured ~16 s for 1.6M triple rows at 32 CPUs, dominated by sampling
+and block churn.  The KG pipeline already aggregates the exact key
+distribution (the graph rollup: one row per (subj, pred, obj) with its
+total weight = row count), so the sorted write can skip sampling:
+
+  1. boundaries are computed driver-side from the rollup — contiguous
+     key ranges with equal row budgets; a hot key whose count exceeds
+     the budget is split *within* the key by sha256 prefix (the sha
+     column is uniform, so hex-fraction cut points balance);
+  2. rows get a partition id via one vectorized ``np.searchsorted``
+     over the encoded sort key;
+  3. ``groupby(part).map_groups`` sorts each partition in pandas and
+     writes ``part-NNNNN.parquet`` directly — file names in lexical
+     order ARE the global order.
+
+This is the at-scale design (the rollup is tiny: bounded by vocabulary,
+not corpus), and it makes the sorted write a single cheap shuffle on a
+small-int key.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SEP = "\x00"
+HI = "￿"  # sorts after any sha hex char
+
+SORT_COLS = ["subj", "pred", "obj", "content_sha256"]
+
+
+def _encode(df: pd.DataFrame) -> pd.Series:
+    return (df["subj"] + SEP + df["pred"] + SEP + df["obj"]
+            + SEP + df["content_sha256"])
+
+
+def compute_boundaries(key_counts: list[tuple[tuple[str, str, str], float]],
+                       num_partitions: int) -> list[str]:
+    """Upper-bound boundary strings (exclusive) for each partition but
+    the last.  ``key_counts``: (key, row_count) for every distinct key.
+    """
+    items = sorted(key_counts)
+    total = sum(c for _, c in items)
+    budget = max(1.0, total / num_partitions)
+    bounds: list[str] = []
+    acc = 0.0
+    for (s, p, o), cnt in items:
+        prefix = s + SEP + p + SEP + o + SEP
+        if cnt <= budget - acc:
+            acc += cnt
+            if acc >= budget:
+                bounds.append(prefix + HI)  # cut after this whole key
+                acc = 0.0
+            continue
+        # hot key: split within the key by sha hex fraction
+        first = budget - acc
+        n_cuts = int((cnt - first) // budget) + 1
+        for i in range(n_cuts):
+            frac = (first + i * budget) / cnt
+            hexcut = format(int(frac * 16**8), "08x")
+            bounds.append(prefix + hexcut)
+        acc = cnt - first - (n_cuts - 1) * budget
+        if acc >= budget:
+            bounds.append(prefix + HI)
+            acc = 0.0
+    return bounds
+
+
+def write_sorted(triples_ds, key_counts, out_dir: str | Path,
+                 num_partitions: int = 32) -> None:
+    """Write ``triples_ds`` as globally (subj,pred,obj)-sorted parquet
+    files ``part-NNNNN.parquet`` under ``out_dir``.
+
+    Two map-only phases with a filesystem exchange (no Ray all-to-all):
+
+      * **spill** — each map task splits its batch by partition id and
+        appends per-(task, partition) parquet spill files;
+      * **merge** — one plain Ray task per partition concatenates its
+        spill files, sorts in pandas, writes the final part file.
+
+    Both phases are embarrassingly parallel; the exchange medium is the
+    filesystem (single-node sandbox ≙ a cluster's shared store; on a
+    real multi-node cluster the spill dir must be shared or replaced by
+    object-store refs — documented partitioning assumption).
+    """
+    import ray
+
+    out_dir = Path(out_dir)
+    spill_dir = out_dir / "_spill"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    spill_dir.mkdir(parents=True, exist_ok=True)
+    bounds = np.array(compute_boundaries(key_counts, num_partitions))
+    n_parts = len(bounds) + 1
+
+    def spill(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        part = np.searchsorted(bounds, _encode(batch).to_numpy(), side="right")
+        tag = hashlib.sha1(
+            "".join(batch["content_sha256"].head(64)).encode()
+        ).hexdigest()[:16]
+        counts = []
+        for p in np.unique(part):
+            sub = batch[part == p]
+            d = spill_dir / f"p={int(p):05d}"
+            d.mkdir(parents=True, exist_ok=True)
+            sub.to_parquet(d / f"{tag}.parquet", index=False)
+            counts.append((int(p), len(sub)))
+        return pd.DataFrame({"part": [c[0] for c in counts],
+                             "rows": [c[1] for c in counts]})
+
+    triples_ds.map_batches(spill, batch_format="pandas",
+                           batch_size=65536).count()
+
+    @ray.remote
+    def merge(p: int) -> int:
+        import pyarrow.parquet as pq
+
+        d = spill_dir / f"p={p:05d}"
+        if not d.is_dir():
+            return 0
+        tables = [pq.read_table(f) for f in sorted(d.glob("*.parquet"))]
+        df = pa.concat_tables(tables).to_pandas().sort_values(SORT_COLS)
+        df.to_parquet(out_dir / f"part-{p:05d}.parquet", index=False)
+        return len(df)
+
+    ray.get([merge.remote(p) for p in range(n_parts)])
+    import shutil
+
+    shutil.rmtree(spill_dir, ignore_errors=True)

@@ -18,7 +18,7 @@ def read_corpus(ray_session):
 
 
 def _lineage_rows(out_dir):
-    files = glob.glob(f"{out_dir}/lineage/*/*.parquet")
+    files = glob.glob(f"{out_dir}/lineage/**/*.parquet", recursive=True)
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
