@@ -73,7 +73,7 @@ def main() -> None:
     # deterministically to realistic file counts/sizes (replicate×tile →
     # ~20× docs of ~5 KB) so compute dominates fixed overhead, as it
     # would at real scale.
-    replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "100"))
+    replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "150"))
     tile = int(os.environ.get("GRAFT_BENCH_TILE", "16"))
 
     import pyarrow as pa
@@ -126,7 +126,16 @@ def main() -> None:
         fn = Q.QUERIES[name]
         timings[name] = _timed(lambda f=fn: f(SF_DIR).count())
 
+    import shutil
+
+    from mmore_ray.state import manifest as _mf
+
+    phases = {f"{e['step']}_{e['shard']}": e["seconds"]
+              for e in _mf.all_entries(out_dir)}
+    shutil.rmtree(out_dir, ignore_errors=True)  # keep /tmp clean across runs
+
     result = {
+        "phases": phases,
         "metric": "kg_full_run_sec (triple extraction+link+canonicalize+sort, "
                   f"{n_docs} docs)",
         "value": headline,
@@ -152,16 +161,21 @@ def scaling() -> None:
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        return min((run_once(ncpu) for _ in range(2)), key=lambda r: r["value"])
-
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
+    runs = {lo: [], hi: []}
+    for _ in range(rounds):  # interleaved: host load hits both levels
+        runs[lo].append(run_once(lo))
+        runs[hi].append(run_once(hi))
+    r_lo = min(runs[lo], key=lambda r: r["value"])
+    r_hi = min(runs[hi], key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(json.dumps({
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
+        f"all_sec_{lo}": [r["value"] for r in runs[lo]],
+        f"all_sec_{hi}": [r["value"] for r in runs[hi]],
         f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
         f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
