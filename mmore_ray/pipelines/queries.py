@@ -297,6 +297,203 @@ def q_topk_brand(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Deduplication / similarity / text-analysis queries
+# ---------------------------------------------------------------------------
+
+def _docs_with_exact_copies(sf_dir: str):
+    """documents ∪ exact copies (doc_id+500000) of every 7th doc —
+    deterministic dup injection, same construction as the oracle SQL."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def copies(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = t.filter(
+            pc.equal(
+                pc.subtract(t.column("doc_id"),
+                            pc.multiply(pc.divide(t.column("doc_id"), 7), 7)),
+                0,
+            )
+        )
+        return pa.table({
+            "doc_id": pc.add(keep.column("doc_id"), 500000),
+            "text": keep.column("text"),
+        })
+
+    return ds.union(ds.map_batches(copies, batch_format="pyarrow"))
+
+
+def _docs_with_near_copies(sf_dir: str):
+    """documents ∪ perturbed copies (doc_id+1000000, text + ' extradup')
+    of every 5th doc."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def perturbed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = t.filter(
+            pc.equal(
+                pc.subtract(t.column("doc_id"),
+                            pc.multiply(pc.divide(t.column("doc_id"), 5), 5)),
+                0,
+            )
+        )
+        return pa.table({
+            "doc_id": pc.add(keep.column("doc_id"), 1000000),
+            "text": pc.binary_join_element_wise(
+                keep.column("text").cast(pa.string()),
+                pa.array([" extradup"] * keep.num_rows), ""),
+        })
+
+    return ds.union(ds.map_batches(perturbed, batch_format="pyarrow"))
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: sha256 identity → keep min doc_id + dup count."""
+    from ..stages.dedup import exact_dedup
+
+    return exact_dedup(_docs_with_exact_copies(sf_dir))
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (≥ 0.5)."""
+    from ..stages.dedup import near_dup_minhash
+
+    return near_dup_minhash(_docs_with_near_copies(sf_dir))
+
+
+def q_dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup (cos ≥ 0.999) over embeddings ∪
+    scaled copies (vec_id+1000000, 1.01×vec of every 5th)."""
+    from ..stages.dedup import embedding_near_dup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def scaled(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = t.filter(
+            pc.equal(
+                pc.subtract(t.column("vec_id"),
+                            pc.multiply(pc.divide(t.column("vec_id"), 5), 5)),
+                0,
+            )
+        )
+        vecs = [[x * 1.01 for x in v]
+                for v in keep.column("embedding").to_pylist()]
+        return pa.table({
+            "vec_id": pc.add(keep.column("vec_id"), 1000000),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        })
+
+    both = ds.union(ds.map_batches(scaled, batch_format="pyarrow"))
+    return embedding_near_dup(both, threshold=0.999)
+
+
+def _query_vectors(sf_dir: str, n: int = 5) -> dict[int, list[float]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    out = {}
+    for vid, vec in zip(t.column("vec_id").to_pylist(),
+                        t.column("embedding").to_pylist()):
+        if vid < n:
+            out[vid] = vec
+    return out
+
+
+def q_knn(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors vec_id 0..4."""
+    from ..stages.similarity import knn_brute_force
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_brute_force(ds, _query_vectors(sf_dir), k=10)
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF approximate top-10 (16 centroids, nprobe=4) — approximate,
+    so no SQL oracle; recall vs brute force asserted in tests."""
+    from ..stages.similarity import knn_ivf
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_ivf(ds, _query_vectors(sf_dir), k=10,
+                   n_centroids=16, nprobe=4)
+
+
+def q_lang_id(sf_dir: str):
+    from ..stages.text_analysis import detect_lang
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        preds = [detect_lang(x) for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang_pred": pa.array(preds, pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_quality(sf_dir: str):
+    from ..stages.text_analysis import quality_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = quality_stats(df)
+        out.insert(0, "doc_id", df["doc_id"].astype(np.int64).values)
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_token_count(sf_dir: str):
+    from ..stages.text_analysis import count_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = [count_tokens(x) for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (hamming ≤ 3) over docs ∪ exact copies —
+    bit-level sketch, not SQL-expressible; invariants tested in pytest."""
+    from ..stages.dedup import near_dup_simhash
+
+    return near_dup_simhash(_docs_with_exact_copies(sf_dir))
+
+
+def q_chunk_fixed(sf_dir: str):
+    """Fixed-window chunker (flat-map 1→N): 40-word chunks, ids
+    ``doc_id * 1000 + idx`` (the reference chunker's `id+i` scheme,
+    chunker/multimodal.py:241)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    W = 40
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "chunk_idx": [], "chunk_text": []}
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            ws = text.split(" ")
+            for ci in range((len(ws) + W - 1) // W):
+                out["doc_id"].append(did)
+                out["chunk_idx"].append(ci)
+                out["chunk_text"].append(" ".join(ws[ci * W:(ci + 1) * W]))
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "chunk_idx": pa.array(out["chunk_idx"], pa.int64()),
+            "chunk_text": pa.array(out["chunk_text"], pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -314,11 +511,88 @@ QUERIES = {
     "q_orders_per_month": q_orders_per_month,
     "q_events_window": q_events_window,
     "q_topk_brand": q_topk_brand,
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_embedding": q_dedup_embedding,
+    "q_knn": q_knn,
+    "q_knn_ivf": q_knn_ivf,
+    "q_lang_id": q_lang_id,
+    "q_quality": q_quality,
+    "q_token_count": q_token_count,
+    "q_chunk_fixed": q_chunk_fixed,
 }
 
 # queries() entries with no SQL-expressible oracle (driver falls back to
 # a rows-only check); keep this set tight and justified per entry.
-NO_ORACLE: set[str] = set()
+#   q_knn_ivf       — approximate (nprobe < n_centroids); recall vs the
+#                     exact brute force is asserted in pytest instead.
+#   q_dedup_simhash — 64-bit sketch with bitwise voting; no reasonable
+#                     SQL form.  Invariants asserted in pytest.
+NO_ORACLE: set[str] = {"q_knn_ivf", "q_dedup_simhash"}
+
+_SHINGLE_CTES = """
+WITH docs AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS id, text || ' extradup' AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+w AS (SELECT id, string_split(text, ' ') AS ws FROM docs),
+sh AS (
+  SELECT id, list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+  FROM w
+),
+shrow AS (SELECT id, unnest(shingles) AS s FROM sh),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM shrow a JOIN shrow b ON a.s = b.s AND a.id < b.id)
+"""
+
+
+def _lang_id_sql() -> str:
+    from ..stages.text_analysis import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    scores = ", ".join(
+        "len(list_filter(ws, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        + f"], x))) AS s_{lang}"
+        for lang in langs
+    )
+    gmax = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = {gmax} THEN '{lang}'" for lang in langs)
+    return f"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sc AS (SELECT doc_id, {scores} FROM w)
+      SELECT doc_id,
+             CASE WHEN {gmax} = 0 THEN 'unknown' {case} END AS lang_pred
+      FROM sc"""
+
+
+def _quality_sql() -> str:
+    from ..stages.text_analysis import LANG_PROFILES
+
+    en = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    return f"""
+      WITH w AS (
+        SELECT doc_id, text, string_split(text, ' ') AS ws,
+               length(text) AS n_chars
+        FROM documents
+      ),
+      m AS (
+        SELECT doc_id, n_chars,
+               len(ws) AS word_count,
+               greatest(n_chars - (len(ws) - 1), 0) AS total_word_chars,
+               len(list_filter(ws, x -> list_contains([{en}], x))) AS stop_cnt,
+               length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS punct
+        FROM w
+      )
+      SELECT doc_id, word_count, n_chars,
+             CAST(floor(1.0 * total_word_chars / greatest(word_count, 1) * 100 + 0.5) AS BIGINT) AS mean_word_len_e2,
+             CAST(floor(1.0 * stop_cnt / greatest(word_count, 1) * 10000 + 0.5) AS BIGINT) AS stop_ratio_e4,
+             CAST(floor(1.0 * punct / greatest(n_chars, 1) * 10000 + 0.5) AS BIGINT) AS punct_ratio_e4
+      FROM m"""
 
 ORACLES = {
     "kg_corpus": f"SELECT repo, path, commit, lang, content, sha256(content) AS content_sha256 FROM ({corpus_sql()})",
@@ -385,4 +659,60 @@ ORACLES = {
                     ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk
         FROM part
         QUALIFY rnk <= 3""",
+    "q_dedup_exact": """
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 500000, text FROM documents WHERE doc_id % 7 = 0
+        )
+        SELECT sha256(text) AS content_sha256,
+               min(doc_id) AS keep_id,
+               count(*) AS n_dupes
+        FROM docs GROUP BY 1""",
+    "q_dedup_minhash": _SHINGLE_CTES + """
+        SELECT * FROM (
+          SELECT c.id_a, c.id_b,
+                 CAST(floor(1.0 * len(list_intersect(x.shingles, y.shingles)) /
+                      len(list_distinct(list_concat(x.shingles, y.shingles)))
+                      * 10000 + 0.5) AS BIGINT) AS jaccard_e4
+          FROM cand c JOIN sh x ON c.id_a = x.id JOIN sh y ON c.id_b = y.id
+        ) WHERE jaccard_e4 >= 5000""",
+    "q_dedup_embedding": """
+        WITH vecs AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000,
+                 list_transform(embedding::DOUBLE[], x -> x * 1.01)
+          FROM embeddings WHERE vec_id % 5 = 0
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(floor(list_cosine_similarity(a.v, b.v) * 1000 + 0.5) AS BIGINT) AS cos_e3
+        FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.999""",
+    "q_knn": """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        s AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 CAST(floor(list_cosine_similarity(q.qv, e.embedding::DOUBLE[])
+                      * 10000 + 0.5) AS BIGINT) AS cos_e4
+          FROM q JOIN embeddings e ON e.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, cos_e4,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_e4 DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM s QUALIFY rnk <= 10""",
+    "q_lang_id": _lang_id_sql(),
+    "q_quality": _quality_sql(),
+    "q_token_count": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        FROM documents""",
+    "q_chunk_fixed": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        SELECT doc_id,
+               CAST(i - 1 AS BIGINT) AS chunk_idx,
+               array_to_string(ws[(i-1)*40+1 : least(i*40, len(ws))], ' ') AS chunk_text
+        FROM w, unnest(range(1, CAST(ceil(len(ws) / 40.0) AS BIGINT) + 1)) AS t(i)""",
 }

