@@ -1,0 +1,175 @@
+"""The mmore process → postprocess lifecycle, Ray-native (SURVEY §3).
+
+    crawl(roots) → incremental split (reuse/process/deleted)
+      → map_batches(read + processor dispatch)        # §3.1
+      → post-process chain (taggers/filters/chunker)  # §3.2
+      → parquet + reference-format JSONL sinks
+
+Incremental protocol (reference ``process/incremental.py``):
+previous results are keyed by ``file_path`` with a ``processed_at``
+timestamp; duplicates collapse to the latest; a file is reused iff its
+mtime ≤ processed_at; files present only in the previous results
+(deleted on disk) are dropped.  Reference semantics, parquet instead
+of JSONL, broadcast-small-side semi/anti joins instead of driver
+dicts when the manifest outgrows memory (documented)."""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..sources.crawler import crawl_table, read_contents
+from ..stages.processors import process_batch
+
+PROCESSED_AT_COL = "processed_at"
+
+
+def load_previous(path: str | Path) -> pa.Table | None:
+    """Latest-wins dedup of previous results by file_path
+    (≙ incremental.py:24-48).  ``path`` may be a parquet file or a
+    directory of them."""
+    path = Path(path)
+    if not path.exists():
+        return None
+    import pandas as pd
+
+    prev = pq.read_table(path).to_pandas()
+    prev = (prev.sort_values(PROCESSED_AT_COL)
+            .drop_duplicates("file_path", keep="last"))
+    return pa.Table.from_pandas(prev, preserve_index=False)
+
+
+def split_incremental(crawled: pa.Table, previous: pa.Table | None
+                      ) -> tuple[pa.Table, pa.Table]:
+    """→ (to_process descriptors, reusable previous rows).
+
+    reuse iff cached and mtime ≤ processed_at (incremental.py:61-81);
+    deleted files (in previous, not crawled) drop out naturally
+    (anti-join against the crawl set, run_process.py:147-177)."""
+    if previous is None or previous.num_rows == 0:
+        return crawled, (previous if previous is not None
+                         else pa.table({"file_path": pa.array([], pa.string())}))
+    prev_at = dict(zip(previous.column("file_path").to_pylist(),
+                       previous.column(PROCESSED_AT_COL).to_pylist()))
+    mask_process, reuse_paths = [], set()
+    for path, mtime in zip(crawled.column("file_path").to_pylist(),
+                           crawled.column("modified_at").to_pylist()):
+        cached = prev_at.get(path)
+        if cached is not None and mtime <= cached:
+            mask_process.append(False)
+            reuse_paths.add(path)
+        else:
+            mask_process.append(True)
+    to_process = crawled.filter(pa.array(mask_process, pa.bool_()))
+    keep = [p in reuse_paths
+            for p in previous.column("file_path").to_pylist()]
+    return to_process, previous.filter(pa.array(keep, pa.bool_()))
+
+
+def run_process(root_dirs: list[str], out_dir: str | Path,
+                postprocessors: list[Callable] | None = None,
+                previous_results: str | Path | None = None,
+                extensions: list[str] | None = None,
+                stamp: str = "2026-01-01T00:00:00") -> dict:
+    """End-to-end process run; returns counters (≙ run_process.py logs).
+
+    ``postprocessors``: ordered batch callables (taggers / filters /
+    chunker) applied as chained map_batches — the PPPipeline analogue
+    with streaming between stages instead of full-list barriers
+    (pipeline.py:99-120)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    crawled = crawl_table(root_dirs, extensions)
+    previous = load_previous(previous_results) if previous_results else None
+    to_process, reused = split_incremental(crawled, previous)
+
+    ds = ray.data.from_arrow(to_process)
+    ds = ds.map_batches(read_contents, batch_format="pyarrow")
+    ds = ds.map_batches(process_batch, batch_format="pyarrow")
+    for step in postprocessors or []:
+        ds = ds.map_batches(step, batch_format="pyarrow")
+
+    def stamp_rows(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            PROCESSED_AT_COL,
+            pa.array([stamp] * batch.num_rows, pa.string()))
+
+    ds = ds.map_batches(stamp_rows, batch_format="pyarrow")
+    new = ds.materialize()
+
+    import shutil
+
+    merged_dir = out_dir / "merged"
+    shutil.rmtree(merged_dir, ignore_errors=True)
+    # an all-reused run writes zero new rows — the sink may then never
+    # create the directory, so make it exist before both writes
+    merged_dir.mkdir(parents=True, exist_ok=True)
+    new.write_parquet(str(merged_dir))
+    if reused.num_rows:
+        # align schemas: reused rows already carry processed_at
+        pq.write_table(reused, merged_dir / "reused.parquet")
+    return {
+        "crawled": crawled.num_rows,
+        "processed": new.count(),
+        "reused": reused.num_rows,
+        "out": str(merged_dir),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Reference-format JSONL compat (type.py:98-143 to_dict shape)
+# ---------------------------------------------------------------------------
+
+def samples_to_jsonl(table: pa.Table, path: str | Path) -> None:
+    """Write sample rows in the reference's MultimodalSample JSONL shape
+    so reference tooling can consume our output."""
+    tag_cols = [c for c in table.column_names
+                if c not in ("sample_id", "document_id", "text", "modalities",
+                             "file_path", "file_name", "processor_type")]
+    with open(path, "w") as f:
+        for row in table.to_pylist():
+            extra = {c: row[c] for c in tag_cols if row.get(c) is not None}
+            rec = {
+                "text": row["text"],
+                "modalities": row.get("modalities") or [],
+                "metadata": {
+                    "file_path": row.get("file_path"),
+                    "processed_at": row.get(PROCESSED_AT_COL),
+                    "processor_type": row.get("processor_type"),
+                    **extra,
+                },
+                "id": row["sample_id"],
+                "document_id": row.get("document_id", row["sample_id"]),
+            }
+            f.write(json.dumps(rec) + "\n")
+
+
+def jsonl_to_table(path: str | Path) -> pa.Table:
+    """Read reference-format JSONL into sample rows."""
+    from ..stages.processors import MODALITY_STRUCT
+
+    rows = {k: [] for k in ("sample_id", "document_id", "text", "modalities",
+                            "file_path", "processor_type")}
+    for line in Path(path).read_text().splitlines():
+        d = json.loads(line)
+        meta = d.get("metadata") or {}
+        rows["sample_id"].append(str(d.get("id", "")))
+        rows["document_id"].append(str(d.get("document_id", "")))
+        rows["text"].append(d.get("text") or "")
+        rows["modalities"].append(d.get("modalities") or [])
+        rows["file_path"].append(meta.get("file_path") or "")
+        rows["processor_type"].append(meta.get("processor_type") or "")
+    return pa.table({
+        "sample_id": pa.array(rows["sample_id"], pa.string()),
+        "document_id": pa.array(rows["document_id"], pa.string()),
+        "text": pa.array(rows["text"], pa.string()),
+        "modalities": pa.array(rows["modalities"], pa.list_(MODALITY_STRUCT)),
+        "file_path": pa.array(rows["file_path"], pa.string()),
+        "processor_type": pa.array(rows["processor_type"], pa.string()),
+    })

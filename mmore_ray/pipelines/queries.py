@@ -493,6 +493,61 @@ def q_chunk_fixed(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_process_markdown(sf_dir: str):
+    """Markdown processor through the dispatch surface: documents
+    rendered as markdown files with an image link → processed text with
+    ``<attachment>`` tag + extracted image modality."""
+    from ..stages.processors import process_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_md(t: pa.Table) -> pa.Table:
+        rows_path, rows_content = [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            rows_path.append(f"/corpus/doc_{did}.md")
+            rows_content.append(
+                f"# Doc {did}\n\n![fig](img_{did}.png)\n\n{text}\n")
+        return pa.table({
+            "file_path": pa.array(rows_path, pa.string()),
+            "content": pa.array(rows_content, pa.string()),
+        })
+
+    processed = ds.map_batches(to_md, batch_format="pyarrow") \
+                  .map_batches(process_batch, batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mods = t.column("modalities").to_pylist()
+        return pa.table({
+            "file_path": t.column("file_path"),
+            "text": t.column("text"),
+            "n_modalities": pa.array([len(m) for m in mods], pa.int64()),
+            "image_src": pa.array(
+                [m[0]["value"] if m else "" for m in mods], pa.string()),
+            "processor_type": t.column("processor_type"),
+        })
+
+    return processed.map_batches(project, batch_format="pyarrow")
+
+
+def q_filter_length(sf_dir: str):
+    """Length + alpha-ratio quality filters over documents."""
+    from ..stages.filters import alpha_ratio_filter, length_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(length_filter(40, 80), batch_format="pyarrow")
+    ds = ds.map_batches(alpha_ratio_filter(0.5), batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        wc = [len(x.split()) for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "word_count": pa.array(wc, pa.int64())})
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracles
 # ---------------------------------------------------------------------------
@@ -521,6 +576,8 @@ QUERIES = {
     "q_quality": q_quality,
     "q_token_count": q_token_count,
     "q_chunk_fixed": q_chunk_fixed,
+    "q_process_markdown": q_process_markdown,
+    "q_filter_length": q_filter_length,
 }
 
 # queries() entries with no SQL-expressible oracle (driver falls back to
@@ -715,4 +772,25 @@ ORACLES = {
                CAST(i - 1 AS BIGINT) AS chunk_idx,
                array_to_string(ws[(i-1)*40+1 : least(i*40, len(ws))], ' ') AS chunk_text
         FROM w, unnest(range(1, CAST(ceil(len(ws) / 40.0) AS BIGINT) + 1)) AS t(i)""",
+    "q_process_markdown": """
+        WITH md AS (
+          SELECT doc_id,
+                 '/corpus/doc_' || CAST(doc_id AS VARCHAR) || '.md' AS file_path,
+                 '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) ||
+                 '![fig](img_' || CAST(doc_id AS VARCHAR) || '.png)' ||
+                 chr(10) || chr(10) || text || chr(10) AS content
+          FROM documents
+        )
+        SELECT file_path,
+               replace(content,
+                       '![fig](img_' || CAST(doc_id AS VARCHAR) || '.png)',
+                       '<attachment>') AS text,
+               CAST(1 AS BIGINT) AS n_modalities,
+               'img_' || CAST(doc_id AS VARCHAR) || '.png' AS image_src,
+               'MarkdownProcessor' AS processor_type
+        FROM md""",
+    "q_filter_length": """
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS word_count
+        FROM documents
+        WHERE len(string_split(text, ' ')) BETWEEN 40 AND 80""",
 }

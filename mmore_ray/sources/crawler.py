@@ -1,0 +1,66 @@
+"""File crawler (reference ``process/crawler.py`` analogue).
+
+The reference os.walks root dirs, filters by extension whitelist and
+produces FileDescriptor lists (``crawler.py:228-273``).  Here the crawl
+emits a Ray Dataset of descriptor rows — the file list IS the input
+table; at real scale this is a manifest/parquet listing read, not a
+walk (SURVEY §2.1)."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pyarrow as pa
+
+DESCRIPTOR_SCHEMA = pa.schema([
+    ("file_path", pa.string()),
+    ("file_name", pa.string()),
+    ("file_size", pa.int64()),
+    ("modified_at", pa.string()),   # ISO-8601, like FileDescriptor
+    ("extension", pa.string()),
+])
+
+
+def crawl_table(root_dirs: list[str | Path],
+                extensions: list[str] | None = None) -> pa.Table:
+    """Walk roots → descriptor table (driver-side listing)."""
+    import datetime as dt
+
+    rows = {k: [] for k in ("file_path", "file_name", "file_size",
+                            "modified_at", "extension")}
+    allow = tuple(e.lower() for e in extensions) if extensions else None
+    for root in root_dirs:
+        for dirpath, _, files in sorted(os.walk(root)):
+            for name in sorted(files):
+                ext = os.path.splitext(name)[1].lower()
+                if allow and ext not in allow:
+                    continue
+                full = os.path.join(dirpath, name)
+                st = os.stat(full)
+                rows["file_path"].append(full)
+                rows["file_name"].append(name)
+                rows["file_size"].append(st.st_size)
+                rows["modified_at"].append(
+                    dt.datetime.fromtimestamp(st.st_mtime).isoformat())
+                rows["extension"].append(ext)
+    return pa.table({
+        "file_path": pa.array(rows["file_path"], pa.string()),
+        "file_name": pa.array(rows["file_name"], pa.string()),
+        "file_size": pa.array(rows["file_size"], pa.int64()),
+        "modified_at": pa.array(rows["modified_at"], pa.string()),
+        "extension": pa.array(rows["extension"], pa.string()),
+    })
+
+
+def read_contents(batch: pa.Table) -> pa.Table:
+    """map_batches stage: descriptor rows → + utf-8 content column
+    (binary formats would use read_binary_files; text formats here)."""
+    contents = []
+    for p in batch.column("file_path").to_pylist():
+        try:
+            contents.append(Path(p).read_text(encoding="utf-8",
+                                              errors="replace"))
+        except OSError:
+            contents.append("")
+    return batch.append_column("content", pa.array(contents, pa.string()))

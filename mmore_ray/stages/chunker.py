@@ -1,0 +1,159 @@
+"""Markdown-table-aware chunking (reference §2.3 ``MultimodalChunker``).
+
+Semantics mirrored from the reference chunker
+(``post_processor/chunker/multimodal.py`` + ``chunker/utils.py``, spec
+only — fresh implementation):
+
+  * markdown tables are detected line-wise (header row, separator row,
+    data rows); detection is anchored per line so a pipe-line missing
+    its closing ``|`` is rejected in linear time (the reference guards
+    against regex backtracking, tests/test_postprocessors.py:480-485);
+  * table chunking modes: ``single_row`` (header+separator prepended to
+    every data row), ``multi_rows`` (greedy packing of rows under the
+    size budget, header prepended per chunk), ``keep_whole`` (one chunk
+    per table), ``none`` (table text flows as prose);
+  * prose is chunked by sentence groups (``chunk_size`` sentences) —
+    the reference's default chonkie SentenceChunker shape — or by word
+    windows;
+  * chunk ids are ``f"{sample_id}+{i}"`` and ``document_id`` stays the
+    parent id (multimodal.py:241, type.py:91-92);
+  * ``<attachment>`` tags keep their positions: the n-th tag in a chunk
+    binds the n-th remaining modality (multimodal.py:66-84).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from .processors import ATTACHMENT_TAG, MODALITY_STRUCT
+
+_TABLE_ROW_RE = re.compile(r"^\s*\|.*\|\s*$")
+_TABLE_SEP_RE = re.compile(r"^\s*\|(?:\s*:?-+:?\s*\|)+\s*$")
+_SENTENCE_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+
+
+def detect_markdown_tables(text: str) -> list[tuple[int, int]]:
+    """Return (start_line, end_line_exclusive) for each table block.
+
+    A block needs a header row immediately followed by a separator row,
+    then zero or more data rows.  Line-anchored matching only — no
+    multi-line regex, so pathological pipe strings stay linear."""
+    lines = text.splitlines()
+    blocks: list[tuple[int, int]] = []
+    i = 0
+    n = len(lines)
+    while i < n:
+        if (_TABLE_ROW_RE.match(lines[i]) and i + 1 < n
+                and _TABLE_SEP_RE.match(lines[i + 1])):
+            j = i + 2
+            while j < n and _TABLE_ROW_RE.match(lines[j]) \
+                    and not _TABLE_SEP_RE.match(lines[j]):
+                j += 1
+            blocks.append((i, j))
+            i = j
+        else:
+            i += 1
+    return blocks
+
+
+def split_sentences(text: str) -> list[str]:
+    parts = [p for p in _SENTENCE_SPLIT_RE.split(text.strip()) if p]
+    return parts
+
+
+def chunk_prose(text: str, chunk_size: int = 2, unit: str = "sentence") -> list[str]:
+    """Group ``chunk_size`` sentences (or words) per chunk."""
+    if not text.strip():
+        return []
+    parts = split_sentences(text) if unit == "sentence" else text.split()
+    sep = " "
+    return [sep.join(parts[i:i + chunk_size])
+            for i in range(0, len(parts), chunk_size)]
+
+
+def chunk_table(lines: list[str], mode: str = "single_row",
+                max_rows: int = 8) -> list[tuple[str, bool, str]]:
+    """Chunk one table block → [(chunk_text, is_table_chunk, header)].
+
+    ``lines`` = header, separator, data rows."""
+    header, sep = lines[0].strip(), lines[1].strip()
+    data = [ln.strip() for ln in lines[2:]]
+    if mode == "keep_whole":
+        return [("\n".join([header, sep, *data]), True, header)]
+    if mode == "single_row":
+        if not data:
+            return [("\n".join([header, sep]), True, header)]
+        return [("\n".join([header, sep, row]), True, header) for row in data]
+    if mode == "multi_rows":
+        out = []
+        for i in range(0, max(len(data), 1), max_rows):
+            rows = data[i:i + max_rows]
+            out.append(("\n".join([header, sep, *rows]), True, header))
+        return out
+    # mode == "none": the caller flows the text as prose
+    return [("\n".join([header, sep, *data]), False, "")]
+
+
+def chunk_document(text: str, chunk_size: int = 2, unit: str = "sentence",
+                   table_mode: str = "single_row",
+                   max_rows: int = 8) -> list[tuple[str, bool, str]]:
+    """Full document → ordered [(chunk_text, is_table_chunk, header)]."""
+    lines = text.splitlines()
+    blocks = detect_markdown_tables(text) if table_mode != "none" else []
+    chunks: list[tuple[str, bool, str]] = []
+    cursor = 0
+    for start, end in blocks:
+        prose = "\n".join(lines[cursor:start])
+        chunks.extend((c, False, "") for c in chunk_prose(prose, chunk_size, unit))
+        chunks.extend(chunk_table(lines[start:end], table_mode, max_rows))
+        cursor = end
+    tail = "\n".join(lines[cursor:])
+    chunks.extend((c, False, "") for c in chunk_prose(tail, chunk_size, unit))
+    return chunks
+
+
+def chunk_batch(batch: pa.Table, chunk_size: int = 2, unit: str = "sentence",
+                table_mode: str = "single_row", max_rows: int = 8) -> pa.Table:
+    """Flat-map stage: sample rows → chunk rows (1→N).
+
+    Expects processors.SAMPLE_SCHEMA-shaped input; emits the same shape
+    plus chunk metadata, with modalities redistributed by
+    ``<attachment>`` occurrence order."""
+    out = {k: [] for k in ("sample_id", "document_id", "text", "modalities",
+                           "file_path", "file_name", "processor_type",
+                           "chunk_idx", "is_table_chunk", "table_header")}
+    cols = {c: batch.column(c).to_pylist() for c in batch.column_names}
+    for r in range(batch.num_rows):
+        sample_id = cols["sample_id"][r]
+        modalities = list(cols["modalities"][r] or [])
+        mod_cursor = 0
+        pieces = chunk_document(cols["text"][r], chunk_size, unit,
+                                table_mode, max_rows)
+        for i, (ctext, is_table, header) in enumerate(pieces):
+            n_tags = ctext.count(ATTACHMENT_TAG)
+            mods = modalities[mod_cursor:mod_cursor + n_tags]
+            mod_cursor += n_tags
+            out["sample_id"].append(f"{sample_id}+{i}")
+            out["document_id"].append(sample_id)
+            out["text"].append(ctext)
+            out["modalities"].append(mods)
+            out["file_path"].append(cols["file_path"][r])
+            out["file_name"].append(cols["file_name"][r])
+            out["processor_type"].append(cols["processor_type"][r])
+            out["chunk_idx"].append(i)
+            out["is_table_chunk"].append(is_table)
+            out["table_header"].append(header)
+    return pa.table({
+        "sample_id": pa.array(out["sample_id"], pa.string()),
+        "document_id": pa.array(out["document_id"], pa.string()),
+        "text": pa.array(out["text"], pa.string()),
+        "modalities": pa.array(out["modalities"], pa.list_(MODALITY_STRUCT)),
+        "file_path": pa.array(out["file_path"], pa.string()),
+        "file_name": pa.array(out["file_name"], pa.string()),
+        "processor_type": pa.array(out["processor_type"], pa.string()),
+        "chunk_idx": pa.array(out["chunk_idx"], pa.int64()),
+        "is_table_chunk": pa.array(out["is_table_chunk"], pa.bool_()),
+        "table_header": pa.array(out["table_header"], pa.string()),
+    })

@@ -1,0 +1,127 @@
+"""Embedding + index + retrieve (reference §3.3 ``mmore index`` /
+``mmore retrieve`` analogue).
+
+The reference embeds batches of 64 docs (dense sentence-transformers +
+sparse SPLADE) into a Milvus collection (``index/indexer.py:115-216``)
+and retrieves with a dense/sparse WeightedRanker hybrid
+(``rag/retriever.py:182-231``).  Here:
+
+  * embedders are actor-pool stages with the model "loaded" in
+    ``__init__`` — deterministic fakes (the reference's own tests run
+    on FakeEmbeddings / FakeSparseEmbedding, tests/conftest.py:15-22);
+  * the collection is partitioned parquet (id, document_id, text,
+    dense, sparse indices/values, metadata columns kept dynamic —
+    enable_dynamic_field analogue);
+  * retrieval is brute-force hybrid scoring over the collection via
+    the same broadcast-query pattern as stages/similarity.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+try:
+    import ray
+except ImportError:  # pragma: no cover
+    ray = None
+
+EMBED_BATCH = 64  # reference indexer insert batch (indexer.py:96,176)
+
+
+class FakeDenseEmbedder:
+    """Deterministic dense embedder: sha256-stream moments × seeded
+    projection (unit-normalized).  Actor-pool stage."""
+
+    def __init__(self, dim: int = 16, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self._proj = rng.standard_normal((32, dim))
+
+    def embed_one(self, text: str) -> np.ndarray:
+        digest = hashlib.sha256(text.encode()).digest()
+        x = np.frombuffer(digest, dtype=np.uint8).astype(np.float64) / 255.0
+        v = x @ self._proj
+        return v / max(np.linalg.norm(v), 1e-12)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = [self.embed_one(t).tolist()
+                for t in batch.column("text").to_pylist()]
+        return batch.append_column(
+            "dense_embedding", pa.array(vecs, pa.list_(pa.float64())))
+
+
+class FakeSparseEmbedder:
+    """Deterministic sparse embedder (SPLADE analogue): crc32 word
+    buckets with log-tf values, top-8 kept."""
+
+    def __init__(self, vocab_size: int = 1024, top_k: int = 8):
+        self._vocab = vocab_size
+        self._k = top_k
+
+    def embed_one(self, text: str) -> tuple[list[int], list[float]]:
+        tf: dict[int, int] = {}
+        for w in text.split():
+            idx = zlib.crc32(w.lower().encode()) % self._vocab
+            tf[idx] = tf.get(idx, 0) + 1
+        items = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:self._k]
+        return ([i for i, _ in items],
+                [float(np.log1p(c)) for _, c in items])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idxs, vals = [], []
+        for t in batch.column("text").to_pylist():
+            i, v = self.embed_one(t)
+            idxs.append(i)
+            vals.append(v)
+        batch = batch.append_column(
+            "sparse_indices", pa.array(idxs, pa.list_(pa.int64())))
+        return batch.append_column(
+            "sparse_values", pa.array(vals, pa.list_(pa.float64())))
+
+
+def index_documents(ds, out_dir: str, concurrency=(1, 4)) -> None:
+    """Embed (dense + sparse actor pools, batch 64) and write the
+    parquet collection.  Extra input columns ride along (dynamic-field
+    analogue)."""
+    out = (
+        ds.map_batches(FakeDenseEmbedder, batch_format="pyarrow",
+                       batch_size=EMBED_BATCH, concurrency=concurrency)
+        .map_batches(FakeSparseEmbedder, batch_format="pyarrow",
+                     batch_size=EMBED_BATCH, concurrency=concurrency)
+    )
+    out.write_parquet(out_dir)
+
+
+def retrieve(collection_dir: str, query_text: str, k: int = 5,
+             dense_weight: float = 0.5):
+    """Hybrid retrieval: WeightedRanker(w·dense_cos + (1-w)·sparse_dot)
+    over the parquet collection (brute force, broadcast query)."""
+    import ray.data
+
+    dense_q = FakeDenseEmbedder().embed_one(query_text)
+    sq_idx, sq_val = FakeSparseEmbedder().embed_one(query_text)
+    sparse_q = dict(zip(sq_idx, sq_val))
+    q_ref = ray.put((dense_q, sparse_q))
+
+    def score(batch: pa.Table) -> pa.Table:
+        dq, sq = ray.get(q_ref)
+        dense = np.array(batch.column("dense_embedding").to_pylist())
+        d_cos = dense @ dq
+        s_dot = []
+        for idxs, vals in zip(batch.column("sparse_indices").to_pylist(),
+                              batch.column("sparse_values").to_pylist()):
+            s_dot.append(sum(sq.get(i, 0.0) * v for i, v in zip(idxs, vals)))
+        hybrid = dense_weight * d_cos + (1 - dense_weight) * np.array(s_dot)
+        keep = batch.select(["sample_id", "text"]) \
+            if "sample_id" in batch.column_names else batch
+        return keep.append_column("score",
+                                  pa.array(hybrid.tolist(), pa.float64()))
+
+    ds = ray.data.read_parquet(collection_dir)
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    from .groupby import topk
+
+    return topk(scored, ["score"], k, descending=True)

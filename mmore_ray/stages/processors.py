@@ -1,0 +1,298 @@
+"""File-type processors (the reference's §2.2 surface, Ray-native).
+
+The reference dispatches each crawled file to the first ``Processor``
+whose ``accepts()`` matches (``process/processors/base.py:67-85``) and
+runs ``process(file) -> MultimodalSample``.  Here a processor is a pure
+``parse(name, payload) -> dict`` used inside a stateless ``map_batches``
+stage; dispatch is by extension, mirroring each reference processor's
+``accepts`` list.
+
+Real implementations (stdlib only): text, markdown, html, eml,
+csv/tsv.  Heavy-dependency processors (pdf/marker, docx/mammoth,
+pptx/python-pptx, xlsx/openpyxl, media/whisper, url/trafilatura) keep
+real plumbing — registration, accepts, batch signature, output schema —
+but ``parse`` raises ``NotImplementedError`` naming the missing
+library, exactly like running the reference without its extras
+installed.  Their GPU/actor-pool shape is documented in
+``stages/multimodal.py``.
+
+Output row schema (the MultimodalSample analogue, SURVEY §1.4):
+    text: string                 extracted text, ``<attachment>`` marks
+                                 modality positions (base.py:30)
+    modalities: list<struct<type,value>>
+    file_path / file_name / processor_type: string
+    sample_id: string            sha256(text) — deterministic, unlike
+                                 the reference's salted hash(text) id
+"""
+
+from __future__ import annotations
+
+import email
+import email.policy
+import io
+import re
+
+import pyarrow as pa
+
+from ..functions.hashing import sha256_hex
+from ..functions.textfns import clean_text
+
+ATTACHMENT_TAG = "<attachment>"
+
+MODALITY_STRUCT = pa.struct([("type", pa.string()), ("value", pa.string())])
+
+SAMPLE_SCHEMA = pa.schema([
+    ("sample_id", pa.string()),
+    ("document_id", pa.string()),
+    ("text", pa.string()),
+    ("modalities", pa.list_(MODALITY_STRUCT)),
+    ("file_path", pa.string()),
+    ("file_name", pa.string()),
+    ("processor_type", pa.string()),
+])
+
+_MD_IMAGE_RE = re.compile(r"!\[[^\]]*\]\(([^)\s]+)[^)]*\)")
+_HTML_IMG_RE = re.compile(r"<img[^>]*\bsrc=[\"']([^\"']+)[\"'][^>]*>",
+                          re.IGNORECASE)
+_HTML_TAG_RE = re.compile(r"<[^>]+>")
+_HTML_HEADER_RE = re.compile(r"<h([1-6])[^>]*>(.*?)</h\1>",
+                             re.IGNORECASE | re.DOTALL)
+_WS_RE = re.compile(r"[ \t]+")
+
+
+class ProcessorBase:
+    """Subclass contract: ``EXTENSIONS`` + ``parse``; ``accepts``
+    mirrors the reference's classmethod dispatch."""
+
+    EXTENSIONS: tuple[str, ...] = ()
+    NAME = "ProcessorBase"
+
+    @classmethod
+    def accepts(cls, file_name: str) -> bool:
+        return file_name.lower().endswith(cls.EXTENSIONS)
+
+    @classmethod
+    def parse(cls, file_name: str, payload: str) -> dict:
+        raise NotImplementedError
+
+
+class TextProcessor(ProcessorBase):
+    """≙ reference txt_processor.py:10 — read utf-8, clean_text."""
+
+    EXTENSIONS = (".txt",)
+    NAME = "TextProcessor"
+
+    @classmethod
+    def parse(cls, file_name: str, payload: str) -> dict:
+        return {"text": clean_text(payload), "modalities": []}
+
+
+class MarkdownProcessor(ProcessorBase):
+    """≙ md_processor.py:18 — image links become ``<attachment>`` tags
+    with an image modality per link; text otherwise normalized."""
+
+    EXTENSIONS = (".md", ".markdown")
+    NAME = "MarkdownProcessor"
+
+    @classmethod
+    def parse(cls, file_name: str, payload: str) -> dict:
+        modalities: list[dict] = []
+
+        def sub(m: re.Match) -> str:
+            modalities.append({"type": "image", "value": m.group(1)})
+            return ATTACHMENT_TAG
+
+        text = _MD_IMAGE_RE.sub(sub, payload)
+        return {"text": clean_text(text), "modalities": modalities}
+
+
+class HTMLProcessor(ProcessorBase):
+    """≙ html_processor.py:17 — headers → ATX ``#``, ``<img>`` →
+    ``<attachment>`` + modality, remaining tags stripped."""
+
+    EXTENSIONS = (".html", ".htm")
+    NAME = "HTMLProcessor"
+
+    @classmethod
+    def parse(cls, file_name: str, payload: str) -> dict:
+        modalities: list[dict] = []
+
+        def img(m: re.Match) -> str:
+            modalities.append({"type": "image", "value": m.group(1)})
+            return ATTACHMENT_TAG
+
+        text = _HTML_IMG_RE.sub(img, payload)
+        text = _HTML_HEADER_RE.sub(
+            lambda m: "\n" + "#" * int(m.group(1)) + " "
+            + _HTML_TAG_RE.sub("", m.group(2)).strip() + "\n",
+            text,
+        )
+        text = re.sub(r"<(script|style)[^>]*>.*?</\1>", "", text,
+                      flags=re.IGNORECASE | re.DOTALL)
+        text = re.sub(r"</(p|div|li|tr|table|ul|ol|br)[^>]*>", "\n", text,
+                      flags=re.IGNORECASE)
+        text = _HTML_TAG_RE.sub("", text)
+        text = "\n".join(_WS_RE.sub(" ", ln).strip()
+                         for ln in text.splitlines())
+        text = re.sub(r"\n{3,}", "\n\n", text).strip()
+        return {"text": clean_text(text), "modalities": modalities}
+
+
+class EMLProcessor(ProcessorBase):
+    """≙ eml_processor.py:15 — From/To/Subject/Date headers + text/plain
+    parts; image attachments become modalities."""
+
+    EXTENSIONS = (".eml",)
+    NAME = "EMLProcessor"
+
+    @classmethod
+    def parse(cls, file_name: str, payload: str) -> dict:
+        msg = email.message_from_string(payload, policy=email.policy.default)
+        lines = [f"{h}: {msg[h]}" for h in ("From", "To", "Subject", "Date")
+                 if msg[h]]
+        modalities: list[dict] = []
+        bodies: list[str] = []
+        for part in msg.walk():
+            ctype = part.get_content_type()
+            if ctype == "text/plain":
+                bodies.append(str(part.get_content()).strip())
+            elif ctype.startswith("image/"):
+                name = part.get_filename() or f"inline.{ctype.split('/')[1]}"
+                modalities.append({"type": "image", "value": name})
+                bodies.append(ATTACHMENT_TAG)
+        text = "\n".join(lines) + "\n\n" + "\n".join(bodies)
+        return {"text": clean_text(text.strip()), "modalities": modalities}
+
+
+class SpreadsheetProcessor(ProcessorBase):
+    """≙ spreadsheet_processor.py:18 — pandas ``to_string`` per sheet;
+    csv/tsv handled here, xlsx/xls need openpyxl (stubbed)."""
+
+    EXTENSIONS = (".csv", ".tsv", ".xlsx", ".xls")
+    NAME = "SpreadsheetProcessor"
+
+    @classmethod
+    def parse(cls, file_name: str, payload: str) -> dict:
+        import pandas as pd
+
+        low = file_name.lower()
+        if low.endswith((".xlsx", ".xls")):
+            raise NotImplementedError(
+                "xlsx/xls parsing requires openpyxl (not in this env); "
+                "csv/tsv path is implemented"
+            )
+        sep = "\t" if low.endswith(".tsv") else ","
+        df = pd.read_csv(io.StringIO(payload), sep=sep)
+        return {"text": clean_text(df.to_string()), "modalities": []}
+
+
+class PDFProcessor(ProcessorBase):
+    """≙ pdf_processor.py:36 — full path needs marker-pdf GPU models,
+    fast path needs PyMuPDF; neither is in this env.  At scale this is
+    the canonical actor-pool stage: models load once per actor
+    (``__init__``), `concurrency=N, num_gpus=1` (see
+    stages/multimodal.py for the wired stub)."""
+
+    EXTENSIONS = (".pdf",)
+    NAME = "PDFProcessor"
+
+    @classmethod
+    def parse(cls, file_name: str, payload: str) -> dict:
+        raise NotImplementedError("pdf parsing requires marker-pdf or pymupdf")
+
+
+class MediaProcessor(ProcessorBase):
+    """≙ media_processor.py:21 — Whisper ASR + frame thumbnails; actor
+    pool at scale (weights per actor)."""
+
+    EXTENSIONS = (".mp4", ".avi", ".mov", ".mkv", ".mp3", ".flac", ".wav")
+    NAME = "MediaProcessor"
+
+    @classmethod
+    def parse(cls, file_name: str, payload: str) -> dict:
+        raise NotImplementedError("media parsing requires whisper/moviepy")
+
+
+class DOCXProcessor(ProcessorBase):
+    EXTENSIONS = (".docx",)
+    NAME = "DOCXProcessor"
+
+    @classmethod
+    def parse(cls, file_name: str, payload: str) -> dict:
+        raise NotImplementedError("docx parsing requires mammoth")
+
+
+class PPTXProcessor(ProcessorBase):
+    EXTENSIONS = (".pptx",)
+    NAME = "PPTXProcessor"
+
+    @classmethod
+    def parse(cls, file_name: str, payload: str) -> dict:
+        raise NotImplementedError("pptx parsing requires python-pptx")
+
+
+# Registration order = dispatch priority (first accepting wins),
+# mirroring the reference's module-scan registry
+# (process/processors/__init__.py:9-22).
+PROCESSORS: list[type[ProcessorBase]] = [
+    TextProcessor,
+    MarkdownProcessor,
+    HTMLProcessor,
+    EMLProcessor,
+    SpreadsheetProcessor,
+    PDFProcessor,
+    MediaProcessor,
+    DOCXProcessor,
+    PPTXProcessor,
+]
+
+
+def dispatch(file_name: str) -> type[ProcessorBase] | None:
+    for proc in PROCESSORS:
+        if proc.accepts(file_name):
+            return proc
+    return None
+
+
+def process_batch(batch: pa.Table, on_error: str = "skip") -> pa.Table:
+    """Stateless stage: (file_path, content) rows → sample rows.
+
+    Unparseable/unsupported files are skipped (``on_error='skip'``,
+    matching the reference's log-and-drop, dispatcher.py:330-344) or
+    re-raised (``'raise'``)."""
+    paths = batch.column("file_path").to_pylist()
+    contents = batch.column("content").to_pylist()
+    out = {k: [] for k in ("sample_id", "document_id", "text", "modalities",
+                           "file_path", "file_name", "processor_type")}
+    for path, content in zip(paths, contents):
+        name = path.rsplit("/", 1)[-1]
+        proc = dispatch(name)
+        if proc is None:
+            continue
+        try:
+            parsed = proc.parse(name, content)
+        except NotImplementedError:
+            if on_error == "raise":
+                raise
+            continue
+        except Exception:
+            if on_error == "raise":
+                raise
+            continue
+        sid = sha256_hex(parsed["text"])
+        out["sample_id"].append(sid)
+        out["document_id"].append(sid)
+        out["text"].append(parsed["text"])
+        out["modalities"].append(parsed["modalities"])
+        out["file_path"].append(path)
+        out["file_name"].append(name)
+        out["processor_type"].append(proc.NAME)
+    return pa.table({
+        "sample_id": pa.array(out["sample_id"], pa.string()),
+        "document_id": pa.array(out["document_id"], pa.string()),
+        "text": pa.array(out["text"], pa.string()),
+        "modalities": pa.array(out["modalities"], pa.list_(MODALITY_STRUCT)),
+        "file_path": pa.array(out["file_path"], pa.string()),
+        "file_name": pa.array(out["file_name"], pa.string()),
+        "processor_type": pa.array(out["processor_type"], pa.string()),
+    })

@@ -1,0 +1,104 @@
+"""Chunker tests — ported from the reference's expectations
+(tests/test_postprocessors.py: table detection, single/multi-row table
+chunking, chunk index bounds, regex-backtracking guard, 2-sentence
+split; FIXTURES.md F5)."""
+
+import time
+
+from mmore_ray.stages.chunker import (
+    chunk_document,
+    chunk_prose,
+    chunk_table,
+    detect_markdown_tables,
+)
+
+TABLE = """| Name | Age | City |
+|------|-----|------|
+| Alice | 30 | Paris |
+| Bob | 25 | London |
+| Carol | 35 | Berlin |"""
+
+
+def test_detect_simple_table():
+    blocks = detect_markdown_tables(TABLE)
+    assert blocks == [(0, 5)]
+
+
+def test_detect_table_with_surrounding_prose():
+    text = "Intro line.\n\n" + TABLE + "\n\nOutro line."
+    blocks = detect_markdown_tables(text)
+    assert len(blocks) == 1
+    start, end = blocks[0]
+    assert text.splitlines()[start].startswith("| Name")
+    assert end - start == 5
+
+
+def test_detect_two_tables():
+    text = TABLE + "\n\nSome prose between.\n\n" + TABLE
+    assert len(detect_markdown_tables(text)) == 2
+
+
+def test_header_only_table():
+    text = "| A | B |\n|---|---|"
+    assert detect_markdown_tables(text) == [(0, 2)]
+
+
+def test_alignment_colons_separator():
+    text = "| A | B | C |\n| :--- | :---: | ---: |\n| 1 | 2 | 3 |"
+    assert detect_markdown_tables(text) == [(0, 3)]
+
+
+def test_unclosed_pipe_line_rejected_fast():
+    # reference guards against regex catastrophic backtracking
+    # (test_postprocessors.py:480-485)
+    bad = "|" + " a" * 5000  # no closing pipe
+    t0 = time.perf_counter()
+    assert detect_markdown_tables(bad) == []
+    assert time.perf_counter() - t0 < 0.5
+
+
+def test_single_row_mode_prepends_header():
+    lines = TABLE.splitlines()
+    chunks = chunk_table(lines, mode="single_row")
+    assert len(chunks) == 3
+    for text, is_table, header in chunks:
+        assert is_table and header == "| Name | Age | City |"
+        assert text.startswith("| Name | Age | City |\n|------|-----|------|\n| ")
+
+
+def test_multi_rows_mode_packs_greedily():
+    rows = "\n".join(f"| r{i} | {i} | x |" for i in range(50))
+    lines = ("| A | B | C |\n|---|---|---|\n" + rows).splitlines()
+    chunks = chunk_table(lines, mode="multi_rows", max_rows=8)
+    assert len(chunks) == 7  # ceil(50/8)
+    assert all(c[0].startswith("| A | B | C |") for c in chunks)
+    total_rows = sum(len(c[0].splitlines()) - 2 for c in chunks)
+    assert total_rows == 50
+
+
+def test_keep_whole_mode():
+    chunks = chunk_table(TABLE.splitlines(), mode="keep_whole")
+    assert len(chunks) == 1
+    assert chunks[0][0] == TABLE
+
+
+def test_two_sentence_split():
+    # reference chunker default: 2 sentences per chunk (:44-64)
+    text = "One sentence here. Two sentences now. Third one lands. Fourth."
+    chunks = chunk_prose(text, chunk_size=2, unit="sentence")
+    assert chunks == [
+        "One sentence here. Two sentences now.",
+        "Third one lands. Fourth.",
+    ]
+
+
+def test_mixed_document_order_preserved():
+    text = "Lead paragraph. Second sentence.\n" + TABLE + "\nTail words."
+    chunks = chunk_document(text, chunk_size=2, table_mode="single_row")
+    kinds = [is_table for _, is_table, _ in chunks]
+    assert kinds == [False, True, True, True, False]
+
+
+def test_table_mode_none_flows_as_prose():
+    chunks = chunk_document(TABLE, table_mode="none")
+    assert all(not is_table for _, is_table, _ in chunks)

@@ -1,0 +1,173 @@
+"""Processors + process pipeline + incremental protocol tests
+(reference test_processors_local.py / test_previous_results.py /
+test_change_detection_*.py semantics; FIXTURES.md F2/F6)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mmore_ray.stages.chunker import chunk_batch
+from mmore_ray.stages.processors import (
+    ATTACHMENT_TAG,
+    EMLProcessor,
+    HTMLProcessor,
+    MarkdownProcessor,
+    PDFProcessor,
+    SpreadsheetProcessor,
+    TextProcessor,
+    dispatch,
+    process_batch,
+)
+from mmore_ray.stages.taggers import tag_hash, tag_lang, tag_words
+
+
+def test_dispatch_priority_and_accepts():
+    assert dispatch("a.txt") is TextProcessor
+    assert dispatch("b.md") is MarkdownProcessor
+    assert dispatch("c.HTML") is HTMLProcessor
+    assert dispatch("d.eml") is EMLProcessor
+    assert dispatch("e.csv") is SpreadsheetProcessor
+    assert dispatch("f.pdf") is PDFProcessor
+    assert dispatch("g.unknown") is None
+
+
+def test_markdown_images_become_attachments():
+    out = MarkdownProcessor.parse(
+        "x.md", "Intro ![alt](img/pic.png) and ![b](o.jpg \"t\") end")
+    assert out["text"].count(ATTACHMENT_TAG) == 2
+    assert out["modalities"] == [
+        {"type": "image", "value": "img/pic.png"},
+        {"type": "image", "value": "o.jpg"},
+    ]
+
+
+def test_html_processor_headers_imgs_scripts():
+    html = ("<html><head><style>p{}</style></head><body>"
+            "<h2>Title Here</h2><p>Body text.</p>"
+            "<img src='pic.png'><script>x=1</script></body></html>")
+    out = HTMLProcessor.parse("x.html", html)
+    assert "## Title Here" in out["text"]
+    assert "Body text." in out["text"]
+    assert "x=1" not in out["text"]
+    assert out["modalities"] == [{"type": "image", "value": "pic.png"}]
+
+
+def test_eml_headers_and_body():
+    eml = ("From: a@b.com\nTo: c@d.com\nSubject: Hi there\n"
+           "Date: Mon, 1 Jan 2024 00:00:00 +0000\n"
+           "Content-Type: text/plain\n\nBody line one.")
+    out = EMLProcessor.parse("m.eml", eml)
+    assert "Subject: Hi there" in out["text"]
+    assert "Body line one." in out["text"]
+    # clean_text scrubs emails to the reference placeholder
+    assert "email@email.com" in out["text"]
+
+
+def test_csv_to_string():
+    out = SpreadsheetProcessor.parse("t.csv", "a,b\n1,2\n3,4")
+    assert "a" in out["text"] and "3" in out["text"]
+
+
+def test_process_batch_skips_unsupported_and_stubs():
+    batch = pa.table({
+        "file_path": ["/x/a.txt", "/x/b.pdf", "/x/c.nope"],
+        "content": ["hello world", "%PDF-1.4", "???"],
+    })
+    out = process_batch(batch)
+    assert out.num_rows == 1
+    assert out.column("processor_type").to_pylist() == ["TextProcessor"]
+    with pytest.raises(NotImplementedError):
+        process_batch(pa.table({"file_path": ["/x/b.pdf"],
+                                "content": ["%PDF"]}), on_error="raise")
+
+
+def test_chunk_batch_ids_and_modalities():
+    text = "First part one. First part two. " + ATTACHMENT_TAG + \
+        " second bit. Third sentence ends."
+    batch = pa.table({
+        "sample_id": ["S"],
+        "document_id": ["S"],
+        "text": [text],
+        "modalities": [[{"type": "image", "value": "p.png"}]],
+        "file_path": ["/x/a.md"],
+        "file_name": ["a.md"],
+        "processor_type": ["MarkdownProcessor"],
+    })
+    out = chunk_batch(batch, chunk_size=2)
+    ids = out.column("sample_id").to_pylist()
+    assert ids == [f"S+{i}" for i in range(len(ids))]  # id+i scheme
+    assert set(out.column("document_id").to_pylist()) == {"S"}
+    mods = out.column("modalities").to_pylist()
+    texts = out.column("text").to_pylist()
+    for t, m in zip(texts, mods):
+        assert t.count(ATTACHMENT_TAG) == len(m)
+    assert sum(len(m) for m in mods) == 1
+
+
+def _write_corpus(root):
+    (root / "docs").mkdir(parents=True)
+    (root / "docs" / "a.txt").write_text("alpha beta gamma")
+    (root / "docs" / "b.md").write_text("# Title\n\nbody ![i](x.png)")
+    (root / "docs" / "c.html").write_text("<h1>H</h1><p>text</p>")
+    (root / "docs" / "d.csv").write_text("x,y\n1,2")
+    (root / "docs" / "skip.bin").write_text("binary")
+
+
+def test_run_process_end_to_end(ray_session, tmp_path):
+    from mmore_ray.pipelines.process import run_process, samples_to_jsonl
+
+    _write_corpus(tmp_path)
+    stats = run_process([str(tmp_path)], tmp_path / "out",
+                        postprocessors=[tag_words, tag_lang, tag_hash])
+    assert stats["crawled"] == 5
+    assert stats["processed"] == 4  # .bin has no processor
+    table = pq.read_table(stats["out"])
+    assert set(table.column("processor_type").to_pylist()) == {
+        "TextProcessor", "MarkdownProcessor", "HTMLProcessor",
+        "SpreadsheetProcessor"}
+    assert "word_count" in table.column_names
+    assert "content_sha256" in table.column_names
+
+    # reference-format JSONL round trip
+    jl = tmp_path / "merged.jsonl"
+    samples_to_jsonl(table, jl)
+    rec = json.loads(jl.read_text().splitlines()[0])
+    assert set(rec) == {"text", "modalities", "metadata", "id", "document_id"}
+    assert "file_path" in rec["metadata"]
+
+    from mmore_ray.pipelines.process import jsonl_to_table
+
+    back = jsonl_to_table(jl)
+    assert back.num_rows == table.num_rows
+
+
+def test_incremental_reuse_modified_new_deleted(ray_session, tmp_path):
+    """The four reference cases: unchanged→reuse, modified→rerun,
+    new→run, deleted→drop (test_previous_results.py semantics)."""
+    from mmore_ray.pipelines.process import run_process
+
+    _write_corpus(tmp_path)
+    out = tmp_path / "out"
+    # processed_at stamped in the future → untouched files count as
+    # unchanged (mtime ≤ processed_at)
+    s1 = run_process([str(tmp_path)], out, stamp="2030-01-01T00:00:00")
+    assert s1["processed"] == 4 and s1["reused"] == 0
+    prev = out / "merged"
+
+    # modify one file (mtime > processed_at), add one, delete one
+    import datetime as dt
+
+    future = dt.datetime(2032, 1, 1).timestamp()
+    os.utime(tmp_path / "docs" / "a.txt", times=(future, future))
+    (tmp_path / "docs" / "e.txt").write_text("new doc")
+    (tmp_path / "docs" / "d.csv").unlink()
+
+    s2 = run_process([str(tmp_path)], tmp_path / "out2",
+                     previous_results=str(prev),
+                     stamp="2033-01-01T00:00:00")
+    # b.md, c.html unchanged → reused; a.txt modified + e.txt new → processed
+    assert s2["reused"] == 2
+    assert s2["processed"] == 2
