@@ -493,6 +493,73 @@ def q_chunk_fixed(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_sessionize(sf_dir: str):
+    """Session windows per user (30-min inactivity gap) — the
+    streaming-shaped workload of SURVEY §2.10: events as an ordered,
+    partitioned log; windows via groupby(user).map_groups over the
+    ts-sorted group.  Emits one row per session."""
+    GAP_US = 30 * 60 * 1_000_000
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts")
+        us = df.ts.astype("int64").to_numpy()
+        new_session = np.ones(len(us), dtype=bool)
+        new_session[1:] = (us[1:] - us[:-1]) > GAP_US
+        sid = np.cumsum(new_session)
+        out = pd.DataFrame({
+            "user_id": df.user_id.to_numpy(),
+            "session_idx": sid.astype(np.int64),
+            "n_events": np.ones(len(us), dtype=np.int64),
+            "start_us": us,
+            "end_us": us,
+            "sum_value_e2": _int_scale(df.value, 100),
+        })
+        g = out.groupby(["user_id", "session_idx"], as_index=False).agg(
+            n_events=("n_events", "sum"),
+            start_us=("start_us", "min"),
+            end_us=("end_us", "max"),
+            sum_value_e2=("sum_value_e2", "sum"),
+        )
+        return g
+
+    # user_id cardinality is low here; at scale the groupby key would be
+    # (user_id hash bucket) with per-user sub-grouping inside the group
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_anti_join(sf_dir: str):
+    """Customers with no high-value (>450k) order — broadcast anti-join
+    (the filtered key set of the big side ships once; no shuffle;
+    SURVEY §2.5)."""
+    import pyarrow.compute as pc
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    keys = set()
+    for b in orders.map_batches(
+            lambda t: t.filter(pc.greater(t.column("o_totalprice"), 450_000.0)),
+            batch_format="pyarrow").iter_batches(batch_size=65536,
+                                                 batch_format="pyarrow"):
+        keys.update(b.column("o_custkey").to_pylist())
+    key_ref = ray.put(keys)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        have = ray.get(key_ref)
+        mask = [k not in have for k in t.column("c_custkey").to_pylist()]
+        t = t.filter(pa.array(mask, pa.bool_()))
+        return pa.table({
+            "c_custkey": t.column("c_custkey"),
+            "c_name": t.column("c_name"),
+            "acctbal_cents": pa.array(
+                _int_scale(t.column("c_acctbal").to_numpy(), 100)),
+        })
+
+    return cust.map_batches(fn, batch_format="pyarrow")
+
+
 def q_process_markdown(sf_dir: str):
     """Markdown processor through the dispatch surface: documents
     rendered as markdown files with an image link → processed text with
@@ -578,6 +645,8 @@ QUERIES = {
     "q_chunk_fixed": q_chunk_fixed,
     "q_process_markdown": q_process_markdown,
     "q_filter_length": q_filter_length,
+    "q_sessionize": q_sessionize,
+    "q_anti_join": q_anti_join,
 }
 
 # queries() entries with no SQL-expressible oracle (driver falls back to
@@ -793,4 +862,28 @@ ORACLES = {
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS word_count
         FROM documents
         WHERE len(string_split(text, ' ')) BETWEEN 40 AND 80""",
+    "q_sessionize": f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        o AS (
+          SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 1800000000
+                         THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        ),
+        s AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                    ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM o
+        )
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               count(*) AS n_events,
+               min(us) AS start_us, max(us) AS end_us,
+               sum({_sql_scale('value', 100)}) AS sum_value_e2
+        FROM s GROUP BY 1, 2""",
+    "q_anti_join": f"""
+        SELECT c_custkey, c_name,
+               {_sql_scale('c_acctbal', 100)} AS acctbal_cents
+        FROM customer
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)""",
 }
