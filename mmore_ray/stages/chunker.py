@@ -121,10 +121,15 @@ def chunk_batch(batch: pa.Table, chunk_size: int = 2, unit: str = "sentence",
     Expects processors.SAMPLE_SCHEMA-shaped input; emits the same shape
     plus chunk metadata, with modalities redistributed by
     ``<attachment>`` occurrence order."""
-    out = {k: [] for k in ("sample_id", "document_id", "text", "modalities",
-                           "file_path", "file_name", "processor_type",
-                           "chunk_idx", "is_table_chunk", "table_header")}
+    own = ("sample_id", "document_id", "text", "modalities",
+           "file_path", "file_name", "processor_type",
+           "chunk_idx", "is_table_chunk", "table_header")
+    out = {k: [] for k in own}
     cols = {c: batch.column(c).to_pylist() for c in batch.column_names}
+    # pass-through columns (e.g. tag columns added upstream) replicate
+    # their parent value onto every chunk
+    extra_cols = [c for c in batch.column_names if c not in own]
+    extra_out: dict[str, list] = {c: [] for c in extra_cols}
     for r in range(batch.num_rows):
         sample_id = cols["sample_id"][r]
         modalities = list(cols["modalities"][r] or [])
@@ -145,7 +150,9 @@ def chunk_batch(batch: pa.Table, chunk_size: int = 2, unit: str = "sentence",
             out["chunk_idx"].append(i)
             out["is_table_chunk"].append(is_table)
             out["table_header"].append(header)
-    return pa.table({
+            for c in extra_cols:
+                extra_out[c].append(cols[c][r])
+    table = pa.table({
         "sample_id": pa.array(out["sample_id"], pa.string()),
         "document_id": pa.array(out["document_id"], pa.string()),
         "text": pa.array(out["text"], pa.string()),
@@ -157,3 +164,7 @@ def chunk_batch(batch: pa.Table, chunk_size: int = 2, unit: str = "sentence",
         "is_table_chunk": pa.array(out["is_table_chunk"], pa.bool_()),
         "table_header": pa.array(out["table_header"], pa.string()),
     })
+    for c in extra_cols:
+        table = table.append_column(
+            c, pa.array(extra_out[c], batch.schema.field(c).type))
+    return table

@@ -231,6 +231,26 @@ class PPTXProcessor(ProcessorBase):
         raise NotImplementedError("pptx parsing requires python-pptx")
 
 
+class URLProcessor(ProcessorBase):
+    """≙ url_processor.py:16 — the reference dresses URLs up as
+    ``.html`` FileDescriptors and fetches with trafilatura.  This
+    sandbox has no network; when the payload is already-fetched HTML
+    the HTML pipeline applies, so ``parse`` delegates — a live fetch
+    step would slot in front as a high-concurrency I/O task stage."""
+
+    NAME = "URLProcessor"
+
+    @classmethod
+    def accepts(cls, file_name: str) -> bool:
+        return file_name.startswith(("http://", "https://"))
+
+    @classmethod
+    def parse(cls, file_name: str, payload: str) -> dict:
+        if payload:
+            return HTMLProcessor.parse(file_name, payload)
+        raise NotImplementedError("live URL fetch requires network access")
+
+
 # Registration order = dispatch priority (first accepting wins),
 # mirroring the reference's module-scan registry
 # (process/processors/__init__.py:9-22).
@@ -244,6 +264,7 @@ PROCESSORS: list[type[ProcessorBase]] = [
     MediaProcessor,
     DOCXProcessor,
     PPTXProcessor,
+    URLProcessor,
 ]
 
 

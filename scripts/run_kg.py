@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""KG-construction job entrypoint — submit with::
+
+    ray job submit --working-dir . -- python scripts/run_kg.py \
+        --input /data/corpus_parquet --out /data/kg_out --shards 64
+
+In this sandbox (single node) it runs the same job under a local
+session.  The input is any parquet with the north-rule corpus schema
+(repo, path, commit, lang, content); ``--from-documents`` derives the
+corpus from a documents-style table instead.  Resumable: re-submit with
+the same --out and completed shards are skipped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# invoked as `python scripts/run_kg.py` → sys.path[0] is scripts/, not
+# the repo root where mmore_ray lives
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="input parquet file/dir")
+    ap.add_argument("--out", required=True, help="output root")
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--concurrent-shards", type=int, default=2)
+    ap.add_argument("--from-documents", action="store_true",
+                    help="input is a (doc_id, text) documents table; "
+                         "derive the corpus deterministically")
+    ap.add_argument("--num-cpus", type=int, default=None,
+                    help="local-mode CPU count (omit on a real cluster)")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True}
+        if args.num_cpus:
+            kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**kwargs)
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from mmore_ray.pipelines.kg import run_kg
+    from mmore_ray.sources.corpus import derive_corpus_batch
+
+    def read_corpus():
+        ds = ray.data.read_parquet(args.input)
+        if args.from_documents:
+            ds = ds.map_batches(derive_corpus_batch, batch_format="pyarrow")
+        return ds
+
+    stats = run_kg(read_corpus, args.out, num_shards=args.shards,
+                   max_concurrent_shards=args.concurrent_shards)
+    print(json.dumps({"skipped": stats["shards_skipped"],
+                      "manifest_entries": len(stats["manifest"])}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

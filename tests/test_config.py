@@ -1,0 +1,50 @@
+"""YAML pipeline-config surface (reference §2.11)."""
+
+import os
+
+import pytest
+
+from mmore_ray.config import build_stage, load_pipeline_config, register_stage
+
+CFG = """
+process:
+  roots: ["${TEST_DATA_ROOT}"]
+  extensions: [".txt", ".md"]
+postprocess:
+  - type: tagger/words
+  - type: tagger/lang
+  - type: filter/length
+    args: {min_words: 2}
+  - type: chunker
+    args: {chunk_size: 2}
+"""
+
+
+def test_env_expansion_and_stage_building(monkeypatch):
+    monkeypatch.setenv("TEST_DATA_ROOT", "/data/x")
+    cfg = load_pipeline_config(CFG)
+    assert cfg["process"]["roots"] == ["/data/x"]
+    assert len(cfg["postprocessors"]) == 4
+    assert all(callable(s) for s in cfg["postprocessors"])
+
+
+def test_unknown_stage_raises_with_known_list():
+    with pytest.raises(KeyError) as e:
+        build_stage({"type": "nope"})
+    assert "tagger/words" in str(e.value)
+
+
+def test_register_custom_stage():
+    register_stage("custom/noop", lambda **kw: (lambda b: b))
+    fn = build_stage({"type": "custom/noop"})
+    assert callable(fn)
+
+
+def test_config_driven_run(ray_session, tmp_path, monkeypatch):
+    from mmore_ray.config import run_from_config
+
+    (tmp_path / "a.txt").write_text("one two three four five six")
+    (tmp_path / "b.md").write_text("# T\n\nseven eight nine")
+    monkeypatch.setenv("TEST_DATA_ROOT", str(tmp_path))
+    stats = run_from_config(CFG, str(tmp_path / "out"))
+    assert stats["processed"] >= 2
