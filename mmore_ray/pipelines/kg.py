@@ -96,37 +96,42 @@ def _link_mentions_fn(batch: pa.Table, alias_ref, canon_ref) -> pa.Table:
     once via ``ray.put`` and fetched from the local object store per
     task (``ray.get`` of a local ref is cheap; no per-batch reshipping).
     """
+    import pandas as pd
+
     from ..stages.linking import trigram_jaccard
 
     alias = ray.get(alias_ref)
     canon = ray.get(canon_ref)
     batch = explode_mentions(batch)
-    keys = batch.column("entity_key").to_pylist()
-    kb, canonical, scores = [], [], []
-    cache: dict[str, tuple[str, str, float]] = {}
-    for k in keys:
-        hit = cache.get(k)
-        if hit is None:
-            kb_id = alias.get(k, k)
-            hit = (kb_id, canon.get(k, k), trigram_jaccard(k, kb_id))
-            cache[k] = hit
-        kb.append(hit[0])
-        canonical.append(hit[1])
-        scores.append(hit[2])
-    batch = batch.append_column("kb_id", pa.array(kb, pa.string()))
-    batch = batch.append_column("link_score", pa.array(scores, pa.float64()))
-    return batch.append_column("canonical", pa.array(canonical, pa.string()))
+    keys = pd.Series(batch.column("entity_key").to_pandas())
+    # vectorized per distinct key: map through small lookup frames
+    uniq = keys.drop_duplicates()
+    kb_u = uniq.map(lambda k: alias.get(k, k))
+    canon_u = uniq.map(lambda k: canon.get(k, k))
+    score_u = pd.Series(
+        [trigram_jaccard(k, v) for k, v in zip(uniq, kb_u)], index=uniq.index)
+    lut = pd.DataFrame({"kb_id": kb_u.to_numpy(),
+                        "canonical": canon_u.to_numpy(),
+                        "link_score": score_u.to_numpy()},
+                       index=uniq.to_numpy())
+    joined = lut.reindex(keys.to_numpy())
+    batch = batch.append_column("kb_id", pa.array(joined["kb_id"], pa.string()))
+    batch = batch.append_column(
+        "link_score", pa.array(joined["link_score"], pa.float64()))
+    return batch.append_column(
+        "canonical", pa.array(joined["canonical"], pa.string()))
 
 
 def _doc_triples_fn(batch: pa.Table, canon_ref) -> pa.Table:
     """Fused explode-edges + canonical relabel + per-doc triple merge."""
+    import pandas as pd
+
     canon = ray.get(canon_ref)
     batch = explode_edges(batch)
     for col, out in (("src", "src_canonical"), ("dst", "dst_canonical")):
-        vals = batch.column(col).to_pylist()
-        batch = batch.append_column(
-            out, pa.array([canon.get(v, v) for v in vals], pa.string())
-        )
+        s = batch.column(col).to_pandas()
+        mapped = s.map(canon).where(s.map(canon).notna(), s)
+        batch = batch.append_column(out, pa.array(mapped, pa.string()))
     return doc_triples(batch)
 
 
