@@ -560,6 +560,33 @@ def q_anti_join(sf_dir: str):
     return cust.map_batches(fn, batch_format="pyarrow")
 
 
+def q_json_props(sf_dir: str):
+    """JSON scalar functions (SURVEY §2.9): parse the events ``props``
+    JSON column, extract ``k``, aggregate per event_type."""
+    import json as _json
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        ks = df.props.map(lambda s: int(_json.loads(s)["k"]))
+        return pd.DataFrame({
+            "event_type": df.event_type,
+            "sum_k": ks.astype(np.int64),
+            "max_k": ks.astype(np.int64),
+            "n_events": np.ones(len(df), dtype=np.int64),
+        })
+
+    def agg(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False).agg(
+            sum_k=("sum_k", "sum"), max_k=("max_k", "max"),
+            n_events=("n_events", "sum"))
+
+    from ..stages.groupby import bucketed_agg
+
+    return bucketed_agg(ds, ["event_type"], agg, prepare=prepare,
+                        num_buckets=8)
+
+
 def q_process_markdown(sf_dir: str):
     """Markdown processor through the dispatch surface: documents
     rendered as markdown files with an image link → processed text with
@@ -647,6 +674,7 @@ QUERIES = {
     "q_filter_length": q_filter_length,
     "q_sessionize": q_sessionize,
     "q_anti_join": q_anti_join,
+    "q_json_props": q_json_props,
 }
 
 # queries() entries with no SQL-expressible oracle (driver falls back to
@@ -886,4 +914,10 @@ ORACLES = {
         FROM customer
         WHERE c_custkey NOT IN
               (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)""",
+    "q_json_props": """
+        SELECT event_type,
+               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+               count(*) AS n_events
+        FROM events GROUP BY 1""",
 }

@@ -275,30 +275,49 @@ def dispatch(file_name: str) -> type[ProcessorBase] | None:
     return None
 
 
+ERROR_PROCESSOR = "__error__"
+
+
 def process_batch(batch: pa.Table, on_error: str = "skip") -> pa.Table:
     """Stateless stage: (file_path, content) rows → sample rows.
 
-    Unparseable/unsupported files are skipped (``on_error='skip'``,
-    matching the reference's log-and-drop, dispatcher.py:330-344) or
-    re-raised (``'raise'``)."""
+    Failure handling per row (the reference logs-and-drops,
+    dispatcher.py:330-344; we make failures first-class lineage):
+      * ``'skip'``    — drop the row;
+      * ``'collect'`` — emit an error row (processor_type='__error__',
+        text = the error message) so failures land in the output and
+        can be counted/filtered downstream;
+      * ``'raise'``   — propagate.
+    """
     paths = batch.column("file_path").to_pylist()
     contents = batch.column("content").to_pylist()
     out = {k: [] for k in ("sample_id", "document_id", "text", "modalities",
                            "file_path", "file_name", "processor_type")}
+
+    def error_row(path: str, name: str, msg: str) -> None:
+        sid = sha256_hex(f"{path}:{msg}")
+        out["sample_id"].append(sid)
+        out["document_id"].append(sid)
+        out["text"].append(msg)
+        out["modalities"].append([])
+        out["file_path"].append(path)
+        out["file_name"].append(name)
+        out["processor_type"].append(ERROR_PROCESSOR)
+
     for path, content in zip(paths, contents):
         name = path.rsplit("/", 1)[-1]
         proc = dispatch(name)
         if proc is None:
+            if on_error == "collect":
+                error_row(path, name, "no processor accepts this file")
             continue
         try:
             parsed = proc.parse(name, content)
-        except NotImplementedError:
+        except Exception as exc:
             if on_error == "raise":
                 raise
-            continue
-        except Exception:
-            if on_error == "raise":
-                raise
+            if on_error == "collect":
+                error_row(path, name, f"{type(exc).__name__}: {exc}")
             continue
         sid = sha256_hex(parsed["text"])
         out["sample_id"].append(sid)

@@ -84,6 +84,22 @@ def test_process_batch_skips_unsupported_and_stubs():
                                 "content": ["%PDF"]}), on_error="raise")
 
 
+def test_process_batch_collect_emits_error_rows():
+    from mmore_ray.stages.processors import ERROR_PROCESSOR
+
+    batch = pa.table({
+        "file_path": ["/x/a.txt", "/x/b.pdf", "/x/c.nope", "/x/d.csv"],
+        "content": ["hello", "%PDF", "???", "not,a\nvalid,csv,extra,cols"],
+    })
+    out = process_batch(batch, on_error="collect")
+    kinds = out.column("processor_type").to_pylist()
+    assert kinds.count(ERROR_PROCESSOR) >= 2  # pdf stub + no-processor
+    errs = {p: t for p, t in zip(out.column("file_path").to_pylist(),
+                                 out.column("text").to_pylist())
+            if t and "processor" in t or "NotImplementedError" in t}
+    assert "/x/b.pdf" in errs and "/x/c.nope" in errs
+
+
 def test_chunk_batch_ids_and_modalities():
     text = "First part one. First part two. " + ATTACHMENT_TAG + \
         " second bit. Third sentence ends."
