@@ -59,11 +59,14 @@ class EntityLinker:
     def __init__(
         self,
         alias_ref=None,
+        alias: dict[str, str] | None = None,
         columns: dict[str, str] | None = None,
         score_for: str | None = "entity_key",
     ):
         if alias_ref is not None:
             self._alias = ray.get(alias_ref)
+        elif alias is not None:
+            self._alias = alias
         else:
             self._alias = default_alias_dict()
         self._columns = columns or {"entity_key": "kb_id"}
