@@ -291,10 +291,20 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
             .map_batches(tee, batch_format="pyarrow", batch_size=4096)
         )
         lineage.write_parquet(paths["lineage"])
-        n_docs = sum(f.metadata.num_rows
-                     for f in _parquet_files(dirs["lineage"]))
+        # per-partition metrics from the lineage parquet (north rule:
+        # lineage + metrics per partition)
+        import pyarrow.parquet as pq
+
+        n_docs = n_mentions = n_edges = 0
+        for f in sorted(Path(paths["lineage"]).rglob("*.parquet")):
+            t = pq.read_table(f, columns=["n_mentions", "n_edges"])
+            n_docs += t.num_rows
+            n_mentions += pc.sum(t.column("n_mentions")).as_py() or 0
+            n_edges += pc.sum(t.column("n_edges")).as_py() or 0
         mf.publish(out_dir, "extract", shard, {
             "n_docs": n_docs,
+            "n_mentions": n_mentions,
+            "n_edges": n_edges,
             "seconds": round(time.perf_counter() - t0, 3),
             "paths": paths,
         })

@@ -69,16 +69,50 @@ def render_records(found: list[tuple[str, str]]) -> str:
     return rd.join(recs)
 
 
+def _trie_regex(surfaces: list[str]) -> str:
+    """Factor literal surfaces into a prefix-trie regex.
+
+    A flat alternation of N literals costs O(N) branch attempts per
+    candidate position; the trie form shares prefixes so matching cost
+    is bounded by trie depth — the property that lets a gazetteer grow
+    to ~10^5-10^6 surfaces without the scan degrading (the remaining
+    scale lever is sharding the dictionary across actors,
+    stages/linking.py module doc).  Longest match wins at each node
+    (children sorted longest-first, end-of-word alternative last).
+    """
+    root: dict = {}
+    END = "\x00"
+    for s in surfaces:
+        node = root
+        for ch in s:
+            node = node.setdefault(ch, {})
+        node[END] = {}
+
+    def render(node: dict) -> str:
+        # deterministic child order; end-of-word becomes an optional
+        # suffix so continuations (longer surfaces) are tried first
+        alts = [re.escape(ch) + render(node[ch])
+                for ch in sorted(k for k in node if k != END)]
+        if not alts:
+            return ""
+        body = "|".join(alts)
+        if END in node:
+            return f"(?:{body})?"
+        return f"(?:{body})" if len(alts) > 1 else body
+
+    return render(root)
+
+
 class MentionScanner:
     """Actor-pool stage: corpus rows → per-doc mention/edge lists."""
 
     def __init__(self, gazetteer: list[tuple[str, str, str]] | None = None):
         gaz = gazetteer if gazetteer is not None else GAZETTEER
-        # Longest-first alternation → leftmost-longest match for
-        # overlapping surfaces; surfaces are regex-escaped literals.
         ordered = sorted({(s, t) for s, t, _ in gaz}, key=lambda x: (-len(x[0]), x[0]))
         self._type_of = {s: t for s, t in ordered}
-        self._pattern = re.compile("|".join(re.escape(s) for s, _ in ordered))
+        # prefix-trie-factored pattern: longest match at shared prefixes,
+        # matching cost independent of dictionary size (see _trie_regex)
+        self._pattern = re.compile(_trie_regex([s for s, _ in ordered]))
 
     def _scan(self, content: str) -> tuple[list[dict], list[dict]]:
         counts: dict[str, list[int]] = {}

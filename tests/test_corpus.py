@@ -15,6 +15,20 @@ from mmore_ray.sources.corpus import (
 )
 
 
+def test_trie_regex_longest_match_with_prefix_overlaps():
+    # beyond our non-substring invariant: prefix-overlapping surfaces
+    # must still match longest-first
+    import re
+
+    from mmore_ray.stages.mentions import _trie_regex
+
+    rx = re.compile(_trie_regex(["New York", "New York City", "New"]))
+    assert rx.findall("in New York City and New Haven") == \
+        ["New York City", "New"]
+    rx2 = re.compile(_trie_regex(["AB", "ABC", "B"]))
+    assert rx2.findall("xABCx") == ["ABC"]
+
+
 def test_gazetteer_surfaces_pairwise_non_substring():
     # exact occurrence counting (Python and SQL) needs this invariant
     surfaces = [s for s, _, _ in GAZETTEER]
