@@ -560,6 +560,48 @@ def q_anti_join(sf_dir: str):
     return cust.map_batches(fn, batch_format="pyarrow")
 
 
+def q_region_suppliers(sf_dir: str):
+    """Three-level broadcast dimension join: supplier → nation → region
+    rollup (supplier count + total acctbal per region)."""
+    from ..stages.groupby import bucketed_sum
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation.n_nationkey, nation.n_regionkey))
+    r2name = dict(zip(region.r_regionkey, region.r_name))
+    ref = ray.put((n2r, r2name))
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        n2r_, r2name_ = ray.get(ref)
+        return pd.DataFrame({
+            "r_name": df.s_nationkey.map(n2r_).map(r2name_),
+            "n_suppliers": np.ones(len(df), dtype=np.int64),
+            "acctbal_cents": _int_scale(df.s_acctbal, 100),
+        })
+
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    return bucketed_sum(sup, ["r_name"], ["n_suppliers", "acctbal_cents"],
+                        prepare=prepare, num_buckets=4)
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: the minhash-verified pair graph run through
+    distributed min-label connected components — every clustered doc id
+    with its component representative (smallest id reachable)."""
+    from ..stages.canonicalize import connected_components
+    from ..stages.dedup import near_dup_minhash
+
+    pairs = near_dup_minhash(_docs_with_near_copies(sf_dir))
+    labels = connected_components(
+        pairs.select_columns(["id_a", "id_b"]), src="id_a", dst="id_b")
+
+    def fix_types(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["node"].astype(np.int64),
+                             "cluster_rep": df["label"].astype(np.int64)})
+
+    return labels.map_batches(fix_types, batch_format="pandas")
+
+
 def q_json_props(sf_dir: str):
     """JSON scalar functions (SURVEY §2.9): parse the events ``props``
     JSON column, extract ``k``, aggregate per event_type."""
@@ -675,6 +717,8 @@ QUERIES = {
     "q_sessionize": q_sessionize,
     "q_anti_join": q_anti_join,
     "q_json_props": q_json_props,
+    "q_region_suppliers": q_region_suppliers,
+    "q_dedup_clusters": q_dedup_clusters,
 }
 
 # queries() entries with no SQL-expressible oracle (driver falls back to
@@ -920,4 +964,36 @@ ORACLES = {
                max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
                count(*) AS n_events
         FROM events GROUP BY 1""",
+    "q_region_suppliers": f"""
+        SELECT r.r_name,
+               count(*) AS n_suppliers,
+               sum({_sql_scale('s.s_acctbal', 100)}) AS acctbal_cents
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1""",
+    "q_dedup_clusters": _SHINGLE_CTES.replace(
+        "WITH docs", "WITH RECURSIVE docs", 1) + """,
+        verified AS (
+          SELECT * FROM (
+            SELECT c.id_a, c.id_b,
+                   CAST(floor(1.0 * len(list_intersect(x.shingles, y.shingles)) /
+                        len(list_distinct(list_concat(x.shingles, y.shingles)))
+                        * 10000 + 0.5) AS BIGINT) AS jaccard_e4
+            FROM cand c JOIN sh x ON c.id_a = x.id JOIN sh y ON c.id_b = y.id
+          ) WHERE jaccard_e4 >= 5000
+        ),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM verified
+          UNION SELECT id_b, id_a FROM verified
+        ),
+        closure AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a
+        )
+        SELECT node AS doc_id, min(reachable) AS cluster_rep FROM (
+          SELECT a AS node, b AS reachable FROM closure
+          UNION SELECT a, a FROM edges
+        ) GROUP BY 1""",
 }

@@ -36,8 +36,12 @@ SORT_COLS = ["subj", "pred", "obj", "content_sha256"]
 
 
 def _encode(df: pd.DataFrame) -> pd.Series:
-    return (df["subj"] + SEP + df["pred"] + SEP + df["obj"]
-            + SEP + df["content_sha256"])
+    # NOTE: pandas scalar-concat (`series + "\x00"`) routes the scalar
+    # through a numpy U-dtype, which strips trailing NULs — the
+    # separator silently vanishes.  Join at the Python level.
+    cols = [df[c].to_numpy() for c in ("subj", "pred", "obj",
+                                       "content_sha256")]
+    return pd.Series([SEP.join(t) for t in zip(*cols)], index=df.index)
 
 
 def compute_boundaries(key_counts: list[tuple[tuple[str, str, str], float]],
@@ -58,14 +62,18 @@ def compute_boundaries(key_counts: list[tuple[tuple[str, str, str], float]],
                 bounds.append(prefix + HI)  # cut after this whole key
                 acc = 0.0
             continue
-        # hot key: split within the key by sha hex fraction
+        # hot key: split within the key by sha hex fraction; a cut at
+        # fraction >= 1 is the end of the key (the HI cut), and hex
+        # values are clamped to 8 digits so boundaries stay ordered
         first = budget - acc
         n_cuts = int((cnt - first) // budget) + 1
         for i in range(n_cuts):
             frac = (first + i * budget) / cnt
-            hexcut = format(int(frac * 16**8), "08x")
+            if frac >= 1.0:
+                break
+            hexcut = format(min(int(frac * 16**8), 16**8 - 1), "08x")
             bounds.append(prefix + hexcut)
-        acc = cnt - first - (n_cuts - 1) * budget
+        acc = max(cnt - first - (n_cuts - 1) * budget, 0.0)
         if acc >= budget:
             bounds.append(prefix + HI)
             acc = 0.0

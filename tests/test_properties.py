@@ -1,0 +1,75 @@
+"""Property-based tests (hypothesis) for the aggregation/sort core —
+the machinery every query rides on."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+KEYS = st.sampled_from(["a", "b", "c", "dd", "e!", ""])
+
+
+frames = st.lists(
+    st.tuples(KEYS, st.integers(-10**9, 10**9)), min_size=0, max_size=200
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=frames, buckets=st.sampled_from([1, 3, 16]))
+def test_bucketed_sum_equals_pandas(ray_session, rows, buckets):
+    ray = ray_session
+    from mmore_ray.stages.groupby import bucketed_sum
+
+    df = pd.DataFrame(rows, columns=["k", "v"]) if rows else \
+        pd.DataFrame({"k": pd.Series(dtype=str), "v": pd.Series(dtype=np.int64)})
+    df["v"] = df["v"].astype(np.int64)
+    ds = ray.data.from_pandas(df) if len(df) else None
+    if ds is None:
+        return
+    got = bucketed_sum(ds, ["k"], ["v"], num_buckets=buckets).to_pandas()
+    want = df.groupby("k", as_index=False)["v"].sum()
+    g = got.sort_values("k").reset_index(drop=True)
+    w = want.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=300),
+       k=st.sampled_from([1, 5, 50]))
+def test_topk_equals_sort_head(ray_session, vals, k):
+    ray = ray_session
+    from mmore_ray.stages.groupby import topk
+
+    df = pd.DataFrame({"x": np.array(vals, dtype=np.int64),
+                       "i": np.arange(len(vals), dtype=np.int64)})
+    got = topk(ray.data.from_pandas(df), ["x", "i"], k,
+               descending=[True, False]).to_pandas()
+    want = df.sort_values(["x", "i"], ascending=[False, True]).head(k)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+@settings(max_examples=30, deadline=None)
+@given(counts=st.lists(
+    st.tuples(st.text(alphabet="ABC", min_size=1, max_size=3),
+              st.integers(1, 1000)),
+    min_size=1, max_size=40, unique_by=lambda t: t[0]),
+    parts=st.sampled_from([1, 4, 16]))
+def test_sortwrite_boundaries_cover_and_order(counts, parts):
+    from mmore_ray.stages.sortwrite import SEP, compute_boundaries
+
+    key_counts = [((s, "P", s), float(c)) for s, c in counts]
+    bounds = compute_boundaries(key_counts, parts)
+    assert bounds == sorted(bounds)  # boundaries must be ordered
+    # every key encodes to a position within [0, len(bounds)] — and a
+    # later key never lands in an earlier partition
+    enc = sorted(s + SEP + "P" + SEP + s + SEP for s, _ in counts)
+    last = -1
+    for e in enc:
+        p = int(np.searchsorted(np.array(bounds), e, side="right"))
+        assert p >= last
+        last = p
