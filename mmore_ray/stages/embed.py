@@ -95,8 +95,51 @@ def index_documents(ds, out_dir: str, concurrency=(1, 4)) -> None:
     out.write_parquet(out_dir)
 
 
+class FakeReranker:
+    """Cross-encoder reranker analogue (reference BGE reranker,
+    rag/retriever.py:88-106, batch scoring :281-322).
+
+    Actor-pool stage: "model" loads once per actor; scores each
+    (query, doc) pair — here a deterministic token-overlap × idf-ish
+    kernel standing in for the cross-encoder forward pass.  Batch size
+    32 matches the reference's scoring batch."""
+
+    BATCH = 32
+
+    def __init__(self, query_text: str = ""):
+        self._q = query_text.lower().split()
+
+    def score_pair(self, doc: str) -> float:
+        toks = doc.lower().split()
+        if not toks or not self._q:
+            return 0.0
+        overlap = sum(1 for t in self._q if t in toks)
+        return overlap / (len(self._q) + 0.5 * abs(len(toks) - len(self._q)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        scores = [self.score_pair(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column("rerank_score",
+                                   pa.array(scores, pa.float64()))
+
+
+def get_by_ids(collection_dir: str, ids: list[str]):
+    """≙ Milvus `id in [...]` expression lookup (rag/retriever.py:415-455):
+    broadcast the id set, filter the collection."""
+    import ray.data
+
+    ref = ray.put(set(ids))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        mask = [i in want for i in batch.column("sample_id").to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ray.data.read_parquet(collection_dir).map_batches(
+        fn, batch_format="pyarrow")
+
+
 def retrieve(collection_dir: str, query_text: str, k: int = 5,
-             dense_weight: float = 0.5):
+             dense_weight: float = 0.5, rerank: bool = False):
     """Hybrid retrieval: WeightedRanker(w·dense_cos + (1-w)·sparse_dot)
     over the parquet collection (brute force, broadcast query)."""
     import ray.data
@@ -124,4 +167,13 @@ def retrieve(collection_dir: str, query_text: str, k: int = 5,
     scored = ds.map_batches(score, batch_format="pyarrow")
     from .groupby import topk
 
-    return topk(scored, ["score"], k, descending=True)
+    hits = topk(scored, ["score"], k, descending=True)
+    if not rerank:
+        return hits
+    # rerank the k survivors with the cross-encoder pool and re-sort
+    reranked = hits.map_batches(
+        FakeReranker, fn_constructor_kwargs={"query_text": query_text},
+        batch_format="pyarrow", batch_size=FakeReranker.BATCH,
+        concurrency=(1, 2),
+    )
+    return topk(reranked, ["rerank_score", "score"], k, descending=True)

@@ -82,6 +82,26 @@ def test_index_and_retrieve_roundtrip(ray_session, tmp_path):
     assert hits.sort_values("score", ascending=False).iloc[0].sample_id == "d7"
 
 
+def test_rerank_and_get_by_ids(ray_session, tmp_path):
+    ray = ray_session
+    from mmore_ray.stages.embed import get_by_ids, index_documents, retrieve
+
+    docs = pa.table({
+        "sample_id": [f"d{i}" for i in range(15)],
+        "text": [f"payload text number {i} topic {i % 3}" for i in range(15)],
+    })
+    index_documents(ray.data.from_arrow(docs), str(tmp_path / "c"))
+    hits = retrieve(str(tmp_path / "c"), "payload text number 4 topic 1",
+                    k=5, rerank=True).to_pandas()
+    assert len(hits) == 5
+    assert "rerank_score" in hits.columns
+    assert hits.sort_values(["rerank_score", "score"],
+                            ascending=False).iloc[0].sample_id == "d4"
+
+    got = get_by_ids(str(tmp_path / "c"), ["d3", "d9"]).to_pandas()
+    assert sorted(got.sample_id) == ["d3", "d9"]
+
+
 def test_embedders_deterministic():
     from mmore_ray.stages.embed import FakeDenseEmbedder, FakeSparseEmbedder
 
