@@ -529,6 +529,20 @@ def q_sessionize(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def q_streaming_sessionize(sf_dir: str):
+    """The STATEFUL-actor streaming path (stages/streaming.py) driven
+    over the events log — same output contract (and oracle) as the
+    batch q_sessionize, proving the incremental state machine agrees
+    with the window-batch semantics."""
+    import pyarrow.parquet as pq
+
+    from ..stages.streaming import streaming_sessionize
+
+    events = pq.read_table(f"{sf_dir}/events.parquet",
+                           columns=["user_id", "ts", "value"]).to_pandas()
+    return streaming_sessionize(events, num_buckets=8, micro_batch=1024)
+
+
 def q_anti_join(sf_dir: str):
     """Customers with no high-value (>450k) order — broadcast anti-join
     (the filtered key set of the big side ships once; no shuffle;
@@ -719,6 +733,7 @@ QUERIES = {
     "q_json_props": q_json_props,
     "q_region_suppliers": q_region_suppliers,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_streaming_sessionize": q_streaming_sessionize,
 }
 
 # queries() entries with no SQL-expressible oracle (driver falls back to
@@ -997,3 +1012,5 @@ ORACLES = {
           UNION SELECT a, a FROM edges
         ) GROUP BY 1""",
 }
+
+ORACLES["q_streaming_sessionize"] = ORACLES["q_sessionize"]
