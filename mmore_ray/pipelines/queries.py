@@ -279,6 +279,26 @@ def q_events_window(sf_dir: str):
                         num_buckets=32)
 
 
+def q_running_total(sf_dir: str):
+    """Cumulative window per partition: running order-value total per
+    customer in order-date order (groupby().map_groups cumsum ≙ SQL
+    SUM OVER (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED PRECEDING))."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderdate", "o_orderkey"])
+        cents = _int_scale(df.o_totalprice, 100)
+        return pd.DataFrame({
+            "o_custkey": df.o_custkey.to_numpy(),
+            "o_orderkey": df.o_orderkey.to_numpy(),
+            "running_cents": np.cumsum(cents),
+            "order_seq": np.arange(1, len(df) + 1, dtype=np.int64),
+        })
+
+    return ds.groupby("o_custkey").map_groups(running, batch_format="pandas")
+
+
 def q_topk_brand(sf_dir: str):
     """Per-group top-k (rank within partition) via groupby().map_groups."""
     ds = _read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
@@ -715,6 +735,7 @@ QUERIES = {
     "q_distinct_flags": q_distinct_flags,
     "q_orders_per_month": q_orders_per_month,
     "q_events_window": q_events_window,
+    "q_running_total": q_running_total,
     "q_topk_brand": q_topk_brand,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
@@ -865,6 +886,15 @@ ORACLES = {
                count(*) AS n_events,
                sum({_sql_scale('value', 100)}) AS sum_value_e2
         FROM events GROUP BY 1, 2""",
+    "q_running_total": f"""
+        SELECT o_custkey, o_orderkey,
+               sum({_sql_scale('o_totalprice', 100)})
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS running_cents,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+        FROM orders""",
     "q_topk_brand": f"""
         SELECT p_brand, p_partkey,
                {_sql_scale('p_retailprice', 100)} AS price_cents,
