@@ -36,8 +36,6 @@ def load_previous(path: str | Path) -> pa.Table | None:
     path = Path(path)
     if not path.exists():
         return None
-    import pandas as pd
-
     prev = pq.read_table(path).to_pandas()
     prev = (prev.sort_values(PROCESSED_AT_COL)
             .drop_duplicates("file_path", keep="last"))
