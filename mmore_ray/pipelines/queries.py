@@ -43,6 +43,16 @@ def _sql_scale(expr: str, scale: int) -> str:
     return f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)"
 
 
+def _sql_sum(expr: str, scale: int) -> str:
+    """sum of the integerized expression, cast back to BIGINT.
+
+    DuckDB ``sum(BIGINT)`` returns HUGEINT, which pandas renders as
+    float64 — the driver's value hash then sees ``150.0`` vs the
+    engine's int64 ``150``.  Casting the sum keeps both sides int64.
+    """
+    return f"CAST(sum({_sql_scale(expr, scale)}) AS BIGINT)"
+
+
 # All grouped sums go through stages.groupby.bucketed_sum: Ray's native
 # aggregate costs Python-level work per distinct group (measured 147k
 # groups → ~70-150 s vs ~3 s bucketed at sf0.1), and aggregates over
@@ -845,9 +855,9 @@ ORACLES = {
     ),
     "q1_pricing": f"""
         SELECT l_returnflag, l_linestatus,
-               sum({_sql_scale('l_quantity', 1)}) AS sum_qty,
-               sum({_sql_scale('l_extendedprice', 100)}) AS sum_base_cents,
-               sum({_sql_scale('l_extendedprice * (1 - l_discount)', 10000)}) AS sum_disc_e4,
+               {_sql_sum('l_quantity', 1)} AS sum_qty,
+               {_sql_sum('l_extendedprice', 100)} AS sum_base_cents,
+               {_sql_sum('l_extendedprice * (1 - l_discount)', 10000)} AS sum_disc_e4,
                count(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
         GROUP BY l_returnflag, l_linestatus""",
@@ -855,13 +865,13 @@ ORACLES = {
         SELECT o.o_orderkey, o.o_custkey, r.revenue_e4
         FROM orders o JOIN (
           SELECT l_orderkey,
-                 sum({_sql_scale('l_extendedprice * (1 - l_discount)', 10000)}) AS revenue_e4
+                 {_sql_sum('l_extendedprice * (1 - l_discount)', 10000)} AS revenue_e4
           FROM lineitem GROUP BY 1
         ) r ON o.o_orderkey = r.l_orderkey
         ORDER BY r.revenue_e4 DESC, o.o_orderkey LIMIT 10""",
     "q_nation_revenue": f"""
         SELECT n.n_name,
-               sum({_sql_scale('o.o_totalprice', 100)}) AS revenue_cents,
+               {_sql_sum('o.o_totalprice', 100)} AS revenue_cents,
                count(*) AS n_orders
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -878,20 +888,20 @@ ORACLES = {
         SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
                CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
                count(*) AS n_orders,
-               sum({_sql_scale('o_totalprice', 100)}) AS revenue_cents
+               {_sql_sum('o_totalprice', 100)} AS revenue_cents
         FROM orders GROUP BY 1, 2""",
     "q_events_window": f"""
         SELECT event_type,
                epoch_us(ts) // 3600000000 AS window_id,
                count(*) AS n_events,
-               sum({_sql_scale('value', 100)}) AS sum_value_e2
+               {_sql_sum('value', 100)} AS sum_value_e2
         FROM events GROUP BY 1, 2""",
     "q_running_total": f"""
         SELECT o_custkey, o_orderkey,
-               sum({_sql_scale('o_totalprice', 100)})
+               CAST(sum({_sql_scale('o_totalprice', 100)})
                  OVER (PARTITION BY o_custkey
                        ORDER BY o_orderdate, o_orderkey
-                       ROWS UNBOUNDED PRECEDING) AS running_cents,
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents,
                CAST(row_number() OVER (PARTITION BY o_custkey
                     ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
         FROM orders""",
@@ -995,7 +1005,7 @@ ORACLES = {
         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
                count(*) AS n_events,
                min(us) AS start_us, max(us) AS end_us,
-               sum({_sql_scale('value', 100)}) AS sum_value_e2
+               {_sql_sum('value', 100)} AS sum_value_e2
         FROM s GROUP BY 1, 2""",
     "q_anti_join": f"""
         SELECT c_custkey, c_name,
@@ -1005,14 +1015,14 @@ ORACLES = {
               (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)""",
     "q_json_props": """
         SELECT event_type,
-               sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
                count(*) AS n_events
         FROM events GROUP BY 1""",
     "q_region_suppliers": f"""
         SELECT r.r_name,
                count(*) AS n_suppliers,
-               sum({_sql_scale('s.s_acctbal', 100)}) AS acctbal_cents
+               {_sql_sum('s.s_acctbal', 100)} AS acctbal_cents
         FROM supplier s
         JOIN nation n ON s.s_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey

@@ -36,6 +36,12 @@ def test_query_matches_oracle(name, ray_session):
     )
     got_c, want_c = _canon(got), _canon(want)
     assert len(got_c) == len(want_c), f"{name}: rows {len(got_c)} != {len(want_c)}"
+    # the driver hashes VALUES, so int64 `150` vs float64 `150.0` is a
+    # mismatch even when assert_frame_equal(check_dtype=False) passes —
+    # compare dtype kinds too (the round-1 red-hash lesson)
+    got_kinds = {c: got_c[c].dtype.kind for c in got_c.columns}
+    want_kinds = {c: want_c[c].dtype.kind for c in want_c.columns}
+    assert got_kinds == want_kinds, f"{name}: dtype kinds {got_kinds} != {want_kinds}"
     pd.testing.assert_frame_equal(got_c, want_c, check_dtype=False, check_exact=True)
 
 
