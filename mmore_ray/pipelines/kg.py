@@ -276,9 +276,14 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
 
             import pyarrow.parquet as pq
 
-            tag = hashlib.sha1(
-                "".join(batch.column("content_sha256").to_pylist()[:64]).encode()
-            ).hexdigest()[:16]
+            # Collision-proof, retry-idempotent file tag: digest of EVERY
+            # row key (repo, path, sha) plus the row count — a retried
+            # task rewrites its own file; two distinct batches (even ones
+            # sharing duplicate-content prefixes) can never collide.
+            h = hashlib.sha1(f"{batch.num_rows}\x00".encode())
+            for col in ("repo", "path", "content_sha256"):
+                h.update("\x00".join(batch.column(col).to_pylist()).encode())
+            tag = h.hexdigest()[:16]
             pq.write_table(batch, f"{paths['docs']}/part-{tag}.parquet")
             mentions = _link_mentions_fn(batch, alias_ref, canon_ref)
             pq.write_table(mentions, f"{paths['mentions']}/part-{tag}.parquet")

@@ -191,27 +191,41 @@ def q3_top_orders(sf_dir: str):
 
 
 def q_nation_revenue(sf_dir: str):
-    """Revenue per customer nation — two broadcast dimension lookups
-    (customer→nation map shipped once via ray.put) + combiner groupby."""
+    """Revenue per customer nation.  Customer is FACT-scale (1.5M
+    rows/SF — a driver broadcast would OOM at the 100-TB target), so:
+    combiner pre-agg of orders per custkey → hash-shuffle
+    ``Dataset.join`` against customer → broadcast only the 25-row
+    nation map → small final rollup."""
     from ..stages.groupby import bucketed_sum
 
-    cust_tbl = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    nation_tbl = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    c2n = dict(zip(cust_tbl.c_custkey, cust_tbl.c_nationkey))
-    n2name = dict(zip(nation_tbl.n_nationkey, nation_tbl.n_name))
-    lookup_ref = ray.put((c2n, n2name))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def prepare(df: pd.DataFrame) -> pd.DataFrame:
-        c2n, n2name = ray.get(lookup_ref)  # local object-store fetch
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "n_name": df.o_custkey.map(c2n).map(n2name),
+            "o_custkey": df.o_custkey,
             "revenue_cents": _int_scale(df.o_totalprice, 100),
             "n_orders": np.ones(len(df), dtype=np.int64),
         })
 
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    return bucketed_sum(orders, ["n_name"], ["revenue_cents", "n_orders"],
-                        prepare=prepare, num_buckets=8)
+    rev = bucketed_sum(orders, ["o_custkey"], ["revenue_cents", "n_orders"],
+                       prepare=per_cust, num_buckets=32)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = rev.join(cust, join_type="inner", num_partitions=16,
+                      on=("o_custkey",), right_on=("c_custkey",))
+
+    nation_tbl = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    n2name_ref = ray.put(dict(zip(nation_tbl.n_nationkey, nation_tbl.n_name)))
+
+    def to_nation(df: pd.DataFrame) -> pd.DataFrame:
+        n2name = ray.get(n2name_ref)  # local object-store fetch
+        return pd.DataFrame({
+            "n_name": df.c_nationkey.map(n2name),
+            "revenue_cents": df.revenue_cents,
+            "n_orders": df.n_orders,
+        })
+
+    return bucketed_sum(joined, ["n_name"], ["revenue_cents", "n_orders"],
+                        prepare=to_nation, num_buckets=8)
 
 
 def q_filter_highvalue(sf_dir: str):
@@ -276,10 +290,12 @@ def q_events_window(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def prepare(df: pd.DataFrame) -> pd.DataFrame:
-        us = df.ts.astype("int64")
+        # normalize to µs regardless of the block's datetime64 unit (a
+        # ns-coercing pandas/pyarrow would shift windows by 1000x)
+        us = df.ts.to_numpy().astype("datetime64[us]").astype(np.int64)
         return pd.DataFrame({
             "event_type": df.event_type,
-            "window_id": (us // 3_600_000_000).astype(np.int64),
+            "window_id": us // 3_600_000_000,
             "n_events": np.ones(len(df), dtype=np.int64),
             "sum_value_e2": _int_scale(df.value, 100),
         })
@@ -291,22 +307,44 @@ def q_events_window(sf_dir: str):
 
 def q_running_total(sf_dir: str):
     """Cumulative window per partition: running order-value total per
-    customer in order-date order (groupby().map_groups cumsum ≙ SQL
-    SUM OVER (PARTITION BY ... ORDER BY ... ROWS UNBOUNDED PRECEDING))."""
+    customer in order-date order (≙ SQL SUM OVER (PARTITION BY ...
+    ORDER BY ... ROWS UNBOUNDED PRECEDING)).
+
+    Scale shape: the partition key (o_custkey) is high-cardinality, so
+    a native ``groupby(key).map_groups`` would pay the per-group Python
+    cliff (groupby.py docstring).  Instead the key is hash-bucketed and
+    each bucket computes every customer's cumsum VECTORIZED (one pandas
+    ``groupby().cumsum`` per bucket)."""
+    from ..stages.groupby import _bucket_of
+
+    NB = 64
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate",
                                   "o_totalprice"])
 
-    def running(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["o_orderdate", "o_orderkey"])
-        cents = _int_scale(df.o_totalprice, 100)
-        return pd.DataFrame({
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            "o_custkey": df.o_custkey,
+            "o_orderkey": df.o_orderkey,
+            "o_orderdate": df.o_orderdate,
+            "cents": _int_scale(df.o_totalprice, 100),
+        })
+        out["_bucket"] = _bucket_of(out, ["o_custkey"], NB)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        g = df.groupby("o_custkey", sort=False)
+        out = pd.DataFrame({
             "o_custkey": df.o_custkey.to_numpy(),
             "o_orderkey": df.o_orderkey.to_numpy(),
-            "running_cents": np.cumsum(cents),
-            "order_seq": np.arange(1, len(df) + 1, dtype=np.int64),
+            "running_cents": g["cents"].cumsum().to_numpy(),
+            "order_seq": (g.cumcount() + 1).to_numpy(),
         })
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return ds.groupby("o_custkey").map_groups(running, batch_format="pandas")
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
 
 
 def q_topk_brand(sf_dir: str):
@@ -525,26 +563,47 @@ def q_chunk_fixed(sf_dir: str):
 
 def q_sessionize(sf_dir: str):
     """Session windows per user (30-min inactivity gap) — the
-    streaming-shaped workload of SURVEY §2.10: events as an ordered,
-    partitioned log; windows via groupby(user).map_groups over the
-    ts-sorted group.  Emits one row per session."""
+    streaming-shaped workload of SURVEY §2.10.  Emits one row per
+    session.
+
+    Scale shape: user_id is hash-bucketed (low-cardinality shuffle
+    key); each bucket sessionizes ALL its users vectorized — sort by
+    (user, ts), session breaks from shifted comparisons, per-user break
+    cumsum, one pandas groupby-agg.  No per-user Python work."""
+    from ..stages.groupby import _bucket_of
+
     GAP_US = 30 * 60 * 1_000_000
+    NB = 32
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
-    def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("ts")
-        us = df.ts.astype("int64").to_numpy()
-        new_session = np.ones(len(us), dtype=bool)
-        new_session[1:] = (us[1:] - us[:-1]) > GAP_US
-        sid = np.cumsum(new_session)
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
         out = pd.DataFrame({
-            "user_id": df.user_id.to_numpy(),
-            "session_idx": sid.astype(np.int64),
-            "n_events": np.ones(len(us), dtype=np.int64),
+            "user_id": df.user_id.astype(np.int64),
+            # µs regardless of the block's datetime64 unit (ns-coercing
+            # pandas would change the gap semantics by 1000x)
+            "us": df.ts.to_numpy().astype("datetime64[us]").astype(np.int64),
+            "value_e2": _int_scale(df.value, 100),
+        })
+        out["_bucket"] = _bucket_of(out, ["user_id"], NB)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "us"], kind="stable")
+        user = df.user_id.to_numpy()
+        us = df.us.to_numpy()
+        brk = np.ones(len(df), dtype=bool)
+        if len(df) > 1:
+            brk[1:] = (user[1:] != user[:-1]) | ((us[1:] - us[:-1]) > GAP_US)
+        sid = (pd.Series(brk.astype(np.int64))
+               .groupby(user, sort=False).cumsum().to_numpy())
+        out = pd.DataFrame({
+            "user_id": user,
+            "session_idx": sid,
+            "n_events": np.ones(len(df), dtype=np.int64),
             "start_us": us,
             "end_us": us,
-            "sum_value_e2": _int_scale(df.value, 100),
+            "sum_value_e2": df.value_e2.to_numpy(),
         })
         g = out.groupby(["user_id", "session_idx"], as_index=False).agg(
             n_events=("n_events", "sum"),
@@ -552,25 +611,24 @@ def q_sessionize(sf_dir: str):
             end_us=("end_us", "max"),
             sum_value_e2=("sum_value_e2", "sum"),
         )
-        return g
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    # user_id cardinality is low here; at scale the groupby key would be
-    # (user_id hash bucket) with per-user sub-grouping inside the group
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))
 
 
 def q_streaming_sessionize(sf_dir: str):
-    """The STATEFUL-actor streaming path (stages/streaming.py) driven
+    """The STATEFUL incremental-state path (stages/streaming.py) driven
     over the events log — same output contract (and oracle) as the
     batch q_sessionize, proving the incremental state machine agrees
-    with the window-batch semantics."""
-    import pyarrow.parquet as pq
+    with the window-batch semantics.  The log is hash-partitioned by
+    key inside Ray Data and each bucket streams through its state
+    machine in micro-batches — nothing is materialized on the driver."""
+    from ..stages.streaming import streaming_sessionize_ds
 
-    from ..stages.streaming import streaming_sessionize
-
-    events = pq.read_table(f"{sf_dir}/events.parquet",
-                           columns=["user_id", "ts", "value"]).to_pandas()
-    return streaming_sessionize(events, num_buckets=8, micro_batch=1024)
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return streaming_sessionize_ds(ds, num_buckets=8, micro_batch=1024)
 
 
 def q_anti_join(sf_dir: str):

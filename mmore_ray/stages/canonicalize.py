@@ -111,63 +111,125 @@ class CanonicalRelabel:
 
 
 def connected_components(edges_ds, src: str = "src", dst: str = "dst",
-                         max_rounds: int = 20):
-    """Distributed connected components by min-label propagation.
+                         max_rounds: int = 30, num_buckets: int = 32,
+                         join_partitions: int = 16):
+    """Distributed connected components: min-label propagation with
+    pointer doubling — driver memory stays O(1).
 
     ``edges_ds``: Dataset of undirected edges.  Returns a Dataset
-    (node, component) where component is the minimum node id reachable.
+    (node, label) where label is the minimum node id reachable.
 
-    Each round: labels join onto edges, nodes adopt the min neighbor
-    label (``groupby(node).min(label)``); stops at fixpoint.  Rounds are
-    all-to-all shuffles — callers should pre-dedup edges.  Suitable when
-    the edge set is too large for driver-side union-find.
+    Labels live as a Dataset end-to-end (never collected):
+
+      * **propagate** — ``edges ⋈ labels`` hash joins on both endpoints
+        (``Dataset.join``), each endpoint offers ``min(label_a,
+        label_b)`` (its own label is one of the two, so labels only
+        decrease and no union with the old labels is needed), reduced
+        by the bucketed min (stages/groupby — Ray's native groupby
+        costs per-group Python at high node cardinality);
+      * **double** — ``labels ⋈ labels`` on ``label = node`` shortcuts
+        label chains (label ← label(label)), so rounds scale with
+        log(diameter) instead of diameter;
+      * **converge** — exact fixpoint test: join old vs new labels and
+        count differing rows (a scalar aggregate, no driver collect).
+
+    Raises ``RuntimeError`` if ``max_rounds`` is exhausted before the
+    fixpoint — a silent partial result would mislabel long chains.
     """
-    import pyarrow.compute as pc
+    import numpy as np
+    import pandas as pd
 
-    def edge_to_labels(batch: pa.Table) -> pa.Table:
-        a, b = batch.column(src), batch.column(dst)
-        lab = pc.min_element_wise(a, b)
-        return pa.table({
-            "node": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
-            "label": pa.concat_arrays([lab.combine_chunks(), lab.combine_chunks()]),
-        })
+    from .groupby import bucketed_agg
 
-    edges = edges_ds.select_columns([src, dst]).materialize()
-    labels = (
-        edges.map_batches(edge_to_labels, batch_format="pyarrow")
-        .groupby("node").min("label")
-        .rename_columns({"min(label)": "label"})
-        .materialize()
-    )
+    def minlab(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False)["label"].min()
+
+    def local_cc(batch: pa.Table) -> pa.Table:
+        # batch-local union-find: collapses every component whose edges
+        # land in one batch to its min in a single pass, so the global
+        # rounds only stitch components that SPAN batches
+        uf = UnionFind()
+        for a, b in zip(batch.column(src).to_pylist(),
+                        batch.column(dst).to_pylist()):
+            uf.union(a, b)
+        nodes, labs = [], []
+        for _, members in uf.members().items():
+            m = min(members)
+            nodes.extend(members)
+            labs.extend([m] * len(members))
+        typ = batch.schema.field(src).type
+        return pa.table({"node": pa.array(nodes, typ),
+                         "label": pa.array(labs, typ)})
+
+    _CHK_MOD = 1 << 40
+
+    def checksum(label_ds) -> int | None:
+        # order/partition-invariant label fingerprint: labels only ever
+        # decrease, so equal checksums across rounds == fixpoint
+        # (collision odds ~2^-40 per comparison).  Per-batch row-hash
+        # sums are reduced mod 2^40, and the FINAL sum must be reduced
+        # again — sums of residues are only congruent, not equal, so a
+        # partition-dependent raw sum would mask real convergence.
+        def chk(df: pd.DataFrame) -> pa.Table:
+            h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+            v = int(h.sum(dtype=np.uint64)) % _CHK_MOD
+            return pa.table({"chk": pa.array([v], pa.int64())})
+        total = label_ds.map_batches(chk, batch_format="pandas").sum("chk")
+        return None if total is None else total % _CHK_MOD
+
+    def double_fn(df: pd.DataFrame) -> pa.Table:
+        # left_outer nulls coerce int64 to float64; coalesce then cast
+        # back to the label dtype
+        lab = df["_plabel"].where(df["_plabel"].notna(), df["label"])
+        lab = lab.astype(df["label"].dtype)
+        return pa.Table.from_pandas(
+            pd.DataFrame({"node": df["node"], "label": lab}),
+            preserve_index=False)
+
+    edges = edges_ds.select_columns([src, dst])
+    # static node-perspective adjacency (both directions), built once
+    def to_adj(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).combine_chunks()
+        b = batch.column(dst).combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a, b]),
+                         "nbr": pa.concat_arrays([b, a])})
+
+    adj = edges.map_batches(to_adj, batch_format="pyarrow").materialize()
+    labels = bucketed_agg(
+        edges.map_batches(local_cc, batch_format="pyarrow"),
+        ["node"], minlab, num_buckets=num_buckets,
+    ).materialize()
+    prev_chk = checksum(labels)
+    if prev_chk is None:  # empty edge set
+        return labels
+
     for _ in range(max_rounds):
-        # Propagate: for every edge, each endpoint offers its label to
-        # the other; then take per-node min with the current labels.
-        label_map = {r["node"]: r["label"] for r in labels.take_all()}
-        # Small-map broadcast path: alias graphs have bounded distinct
-        # nodes; if this map outgrew the driver we would switch to a
-        # bucketed join here.
-        ref = ray.put(label_map)
-
-        def offer(batch: pa.Table, _ref=ref) -> pa.Table:
-            lm = ray.get(_ref)
-            a = batch.column(src).to_pylist()
-            b = batch.column(dst).to_pylist()
-            nodes, labs = [], []
-            for x, y in zip(a, b):
-                lx, ly = lm[x], lm[y]
-                m = lx if lx < ly else ly
-                nodes.extend((x, y))
-                labs.extend((m, m))
-            return pa.table({"node": pa.array(nodes), "label": pa.array(labs)})
-
-        new_labels = (
-            edges.map_batches(offer, batch_format="pyarrow")
-            .groupby("node").min("label")
-            .rename_columns({"min(label)": "label"})
-            .materialize()
-        )
-        new_map = {r["node"]: r["label"] for r in new_labels.take_all()}
-        if new_map == label_map:
-            break
-        labels = new_labels
-    return labels
+        # propagate: each node receives its neighbors' labels (one hash
+        # join on nbr), unioned with its own label, then bucketed min
+        nbr_offers = adj.join(
+            labels.rename_columns({"node": "_n", "label": "_nl"}),
+            join_type="inner", num_partitions=join_partitions,
+            on=("nbr",), right_on=("_n",),
+        ).rename_columns({"_nl": "label"}).select_columns(["node", "label"])
+        new_labels = bucketed_agg(
+            nbr_offers.union(labels), ["node"], minlab,
+            num_buckets=num_buckets,
+        ).materialize()
+        chk = checksum(new_labels)
+        if chk == prev_chk:
+            # propagation offered nothing new → labels are constant per
+            # component and equal to the component min: fixpoint, and
+            # the doubling join below is skipped on this final round
+            return new_labels
+        # pointer doubling: label ← label(label) shortcuts chains, so
+        # rounds scale with log(diameter); every label value is itself a
+        # node, but left_outer + coalesce guards degenerate cases
+        labels = new_labels.join(
+            new_labels.rename_columns({"node": "_pn", "label": "_plabel"}),
+            join_type="left_outer", num_partitions=join_partitions,
+            on=("label",), right_on=("_pn",),
+        ).map_batches(double_fn, batch_format="pandas").materialize()
+        prev_chk = checksum(labels)
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds "
+        f"(component diameter too large?)")

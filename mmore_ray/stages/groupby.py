@@ -58,8 +58,11 @@ def bucketed_sum(
         g[_BUCKET] = _bucket_of(g, keys, num_buckets)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop(columns=[_BUCKET]).groupby(keys, as_index=False)[sum_cols].sum()
+    def final(df: pd.DataFrame) -> pa.Table:
+        # emit Arrow blocks: pandas blocks break downstream
+        # rename_columns/Project ops and trip Ray's schema-dedup hashing
+        out = df.drop(columns=[_BUCKET]).groupby(keys, as_index=False)[sum_cols].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
         ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
@@ -87,8 +90,9 @@ def bucketed_agg(
         g[_BUCKET] = _bucket_of(g, keys, num_buckets)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return agg_fn(df.drop(columns=[_BUCKET]), keys)
+    def final(df: pd.DataFrame) -> pa.Table:
+        out = agg_fn(df.drop(columns=[_BUCKET]), keys)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
         ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)

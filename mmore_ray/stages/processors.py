@@ -306,7 +306,9 @@ def process_batch(batch: pa.Table, on_error: str = "skip") -> pa.Table:
 
     for path, content in zip(paths, contents):
         name = path.rsplit("/", 1)[-1]
-        proc = dispatch(name)
+        # dispatch on the FULL path: URLProcessor matches on the
+        # http(s):// scheme, which the basename strips away
+        proc = dispatch(path)
         if proc is None:
             if on_error == "collect":
                 error_row(path, name, "no processor accepts this file")

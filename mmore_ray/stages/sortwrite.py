@@ -98,10 +98,14 @@ def write_sorted(triples_ds, key_counts, out_dir: str | Path,
     object-store refs — documented partitioning assumption).
     """
     import ray
+    import shutil
 
     out_dir = Path(out_dir)
     spill_dir = out_dir / "_spill"
     out_dir.mkdir(parents=True, exist_ok=True)
+    # stale spill files from a crashed earlier invocation would be
+    # concatenated into the final partitions as duplicate rows
+    shutil.rmtree(spill_dir, ignore_errors=True)
     spill_dir.mkdir(parents=True, exist_ok=True)
     bounds = np.array(compute_boundaries(key_counts, num_partitions))
     n_parts = len(bounds) + 1
@@ -109,9 +113,14 @@ def write_sorted(triples_ds, key_counts, out_dir: str | Path,
     def spill(batch: pd.DataFrame) -> pd.DataFrame:
         import hashlib
 
-        part = np.searchsorted(bounds, _encode(batch).to_numpy(), side="right")
+        keys = _encode(batch)
+        part = np.searchsorted(bounds, keys.to_numpy(), side="right")
+        # digest of ALL sort-key values + row count: collision-proof
+        # across batches (one hot doc's rows spanning two batches share
+        # every content_sha256 — the spo columns differ) yet stable on
+        # retry, so a re-executed task overwrites its own spill file
         tag = hashlib.sha1(
-            "".join(batch["content_sha256"].head(64)).encode()
+            f"{len(batch)}\x00".encode() + "\x00".join(keys).encode()
         ).hexdigest()[:16]
         counts = []
         for p in np.unique(part):

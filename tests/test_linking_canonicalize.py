@@ -51,3 +51,59 @@ def test_distinct_pairs_shuffle(ray_session):
         [{"k": "a", "v": "x"}] * 50 + [{"k": "b", "v": "y"}] * 30)
     pairs = distinct_pairs(ds, "k", "v")
     assert sorted(pairs) == [("a", "x"), ("b", "y")]
+
+
+def test_connected_components_basic(ray_session):
+    ray = ray_session
+    from mmore_ray.stages.canonicalize import connected_components
+
+    t = pa.table({"src": pa.array([1, 2, 10, 20], pa.int64()),
+                  "dst": pa.array([2, 3, 11, 20], pa.int64())})
+    labels = connected_components(ray.data.from_arrow(t), "src", "dst")
+    got = {r["node"]: r["label"] for r in labels.take_all()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_large_cross_batch(ray_session):
+    """CC on a graph whose components span blocks (shuffled edge order),
+    large enough that a driver-side label map would be the anti-pattern
+    the distributed path exists to avoid.  Labels never leave the
+    cluster: correctness is asserted with a dataset-side aggregate."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ray = ray_session
+    from mmore_ray.stages.canonicalize import connected_components
+
+    rng = np.random.default_rng(7)
+    src = np.arange(225_000, dtype=np.int64)
+    src = src[(src + 1) % 8 != 0][:200_000]  # chains of 8 nodes
+    dst = src + 1
+    perm = rng.permutation(len(src))
+    t = pa.table({"src": pa.array(src[perm]), "dst": pa.array(dst[perm])})
+    labels = connected_components(
+        ray.data.from_arrow(t).repartition(16), "src", "dst")
+
+    def bad(b: pa.Table) -> pa.Table:
+        exp = pc.multiply(pc.divide(b.column("node"), 8), 8)
+        n = pc.sum(pc.cast(pc.not_equal(b.column("label"), exp),
+                           pa.int64())).as_py() or 0
+        return pa.table({"bad": pa.array([int(n)], pa.int64())})
+
+    assert labels.count() == 225_000
+    assert labels.map_batches(bad, batch_format="pyarrow").sum("bad") == 0
+
+
+def test_connected_components_raises_when_not_converged(ray_session):
+    import pytest
+
+    ray = ray_session
+    from mmore_ray.stages.canonicalize import connected_components
+
+    # one long chain split so every edge lands in its own block — needs
+    # several rounds; max_rounds=1 must raise, not silently mislabel
+    t = pa.table({"src": pa.array(list(range(63)), pa.int64()),
+                  "dst": pa.array(list(range(1, 64)), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(32)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(ds, "src", "dst", max_rounds=1)
