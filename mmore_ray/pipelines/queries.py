@@ -490,16 +490,17 @@ def q_knn_ivf(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    from ..stages.text_analysis import detect_lang
+    from ..stages.text_analysis import detect_lang_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def fn(t: pa.Table) -> pa.Table:
-        preds = [detect_lang(x) for x in t.column("text").to_pylist()]
-        return pa.table({"doc_id": t.column("doc_id"),
-                         "lang_pred": pa.array(preds, pa.string())})
+    def fn(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].astype(np.int64)),
+            "lang_pred": pa.array(detect_lang_batch(df["text"]), pa.string()),
+        })
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 def q_quality(sf_dir: str):
@@ -516,16 +517,17 @@ def q_quality(sf_dir: str):
 
 
 def q_token_count(sf_dir: str):
-    from ..stages.text_analysis import count_tokens
+    from ..stages.text_analysis import count_tokens_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def fn(t: pa.Table) -> pa.Table:
-        n = [count_tokens(x) for x in t.column("text").to_pylist()]
-        return pa.table({"doc_id": t.column("doc_id"),
-                         "n_tokens": pa.array(n, pa.int64())})
+    def fn(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].astype(np.int64)),
+            "n_tokens": pa.array(count_tokens_batch(df["text"]), pa.int64()),
+        })
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -638,20 +640,21 @@ def q_anti_join(sf_dir: str):
     import pyarrow.compute as pc
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    keys = set()
+    key_chunks = []
     for b in orders.map_batches(
             lambda t: t.filter(pc.greater(t.column("o_totalprice"), 450_000.0)),
             batch_format="pyarrow").iter_batches(batch_size=65536,
                                                  batch_format="pyarrow"):
-        keys.update(b.column("o_custkey").to_pylist())
+        key_chunks.append(b.column("o_custkey").combine_chunks())
+    keys = pc.unique(pa.concat_arrays(key_chunks)) if key_chunks else pa.array([], pa.int64())
     key_ref = ray.put(keys)
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
 
     def fn(t: pa.Table) -> pa.Table:
         have = ray.get(key_ref)
-        mask = [k not in have for k in t.column("c_custkey").to_pylist()]
-        t = t.filter(pa.array(mask, pa.bool_()))
+        mask = pc.invert(pc.is_in(t.column("c_custkey"), value_set=have))
+        t = t.filter(mask)
         return pa.table({
             "c_custkey": t.column("c_custkey"),
             "c_name": t.column("c_name"),

@@ -101,12 +101,15 @@ class CanonicalRelabel:
         self._columns = columns or {"kb_id": "canonical"}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         canon = self._canon
         for col, out in self._columns.items():
-            vals = batch.column(col).to_pylist()
-            batch = batch.append_column(
-                out, pa.array([canon.get(v, v) for v in vals], pa.string())
-            )
+            s = batch.column(col).to_pandas()
+            # vectorized dict map with identity fallback (no row loop)
+            m = s.map(canon)
+            mapped = m.where(m.notna(), s)
+            batch = batch.append_column(out, pa.array(mapped, pa.string()))
         return batch
 
 

@@ -106,9 +106,12 @@ def near_dup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
     bands) so the miss rate at their threshold is negligible (defaults:
     r=2, b=32 → 4e-10 at s=0.7).
 
-    The verification step broadcasts an id → shingle-set map via
-    ``ray.put`` (corpus vocabulary scale; shard the map by id hash when
-    it outgrows worker memory — documented assumption)."""
+    Verification is join-based end-to-end: the distinct candidate ids
+    semi-join the corpus for their texts (``Dataset.join``), candidate
+    texts hash-join onto the pair list for both endpoints, and each
+    pair's exact shingle Jaccard is computed in the map task — no
+    driver-side candidate map, so a dup-heavy corpus cannot OOM the
+    driver."""
     from .groupby import bucketed_agg
 
     rows = n_perm // bands
@@ -166,51 +169,59 @@ def near_dup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
         num_buckets=num_buckets,
     ).materialize()
 
-    # verification: shingle sets of CANDIDATE ids only (small relative
-    # to the corpus), gathered in one filtered pass and broadcast
-    cand_ids = set()
-    for row_batch in pairs.iter_batches(batch_size=65536, batch_format="pandas"):
-        cand_ids.update(row_batch["id_a"])
-        cand_ids.update(row_batch["id_b"])
-    cand_ref = ray.put(cand_ids)
+    # verification: join-based — candidate texts reach the pair rows
+    # through hash joins, never through a driver-side map
+    def stack_ids(t: pa.Table) -> pa.Table:
+        return pa.table({"id": pa.concat_arrays([
+            t.column("id_a").combine_chunks(),
+            t.column("id_b").combine_chunks()])})
 
-    def collect_shingles(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(cand_ref)
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        keep_i, keep_s = [], []
-        for i, t in zip(ids, texts):
-            if i in wanted:
-                keep_i.append(i)
-                keep_s.append(shingle_set(t, k))
-        return pa.table({
-            "id": pa.array(keep_i, pa.int64()),
-            "shingles": pa.array(keep_s, pa.list_(pa.string())),
-        })
+    # materialized: a pending all-to-all (the distinct's sort) sharing
+    # one plan with a JoinOperator can starve it of CPU slots
+    cand_ids = bucketed_agg(
+        pairs.map_batches(stack_ids, batch_format="pyarrow"),
+        ["id"], lambda df, keys: df.drop_duplicates(subset=["id"]),
+        num_buckets=num_buckets,
+    ).materialize()
+    # semi-join: only candidate docs' texts leave the scan
+    cand_docs = cand_ids.join(
+        source, join_type="inner", num_partitions=16,
+        on=("id",), right_on=(id_col,),
+    ).materialize()
 
-    shingle_map: dict[int, frozenset] = {}
-    for row_batch in source.map_batches(
-            collect_shingles, batch_format="pyarrow",
-            batch_size=2048).iter_batches(batch_size=8192,
-                                          batch_format="pyarrow"):
-        for i, s in zip(row_batch.column("id").to_pylist(),
-                        row_batch.column("shingles").to_pylist()):
-            shingle_map[i] = frozenset(s)
-    sh_ref = ray.put(shingle_map)
+    # one JoinOperator per execution (materialize between): two joins
+    # sharing a plan can deadlock on CPU slots at low parallelism
+    j = pairs.join(
+        cand_docs.rename_columns({"id": "_ia", text_col: "_text_a"}),
+        join_type="inner", num_partitions=16,
+        on=("id_a",), right_on=("_ia",),
+    ).materialize().join(
+        cand_docs.rename_columns({"id": "_ib", text_col: "_text_b"}),
+        join_type="inner", num_partitions=16,
+        on=("id_b",), right_on=("_ib",),
+    )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        sm = ray.get(sh_ref)
+        cache: dict[str, frozenset] = {}
+
+        def sset(txt: str) -> frozenset:
+            s = cache.get(txt)
+            if s is None:
+                s = frozenset(shingle_set(txt, k))
+                cache[txt] = s
+            return s
+
         ja = []
-        for ia, ib in zip(df["id_a"], df["id_b"]):
-            sa, sb = sm[ia], sm[ib]
+        for ta, tb in zip(df["_text_a"], df["_text_b"]):
+            sa, sb = sset(ta), sset(tb)
             union = len(sa | sb)
             ja.append(len(sa & sb) / union if union else 0.0)
-        out = df.copy()
+        out = df[["id_a", "id_b"]].copy()
         out["jaccard_e4"] = np.floor(np.array(ja, dtype=np.float64) * 10000
                                      + 0.5).astype(np.int64)
         return out[out["jaccard_e4"] >= int(threshold * 10000)]
 
-    return pairs.map_batches(verify, batch_format="pandas")
+    return j.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -302,46 +313,76 @@ def near_dup_simhash(ds, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 def embedding_near_dup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
-                       threshold: float = 0.999):
-    """Pairs with cosine ≥ threshold, exact blocked matmul.
+                       threshold: float = 0.999, n_centroids: int = 16,
+                       nprobe: int = 2, train_sample: int = 4096,
+                       num_buckets: int = 64):
+    """Pairs with cosine ≥ threshold — IVF-bucketed exact verification.
 
-    The full normalized matrix is broadcast once (``ray.put``); each
-    batch computes its block-row of the similarity matrix against the
-    whole — O(n²d) flops spread across the cluster with no shuffle.
-    For n beyond broadcast capacity, the IVF index in
-    ``stages/similarity.py`` prunes the candidate space first."""
-    mat_ids: list[int] = []
-    vecs: list[list[float]] = []
-    for batch in ds.select_columns([id_col, vec_col]).iter_batches(
-            batch_size=8192, batch_format="pyarrow"):
-        mat_ids.extend(batch.column(id_col).to_pylist())
-        vecs.extend(batch.column(vec_col).to_pylist())
-    order = np.argsort(mat_ids, kind="stable")
-    ids_sorted = np.array(mat_ids, dtype=np.int64)[order]
-    V = np.array(vecs, dtype=np.float64)[order]
-    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids_sorted, V))
+    Scale shape (no full-matrix broadcast, no O(n·d) driver state):
 
-    def block(batch: pa.Table) -> pa.Table:
-        ids_all, Vn = ray.get(ref)
+      1. centroids are trained on a BOUNDED driver-side sample
+         (``train_sample`` rows) and broadcast — tiny;
+      2. each vector is assigned to its ``nprobe`` nearest centroids
+         (multi-probe: a pair at cos ≥ threshold ≈ 1 has near-identical
+         centroid similarities, so the two top-``nprobe`` sets always
+         intersect — missing a pair needs BOTH probes to differ);
+      3. pairs are found by an exact normalized matmul WITHIN each
+         centroid bucket (``groupby(bucket).map_groups``), then deduped
+         across shared buckets.
+
+    Pick ``n_centroids`` ~ n/bucket_budget so one bucket's vectors fit a
+    worker; skewed buckets are the residual risk (salt or split by a
+    secondary hash if one centroid attracts the corpus)."""
+    from .groupby import bucketed_agg
+    from .similarity import _normalize, train_centroids
+
+    sample = ds.select_columns([vec_col]).limit(train_sample).to_pandas()
+    Vs = np.array(sample[vec_col].tolist(), dtype=np.float64)
+    C = train_centroids(Vs, min(n_centroids, len(Vs)))
+    c_ref = ray.put(C)
+    dim = Vs.shape[1]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cn = ray.get(c_ref)
         ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
-        Q = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-        S = Q @ Vn.T
-        ia, ib, cos = [], [], []
-        for r in range(len(ids)):
-            hits = np.where(S[r] >= threshold)[0]
-            for c in hits:
-                if ids[r] < ids_all[c]:
-                    ia.append(int(ids[r]))
-                    ib.append(int(ids_all[c]))
-                    cos.append(float(S[r, c]))
+        Vn = _normalize(np.array(batch.column(vec_col).to_pylist(),
+                                 dtype=np.float64))
+        npb = min(nprobe, len(Cn))
+        probes = np.argsort(-(Vn @ Cn.T), axis=1)[:, :npb]  # (n, nprobe)
+        reps = np.repeat(np.arange(len(ids)), npb)
+        flat = pa.array(Vn[reps].ravel(), pa.float64())
+        return pa.table({
+            "bucket": pa.array(probes.reshape(-1).astype(np.int64)),
+            "id": pa.array(np.repeat(ids, npb)),
+            "vec": pa.FixedSizeListArray.from_arrays(flat, dim),
+        })
+
+    assigned = ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow", batch_size=4096)
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pa.Table:
+        ids = df["id"].to_numpy()
+        V = np.stack(df["vec"].to_numpy())
+        S = V @ V.T
+        iu, ju = np.where(S >= threshold)
+        ia, ib = ids[iu], ids[ju]
+        keep = ia < ib
+        ia, ib = ia[keep], ib[keep]
+        cos = S[iu[keep], ju[keep]]
         return pa.table({
             "id_a": pa.array(ia, pa.int64()),
             "id_b": pa.array(ib, pa.int64()),
             "cos_e3": pa.array(
-                np.floor(np.array(cos) * 1000 + 0.5).astype(np.int64)
-                if cos else np.array([], dtype=np.int64)),
+                np.floor(cos * 1000 + 0.5).astype(np.int64)),
         })
 
-    return ds.map_batches(block, batch_format="pyarrow", batch_size=1024)
+    pairs = assigned.groupby("bucket").map_groups(
+        lambda df: pairs_in_bucket(df.drop(columns=["bucket"])),
+        batch_format="pandas")
+
+    # a pair sharing several probed buckets appears once per bucket
+    return bucketed_agg(
+        pairs, ["id_a", "id_b"],
+        lambda df, keys: df.drop_duplicates(subset=["id_a", "id_b"]),
+        num_buckets=num_buckets,
+    )

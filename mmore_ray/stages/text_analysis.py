@@ -32,6 +32,16 @@ LANG_PROFILES: dict[str, list[str]] = {
 
 _TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
 
+# One compiled per-language regex counting whole space-delimited tokens:
+# space-only lookarounds reproduce split-by-space semantics exactly (a
+# "\n"-suffixed token must NOT match, as in the SQL oracle's
+# string_split(text, ' ')).
+_LANG_RES: dict[str, re.Pattern] = {
+    lang: re.compile(
+        "(?<![^ ])(?:" + "|".join(map(re.escape, words)) + ")(?![^ ])")
+    for lang, words in LANG_PROFILES.items()
+}
+
 
 def detect_lang(text: str) -> str:
     """argmax over stopword hit-counts; 'unknown' when nothing hits
@@ -45,6 +55,24 @@ def detect_lang(text: str) -> str:
         if score > best_score:
             best_lang, best_score = lang, score
     return best_lang
+
+
+def detect_lang_batch(s: pd.Series) -> np.ndarray:
+    """Vectorized :func:`detect_lang` over a text column — one compiled
+    regex scan per language instead of a Python loop per document
+    (this is the 100-TB hot path).  np.argmax returns the FIRST max,
+    which is the same ascending-language tie-break."""
+    langs = sorted(LANG_PROFILES)
+    scores = np.stack(
+        [s.str.count(_LANG_RES[lang]).to_numpy() for lang in langs], axis=1)
+    out = np.array(langs, dtype=object)[np.argmax(scores, axis=1)]
+    out[scores.max(axis=1) == 0] = "unknown"
+    return out
+
+
+def count_tokens_batch(s: pd.Series) -> np.ndarray:
+    """Vectorized :func:`count_tokens` (regex count, no findall lists)."""
+    return s.str.count(_TOKEN_RE).to_numpy().astype(np.int64)
 
 
 def quality_stats(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
