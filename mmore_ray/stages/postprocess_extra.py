@@ -13,30 +13,43 @@ NER_STRUCT = pa.struct([
 ])
 
 
-def tag_ner(batch: pa.Table) -> pa.Table:
-    """≙ NERecognizer (ner/ner.py:18-31): run extraction per sample and
-    store the graph NODES into a column (the reference persists nodes
-    only into ``metadata.extra['ner']``; edges flow through the KG
-    pipeline instead, SURVEY §7.5)."""
+def make_ner_tagger(**scanner_kwargs):
+    """≙ NERecognizer (ner/ner.py:18-31) with the NERExtractorConfig
+    surface (ner/extractor.py:26-33) exposed: ``gazetteer_path``,
+    ``entity_types``, ``tuple_delimiter``, ``record_delimiter`` pass
+    through to :class:`mentions.MentionScanner`.  Runs extraction per
+    sample and stores the graph NODES into a column (the reference
+    persists nodes only into ``metadata.extra['ner']``; edges flow
+    through the KG pipeline instead, SURVEY §7.5)."""
     from .mentions import MentionScanner
 
-    global _NER_SCANNER
+    scanner = MentionScanner(**scanner_kwargs)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch.column("text").to_pylist():
+            mentions, _ = scanner._scan(text)
+            graph_nodes = {}
+            for m in mentions:
+                graph_nodes[m["entity_key"]] = {
+                    "entity": m["entity_key"],
+                    "type": m["entity_type"],
+                    "description": [f"MENTION OF {m['entity_key']}"],
+                }
+            out.append(list(graph_nodes.values()))
+        return batch.append_column("ner", pa.array(out, pa.list_(NER_STRUCT)))
+
+    return fn
+
+
+def tag_ner(batch: pa.Table) -> pa.Table:
+    """Default-config NER tagger (scanner compiled once per worker)."""
+    global _NER_FN
     try:
-        scanner = _NER_SCANNER
+        fn = _NER_FN
     except NameError:
-        scanner = _NER_SCANNER = MentionScanner()
-    out = []
-    for text in batch.column("text").to_pylist():
-        mentions, _ = scanner._scan(text)
-        graph_nodes = {}
-        for m in mentions:
-            graph_nodes[m["entity_key"]] = {
-                "entity": m["entity_key"],
-                "type": m["entity_type"],
-                "description": [f"MENTION OF {m['entity_key']}"],
-            }
-        out.append(list(graph_nodes.values()))
-    return batch.append_column("ner", pa.array(out, pa.list_(NER_STRUCT)))
+        fn = _NER_FN = make_ner_tagger()
+    return fn(batch)
 
 
 def metadata_infusor(template: str, position: str = "prepend"):

@@ -8,8 +8,10 @@ stage; dispatch is by extension, mirroring each reference processor's
 ``accepts`` list.
 
 Real implementations (stdlib only): text, markdown, html, eml,
-csv/tsv.  Heavy-dependency processors (pdf/marker, docx/mammoth,
-pptx/python-pptx, xlsx/openpyxl, media/whisper, url/trafilatura) keep
+csv/tsv, pdf (fast path over the minimal text layer in
+``sources/pdfmini.py``), docx (zipfile + ElementTree).  The remaining
+heavy-dependency processors (marker full-path PDF models,
+pptx/python-pptx, xlsx/openpyxl, media/whisper, live-fetch url) keep
 real plumbing — registration, accepts, batch signature, output schema —
 but ``parse`` raises ``NotImplementedError`` naming the missing
 library, exactly like running the reference without its extras
@@ -187,18 +189,53 @@ class SpreadsheetProcessor(ProcessorBase):
 
 
 class PDFProcessor(ProcessorBase):
-    """≙ pdf_processor.py:36 — full path needs marker-pdf GPU models,
-    fast path needs PyMuPDF; neither is in this env.  At scale this is
-    the canonical actor-pool stage: models load once per actor
-    (``__init__``), `concurrency=N, num_gpus=1` (see
-    stages/multimodal.py for the wired stub)."""
+    """≙ pdf_processor.py:36 — the fast path (``process_fast``,
+    pdf_processor.py:258-326) implemented for real against the minimal
+    stdlib PDF text layer (``sources/pdfmini.py``): per-page
+    ``clean_text``, paragraph offsets ``(char_offset, page_num,
+    para_idx)`` with the terminal ``(total, -1, -1)`` sentinel, page
+    texts concatenated raw.  Binary payloads travel latin-1-decoded in
+    the string ``content`` column (1:1 byte mapping).
+
+    The marker full path (GPU layout models, pdf_processor.py:96-185)
+    stays out of scope in this env; its actor-pool shape — models per
+    actor, ``concurrency=N, num_gpus=1`` — is documented in
+    stages/multimodal.py.  Image extraction needs a raster decoder, so
+    the fast path emits text + paragraph metadata only here."""
 
     EXTENSIONS = (".pdf",)
     NAME = "PDFProcessor"
 
     @classmethod
-    def parse(cls, file_name: str, payload: str) -> dict:
-        raise NotImplementedError("pdf parsing requires marker-pdf or pymupdf")
+    def parse(cls, file_name: str, payload) -> dict:
+        from ..sources.pdfmini import extract_pages
+
+        data = payload.encode("latin-1") if isinstance(payload, str) else payload
+        pages = extract_pages(data)
+        if not pages:
+            # parity with the reference's per-file failure path: an
+            # unparseable PDF raises and is skipped/collected upstream
+            raise ValueError("no parseable pages (not a simple text PDF)")
+        paragraph_starts: list[tuple[int, int, int]] = []
+        parts: list[str] = []
+        pos = 0
+        for page_num, raw in enumerate(pages):
+            text = clean_text(raw)
+            if not text.strip():
+                continue
+            para_idx = 0
+            offset_in_page = 0
+            for segment in text.split("\n\n"):
+                if segment.strip():
+                    paragraph_starts.append(
+                        (pos + offset_in_page, page_num, para_idx))
+                    para_idx += 1
+                offset_in_page += len(segment) + 2  # the "\n\n" separator
+            parts.append(text)
+            pos += len(text)
+        paragraph_starts.append((pos, -1, -1))
+        return {"text": "".join(parts), "modalities": [],
+                "metadata": {"paragraph_starts": paragraph_starts}}
 
 
 class MediaProcessor(ProcessorBase):
@@ -213,13 +250,63 @@ class MediaProcessor(ProcessorBase):
         raise NotImplementedError("media parsing requires whisper/moviepy")
 
 
+_DOCX_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+_DOCX_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_DOCX_R = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+           "relationships}")
+
+
 class DOCXProcessor(ProcessorBase):
+    """≙ docx_processor.py:27-133 — the reference runs mammoth→HTML→
+    markdownify and swaps images for ``<attachment>`` tags + image
+    modalities.  A .docx is a zip of XML, so the same observable output
+    (markdown-ish paragraphs, heading prefixes, attachment tags) comes
+    from stdlib zipfile + ElementTree: ``w:p`` paragraphs joined by
+    blank lines, ``HeadingN`` styles → ``#`` prefixes, ``a:blip``
+    image refs resolved through the rels part.  Binary payloads travel
+    latin-1-decoded in the string ``content`` column."""
+
     EXTENSIONS = (".docx",)
     NAME = "DOCXProcessor"
 
     @classmethod
-    def parse(cls, file_name: str, payload: str) -> dict:
-        raise NotImplementedError("docx parsing requires mammoth")
+    def parse(cls, file_name: str, payload) -> dict:
+        import zipfile
+        from xml.etree import ElementTree as ET
+
+        data = payload.encode("latin-1") if isinstance(payload, str) else payload
+        zf = zipfile.ZipFile(io.BytesIO(data))
+        rels: dict[str, str] = {}
+        try:
+            for rel in ET.fromstring(zf.read("word/_rels/document.xml.rels")):
+                rels[rel.get("Id") or ""] = rel.get("Target") or ""
+        except KeyError:
+            pass
+        root = ET.fromstring(zf.read("word/document.xml"))
+        modalities: list[dict] = []
+        paras: list[str] = []
+        for p in root.iter(f"{_DOCX_W}p"):
+            style = p.find(f"{_DOCX_W}pPr/{_DOCX_W}pStyle")
+            prefix = ""
+            if style is not None:
+                m = re.match(r"Heading([1-6])",
+                             style.get(f"{_DOCX_W}val") or "")
+                if m:
+                    prefix = "#" * int(m.group(1)) + " "
+            parts = []
+            for node in p.iter():
+                if node.tag == f"{_DOCX_W}t":
+                    parts.append(node.text or "")
+                elif node.tag == f"{_DOCX_A}blip":
+                    rid = node.get(f"{_DOCX_R}embed") or ""
+                    modalities.append(
+                        {"type": "image", "value": rels.get(rid, rid)})
+                    parts.append(ATTACHMENT_TAG)
+            text = "".join(parts)
+            if text.strip():
+                paras.append(prefix + text)
+        return {"text": clean_text("\n\n".join(paras)),
+                "modalities": modalities}
 
 
 class PPTXProcessor(ProcessorBase):

@@ -48,3 +48,31 @@ def test_config_driven_run(ray_session, tmp_path, monkeypatch):
     monkeypatch.setenv("TEST_DATA_ROOT", str(tmp_path))
     stats = run_from_config(CFG, str(tmp_path / "out"))
     assert stats["processed"] >= 2
+
+
+def test_ner_config_surface_custom_gazetteer(tmp_path):
+    """NERExtractorConfig analogue via YAML args (ner/extractor.py:26-33):
+    gazetteer file + entity-type allowlist + custom delimiters drive the
+    scanner end-to-end."""
+    import pyarrow as pa
+
+    gaz = tmp_path / "gaz.tsv"
+    gaz.write_text(
+        "# surface\ttype\tkb_id\n"
+        "Widget\tPRODUCT\tKB:WIDGET\n"
+        "Acme\tORGANIZATION\tKB:ACME\n"
+        "Zurich\tLOCATION\tKB:ZURICH\n"
+    )
+    stage = build_stage({"type": "ner", "args": {
+        "gazetteer_path": str(gaz),
+        "entity_types": ["PRODUCT", "ORGANIZATION"],  # LOCATION filtered
+        "tuple_delimiter": "||",
+        "record_delimiter": "@@",
+    }})
+    batch = pa.table({"text": pa.array(
+        ["Acme ships a Widget from Zurich", "nothing here"], pa.string())})
+    out = stage(batch)
+    ner = out.column("ner").to_pylist()
+    got = {(e["entity"], e["type"]) for e in ner[0]}
+    assert got == {("ACME", "ORGANIZATION"), ("WIDGET", "PRODUCT")}
+    assert ner[1] == []

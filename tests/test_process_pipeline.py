@@ -71,17 +71,103 @@ def test_csv_to_string():
     assert "a" in out["text"] and "3" in out["text"]
 
 
+def test_pdfmini_roundtrip_and_fast_path():
+    from mmore_ray.sources.pdfmini import extract_pages, make_pdf
+
+    pages = ["alpha beta gamma", "with (parens) \\ and\ntwo lines", "last"]
+    for compress in (False, True):
+        pdf = make_pdf(pages, compress=compress)
+        got = extract_pages(pdf)
+        assert got == ["".join(ln + "\n" for ln in p.split("\n"))
+                       for p in pages]
+
+    r = PDFProcessor.parse("f.pdf", make_pdf(pages).decode("latin-1"))
+    text = r["text"]
+    ps = r["metadata"]["paragraph_starts"]
+    # one paragraph per page + terminal sentinel (pdf_processor.py:322)
+    assert ps[-1] == (len(text), -1, -1)
+    assert [p[1] for p in ps[:-1]] == [0, 1, 2]
+    for off, page, _ in ps[:-1]:
+        assert text[off:off + 4] == (pages[page] + "\n")[:4]
+    # empty page is dropped by the strip gate, page numbering preserved
+    r2 = PDFProcessor.parse("g.pdf", make_pdf(["one", "", "three"]).decode("latin-1"))
+    assert r2["text"] == "one\nthree\n"
+    assert [p[1] for p in r2["metadata"]["paragraph_starts"][:-1]] == [0, 2]
+
+
+def _make_docx(paragraphs, images=None) -> bytes:
+    """Minimal .docx: document.xml paragraphs (+optional Heading style
+    as ('H2', text) tuples), a:blip image refs resolved via rels."""
+    import io as _io
+    import zipfile
+
+    images = images or {}
+    body = []
+    for p in paragraphs:
+        style = ""
+        if isinstance(p, tuple):
+            style = f'<w:pPr><w:pStyle w:val="Heading{p[0]}"/></w:pPr>'
+            p = p[1]
+        runs = ""
+        for part in p.split("\x00"):  # \x00 marks an image position
+            runs += f"<w:r><w:t>{part}</w:t></w:r>"
+            if "\x00" in p and part != p.split("\x00")[-1]:
+                rid = list(images)[0]
+                runs += (f'<w:r><w:drawing><a:blip r:embed="{rid}"/>'
+                         f"</w:drawing></w:r>")
+        body.append(f"<w:p>{style}{runs}</w:p>")
+    doc = (
+        '<?xml version="1.0"?><w:document '
+        'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main" '
+        'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<w:body>{''.join(body)}</w:body></w:document>")
+    rels = ('<?xml version="1.0"?><Relationships '
+            'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            + "".join(f'<Relationship Id="{rid}" Target="{t}"/>'
+                      for rid, t in images.items())
+            + "</Relationships>")
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+        zf.writestr("word/_rels/document.xml.rels", rels)
+    return buf.getvalue()
+
+
+def test_docx_processor_paragraphs_headings_images():
+    from mmore_ray.stages.processors import DOCXProcessor
+
+    blob = _make_docx(
+        [("1", "Title"), "First paragraph.", "Before\x00After"],
+        images={"rId7": "media/image1.png"},
+    )
+    r = DOCXProcessor.parse("d.docx", blob.decode("latin-1"))
+    assert r["text"] == (
+        "# Title\n\nFirst paragraph.\n\nBefore" + ATTACHMENT_TAG + "After")
+    assert r["modalities"] == [{"type": "image", "value": "media/image1.png"}]
+    # dispatch wires it
+    out = process_batch(pa.table({
+        "file_path": ["/x/d.docx"],
+        "content": [blob.decode("latin-1")],
+    }))
+    assert out.column("processor_type").to_pylist() == ["DOCXProcessor"]
+
+
 def test_process_batch_skips_unsupported_and_stubs():
     batch = pa.table({
         "file_path": ["/x/a.txt", "/x/b.pdf", "/x/c.nope"],
         "content": ["hello world", "%PDF-1.4", "???"],
     })
     out = process_batch(batch)
+    # the malformed pdf (no page objects) fails per-file and is skipped
     assert out.num_rows == 1
     assert out.column("processor_type").to_pylist() == ["TextProcessor"]
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         process_batch(pa.table({"file_path": ["/x/b.pdf"],
                                 "content": ["%PDF"]}), on_error="raise")
+    with pytest.raises(NotImplementedError):
+        process_batch(pa.table({"file_path": ["/x/s.pptx"],
+                                "content": ["zip"]}), on_error="raise")
 
 
 def test_process_batch_collect_emits_error_rows():
@@ -93,10 +179,10 @@ def test_process_batch_collect_emits_error_rows():
     })
     out = process_batch(batch, on_error="collect")
     kinds = out.column("processor_type").to_pylist()
-    assert kinds.count(ERROR_PROCESSOR) >= 2  # pdf stub + no-processor
+    assert kinds.count(ERROR_PROCESSOR) >= 2  # bad pdf + no-processor
     errs = {p: t for p, t in zip(out.column("file_path").to_pylist(),
                                  out.column("text").to_pylist())
-            if t and "processor" in t or "NotImplementedError" in t}
+            if t and ("processor" in t or "Error" in t)}
     assert "/x/b.pdf" in errs and "/x/c.nope" in errs
 
 
