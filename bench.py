@@ -123,6 +123,26 @@ def main() -> None:
                                      max_concurrent_shards=4))
     timings["kg_full_run"] = headline
 
+    # Ceiling control: a cache-resident compute-bound stage through the
+    # SAME Ray Data machinery, measured in the SAME process/session as
+    # the headline.  Its scaling efficiency is this box's ceiling for
+    # the session (virtualized host, shared bandwidth) — the pipeline's
+    # number is read AGAINST it, pairwise, not against 1.0.
+    def _control(batch):
+        import numpy as np
+
+        # ~0.8 s of cache-resident flops per task: coarse enough that
+        # scheduling/worker-spawn noise cannot dominate the signal
+        A = np.full((256, 256), 1.0001, dtype=np.float32)
+        for _ in range(120):
+            A = (A @ A.T) * 1e-4 + 1.0
+        return batch
+
+    control = _timed(lambda: ray.data.range(
+        64, override_num_blocks=64).map_batches(
+            _control, batch_size=1).count())
+    timings["control"] = control
+
     # Representative per-query timings (consumed via count to stream).
     for name in ("kg_graph", "q1_pricing", "q3_top_orders",
                  "q_nation_revenue", "q_events_window",
@@ -175,6 +195,9 @@ def scaling() -> None:
     r_hi = min(runs[hi], key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    c_lo = min(r["queries"]["control"] for r in runs[lo])
+    c_hi = min(r["queries"]["control"] for r in runs[hi])
+    ceff = (c_lo / c_hi) / (hi / lo)
     print(json.dumps({
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
@@ -183,6 +206,14 @@ def scaling() -> None:
         f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
         f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        # paired compute-bound control through the same machinery: the
+        # session's box ceiling (see BASELINE.md scaling section)
+        f"control_sec_{lo}": c_lo,
+        f"control_sec_{hi}": c_hi,
+        "control_all_" + str(lo): [r["queries"]["control"] for r in runs[lo]],
+        "control_all_" + str(hi): [r["queries"]["control"] for r in runs[hi]],
+        "control_efficiency": round(ceff, 3),
+        "efficiency_vs_ceiling": round(eff / ceff, 3) if ceff else None,
     }))
 
 

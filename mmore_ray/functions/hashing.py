@@ -34,3 +34,34 @@ def stable_u64(text: str) -> int:
 def sha256_column(values: Iterable[str]) -> list[str]:
     """Vector form for a batch column; hashing is C-speed per row."""
     return [hashlib.sha256(v.encode("utf-8")).hexdigest() for v in values]
+
+
+def sha256_of_string_array(arr) -> list[str]:
+    """sha256 hex per row of an Arrow string array WITHOUT materializing
+    Python str/bytes copies: rows are hashed as memoryview slices of
+    the array's utf-8 data buffer (the strings are already utf-8 on the
+    wire, so this equals ``sha256(v.encode('utf-8'))``).  Cuts one full
+    data-buffer copy from the 100-TB scan hot path."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        chunks = arr.chunks
+    else:
+        chunks = [arr]
+    out: list[str] = []
+    for chunk in chunks:
+        if chunk.null_count:  # fall back for nullable content
+            out.extend(hashlib.sha256((v or "").encode()).hexdigest()
+                       for v in chunk.to_pylist())
+            continue
+        width = np.int64 if pa.types.is_large_string(chunk.type) else np.int32
+        validity, offsets_buf, data_buf = chunk.buffers()
+        # chunk.offset: a sliced array's offsets index into the shared buffer
+        offsets = np.frombuffer(offsets_buf, dtype=width)[
+            chunk.offset:chunk.offset + len(chunk) + 1]
+        mv = memoryview(data_buf)
+        out.extend(
+            hashlib.sha256(mv[offsets[i]:offsets[i + 1]]).hexdigest()
+            for i in range(len(chunk)))
+    return out

@@ -1,8 +1,8 @@
 """Flagship pipeline: Ray-Data-native KG construction.
 
     read corpus (repo, path, commit, lang, content)
-      → map_batches(add_sha256)                  # lineage invariant
-      → map_batches(MentionScanner, conc=N)      # actor pool, per-doc graphs
+      → map_batches(MentionScanner, conc=N)      # fused sha256 lineage +
+                                                 # per-doc graphs, one pass
       → explode mentions / edges                 # flat rows, content dropped
       → map_batches(EntityLinker, conc=N)        # broadcast alias dict
       → map_batches(CanonicalRelabel)            # union-find canonical map
@@ -42,7 +42,6 @@ from ..functions.hashing import stable_u64
 from ..stages.canonicalize import build_canonical_map
 from ..stages.linking import default_alias_dict
 from ..stages.mentions import MentionScanner
-from ..stages.normalize import add_sha256
 from ..stages.triples import (
     doc_triples,
     explode_edges,
@@ -70,17 +69,19 @@ def canonical_alias_map(alias: dict[str, str] | None = None) -> dict[str, str]:
 def extract_docs(corpus_ds, gazetteer=None, concurrency=_SCAN_CONCURRENCY):
     """corpus → per-doc nested mention/edge rows (content dropped).
 
+    The scanner fuses the lineage sha256 into its single content pass
+    (buffer-level hashing + one str materialization per doc — the scan
+    is the 100-TB bandwidth hot path, so content is touched once).
+
     Default gazetteer → elastic task stage (regex compiled once per
     worker process); custom gazetteer → actor pool whose actors hold
     the compiled state (``MentionScanner.__init__``)."""
-    ds = corpus_ds.map_batches(add_sha256, batch_format="pyarrow",
-                               batch_size=_BATCH_SIZE)
     if gazetteer is None:
         from ..stages.mentions import scan_batch
 
-        return ds.map_batches(scan_batch, batch_format="pyarrow",
-                              batch_size=_BATCH_SIZE)
-    return ds.map_batches(
+        return corpus_ds.map_batches(scan_batch, batch_format="pyarrow",
+                                     batch_size=_BATCH_SIZE)
+    return corpus_ds.map_batches(
         MentionScanner,
         fn_constructor_kwargs={"gazetteer": gazetteer},
         batch_format="pyarrow",
@@ -262,7 +263,8 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
         its own file instead of duplicating it."""
         t0 = time.perf_counter()
         dirs = {name: out_dir / name / f"shard={shard:04d}"
-                for name in ("docs", "mentions", "triples", "lineage")}
+                for name in ("docs", "mentions", "triples", "lineage",
+                             "_rollup")}
         # Idempotent re-run: a crashed shard may have left partial
         # parquet behind; writes append, so clear before re-writing.
         for d in dirs.values():
@@ -289,6 +291,19 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
             pq.write_table(mentions, f"{paths['mentions']}/part-{tag}.parquet")
             triples = _doc_triples_fn(batch, canon_ref)
             pq.write_table(triples, f"{paths['triples']}/part-{tag}.parquet")
+            # per-batch PARTIAL graph rollup (vocabulary-bounded, tiny):
+            # finalize combines these driver-side instead of re-reading
+            # and shuffling the full triple set — the global rollup costs
+            # one extra tiny write per batch and zero extra passes
+            g = triples.group_by(["subj", "pred", "obj"]).aggregate(
+                [("weight", "sum"), ("weight", "count")])
+            part = pa.table({
+                "subj": g.column("subj"), "pred": g.column("pred"),
+                "obj": g.column("obj"),
+                "weight": g.column("weight_sum"),
+                "n_rows": g.column("weight_count").cast(pa.int64()),
+            })
+            pq.write_table(part, f"{paths['_rollup']}/part-{tag}.parquet")
             return lineage_rows(batch)
 
         lineage = (
@@ -325,35 +340,45 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
 
     if mf.load(out_dir, "finalize", 0) is None:
         # Phase 3: global graph rollup + globally sorted triple shards.
-        # The rollup IS the exact key distribution, so the sorted write
-        # range-partitions on known boundaries instead of sampling
-        # (stages/sortwrite.py) — Dataset.sort measured ~4x slower here.
-        import numpy as np
+        # The rollup is combined DRIVER-SIDE from the per-batch partial
+        # rollups the extract phase side-wrote (vocabulary-bounded, so
+        # the combine is tiny) — finalize never re-reads or shuffles the
+        # full triple set for it.  The rollup IS the exact key
+        # distribution, so the sorted write range-partitions on known
+        # boundaries instead of sampling (stages/sortwrite.py) —
+        # Dataset.sort measured ~4x slower here.  Keeping the serial
+        # phase lean is the Amdahl term of the scaling criterion.
+        import pyarrow.parquet as _pq
 
-        from ..stages.groupby import bucketed_sum
         from ..stages.sortwrite import write_sorted
 
         t0 = time.perf_counter()
         for d in (out_dir / "graph", out_dir / "triples_sorted"):
             shutil.rmtree(d, ignore_errors=True)
+
+        partials = [_pq.read_table(f)
+                    for f in sorted((out_dir / "_rollup").rglob("*.parquet"))]
+        rolled = (
+            pa.concat_tables(partials)
+            .group_by(["subj", "pred", "obj"])
+            .aggregate([("weight", "sum"), ("n_rows", "sum")])
+        )
+        graph_dir = out_dir / "graph"
+        graph_dir.mkdir(parents=True, exist_ok=True)
+        _pq.write_table(
+            pa.table({
+                "subj": rolled.column("subj"),
+                "pred": rolled.column("pred"),
+                "obj": rolled.column("obj"),
+                "weight": rolled.column("weight_sum"),
+            }),
+            graph_dir / "part-00000.parquet")
+        key_counts = list(zip(
+            zip(rolled.column("subj").to_pylist(),
+                rolled.column("pred").to_pylist(),
+                rolled.column("obj").to_pylist()),
+            rolled.column("n_rows_sum").to_pylist()))
         triples = ray.data.read_parquet(str(out_dir / "triples"))
-
-        def add_nrows(df):
-            df = df.copy()
-            df["n_rows"] = np.int64(1)
-            return df
-
-        rolled = bucketed_sum(
-            triples.select_columns(["subj", "pred", "obj", "weight"]),
-            ["subj", "pred", "obj"], ["weight", "n_rows"],
-            prepare=add_nrows, num_buckets=32,
-        ).materialize()
-        rolled.select_columns(["subj", "pred", "obj", "weight"]) \
-              .write_parquet(str(out_dir / "graph"))
-        # distinct-key set is bounded by vocabulary (not corpus size);
-        # collect it for driver-side boundary computation
-        key_counts = [((r["subj"], r["pred"], r["obj"]), r["n_rows"])
-                      for r in rolled.take_all()]
         write_sorted(triples, key_counts, out_dir / "triples_sorted",
                      num_partitions=32)
         mf.publish(out_dir, "finalize", 0, {

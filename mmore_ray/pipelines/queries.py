@@ -828,6 +828,106 @@ def q_process_pdf(sf_dir: str):
             .map_batches(parse_rows, batch_format="pyarrow"))
 
 
+def q_rag(sf_dir: str):
+    """RAG retrieve→generate (pipelines/rag.py): index the documents
+    table (actor-pool fake embedders, batch 64), answer three fixed
+    questions with the one-pass multi-query hybrid retrieval + the
+    deterministic extractive LLM.  Rank fusion + generation are not
+    SQL-expressible → NO_ORACLE (rows-only driver check + pytest)."""
+    import tempfile
+
+    from ..stages.embed import index_documents
+    from .rag import rag_answer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_samples(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "sample_id": pa.compute.cast(t.column("doc_id"), pa.string()),
+            "text": t.column("text"),
+        })
+
+    coll = tempfile.mkdtemp(prefix="rag_coll_")
+    index_documents(ds.map_batches(to_samples, batch_format="pyarrow"), coll)
+    out = rag_answer(coll, {
+        "q1": "customer orders pending",
+        "q2": "final deposits across the foxes",
+        "q3": "slyly regular packages",
+    }, k=3)
+    return out[["query_id", "question", "answer", "n_docs"]]
+
+
+def q_mentions_regions(sf_dir: str):
+    """Lang-aware mention detection (the north rule's "tree-sitter +
+    regex gazetteers" contract, stages/code_regions.py): split each
+    source file into docstring/comment/prose regions per language,
+    scan the gazetteer INSIDE regions only, roll up occurrences per
+    (file, region_type, surface)."""
+    from ..stages.code_regions import explode_regions
+    from ..stages.groupby import bucketed_sum
+
+    regions = _corpus_ds(sf_dir).map_batches(explode_regions,
+                                             batch_format="pyarrow")
+
+    def scan(batch: pa.Table) -> pa.Table:
+        from ..stages.mentions import get_default_scanner
+
+        sc = get_default_scanner()
+        out = {"repo": [], "path": [], "region_type": [], "surface": [],
+               "entity_type": [], "n_occ": []}
+        for r, p, rt, txt in zip(batch.column("repo").to_pylist(),
+                                 batch.column("path").to_pylist(),
+                                 batch.column("region_type").to_pylist(),
+                                 batch.column("region_text").to_pylist()):
+            for m in sc._scan(txt)[0]:
+                out["repo"].append(r)
+                out["path"].append(p)
+                out["region_type"].append(rt)
+                out["surface"].append(m["surface"])
+                out["entity_type"].append(m["entity_type"])
+                out["n_occ"].append(m["n_occ"])
+        return pa.table({
+            "repo": pa.array(out["repo"], pa.string()),
+            "path": pa.array(out["path"], pa.string()),
+            "region_type": pa.array(out["region_type"], pa.string()),
+            "surface": pa.array(out["surface"], pa.string()),
+            "entity_type": pa.array(out["entity_type"], pa.string()),
+            "n_occ": pa.array(out["n_occ"], pa.int64()),
+        })
+
+    found = regions.map_batches(scan, batch_format="pyarrow")
+    return bucketed_sum(
+        found, ["repo", "path", "region_type", "surface", "entity_type"],
+        ["n_occ"], num_buckets=32)
+
+
+def q_translate(sf_dir: str):
+    """Translator post-processor end-to-end (translator/base.py:87-126
+    semantics): documents are first de-ified through the deterministic
+    en→de word table, then run through the translator stage — classify,
+    gate, segment-split, dictionary-translate back to EN, preserve
+    ``original_text``.  The word tables are positional-zip inverses, so
+    a fully-gated doc round-trips to its original text (the oracle
+    states the maps explicitly)."""
+    from ..stages.postprocess_extra import dictionary_translate, translator
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    stage = translator(target_lang="en", confidence=0.0)
+
+    def prep(t: pa.Table) -> pa.Table:
+        texts = [dictionary_translate(x, "en", "de")
+                 for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(texts, pa.string())})
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "text", "original_text"])
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .map_batches(stage, batch_format="pyarrow")
+            .map_batches(project, batch_format="pyarrow"))
+
+
 def q_filter_quality(sf_dir: str):
     """The datatrove-ladder composite: Gopher quality rules +
     unigram-logprob gate over documents (stages/filters.py — the
@@ -923,7 +1023,10 @@ QUERIES = {
 #                     exact brute force is asserted in pytest instead.
 #   q_dedup_simhash — 64-bit sketch with bitwise voting; no reasonable
 #                     SQL form.  Invariants asserted in pytest.
-NO_ORACLE: set[str] = {"q_knn_ivf", "q_dedup_simhash"}
+#   q_rag           — hybrid rank fusion + extractive generation; no
+#                     SQL form.  Retrieval/LLM behavior pinned in
+#                     pytest (tests/test_rag.py).
+NO_ORACLE: set[str] = {"q_knn_ivf", "q_dedup_simhash", "q_rag"}
 
 _SHINGLE_CTES = """
 WITH docs AS (
@@ -1257,3 +1360,102 @@ def _filter_quality_sql() -> str:
 
 QUERIES["q_filter_quality"] = q_filter_quality
 ORACLES["q_filter_quality"] = _filter_quality_sql()
+
+
+def _translate_sql() -> str:
+    """en→de construction + classify + per-language back-map, with the
+    engine's exact gate (argmax ties break lang-ascending; translate
+    iff best ≠ en and best score ≥ 1 hit)."""
+    from ..stages.text_analysis import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    en = LANG_PROFILES["en"]
+
+    def word_map(table: dict[str, str]) -> str:
+        cases = " ".join(f"WHEN w = '{k}' THEN '{v}'"
+                         for k, v in table.items())
+        return (f"array_to_string(list_transform(ws, "
+                f"w -> CASE {cases} ELSE w END), ' ')")
+
+    en2de = word_map(dict(zip(en, LANG_PROFILES["de"])))
+    scores = ", ".join(
+        "len(list_filter(ws, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        + f"], x))) AS s_{lang}"
+        for lang in langs
+    )
+    gmax = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    best = ("CASE WHEN " + gmax + " = 0 THEN 'unknown' "
+            + " ".join(f"WHEN s_{lang} = {gmax} THEN '{lang}'"
+                       for lang in langs) + " END")
+    backs = " ".join(
+        f"WHEN best = '{lang}' THEN {word_map(dict(zip(LANG_PROFILES[lang], en)))}"
+        for lang in langs if lang != "en")
+    return f"""
+      WITH src AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      ),
+      de AS (SELECT doc_id, {en2de} AS t FROM src),
+      d2 AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM de),
+      sc AS (SELECT doc_id, t, ws, {scores} FROM d2),
+      cl AS (SELECT doc_id, t, ws, {best} AS best, {gmax} AS gm FROM sc)
+      SELECT doc_id,
+             CASE WHEN best != 'en' AND best != 'unknown' AND gm >= 1
+                  THEN CASE {backs} ELSE t END
+                  ELSE t END AS text,
+             CASE WHEN best != 'en' AND best != 'unknown' AND gm >= 1
+                  THEN t ELSE '' END AS original_text
+      FROM cl"""
+
+
+QUERIES["q_translate"] = q_translate
+ORACLES["q_translate"] = _translate_sql()
+
+
+def _mentions_regions_sql() -> str:
+    """Same region-extraction spec as stages/code_regions.py, stated in
+    SQL, then the replace-count occurrence oracle per region."""
+    strip1 = ("CASE WHEN substr({x}, 1, 1) = ' ' THEN substr({x}, 2) "
+              "ELSE {x} END")
+    py_comment = strip1.format(x="substr(ln, strpos(ln, '#') + 1)")
+    js_comment = strip1.format(x="substr(ln, strpos(ln, '//') + 2)")
+    return f"""
+      WITH corpus AS ({corpus_sql()}),
+      region AS (
+        SELECT repo, path, 'docstring' AS region_type,
+               unnest(regexp_extract_all(content, '\"\"\"(.*?)\"\"\"', 1, 's')) AS region_text
+        FROM corpus WHERE lang = 'python'
+        UNION ALL
+        SELECT repo, path, 'comment', {py_comment}
+        FROM (SELECT repo, path,
+                     unnest(string_split(content, chr(10))) AS ln
+              FROM corpus WHERE lang = 'python')
+        WHERE contains(ln, '#')
+        UNION ALL
+        SELECT repo, path, 'docstring',
+               trim(unnest(regexp_extract_all(content, '/\\*+(.*?)\\*/', 1, 's')), ' *')
+        FROM corpus WHERE lang = 'javascript'
+        UNION ALL
+        SELECT repo, path, 'comment', {js_comment}
+        FROM (SELECT repo, path,
+                     unnest(string_split(content, chr(10))) AS ln
+              FROM corpus WHERE lang = 'javascript')
+        WHERE contains(ln, '//')
+        UNION ALL
+        SELECT repo, path, 'prose', content
+        FROM corpus WHERE lang NOT IN ('python', 'javascript')
+      ),
+      m AS (
+        SELECT r.repo, r.path, r.region_type, g.surface, g.entity_type,
+               (length(r.region_text) - length(replace(r.region_text, g.surface, '')))
+                 // length(g.surface) AS n_occ
+        FROM region r JOIN {gazetteer_sql()} ON contains(r.region_text, g.surface)
+      )
+      SELECT repo, path, region_type, surface, entity_type,
+             CAST(sum(n_occ) AS BIGINT) AS n_occ
+      FROM m GROUP BY ALL"""
+
+
+QUERIES["q_mentions_regions"] = q_mentions_regions
+ORACLES["q_mentions_regions"] = _mentions_regions_sql()
+QUERIES["q_rag"] = q_rag

@@ -1,0 +1,123 @@
+"""RAG retrieve→generate pipeline (reference ``rag/pipeline.py``).
+
+The reference chains Milvus hybrid retrieval → context formatting
+(``[{rank}] {content}`` blocks, pipeline.py:93-97) → a chat prompt
+(DEFAULT_PROMPT, pipeline.py:28-33) → an LLM → answer per query.  Here
+the same observable contract runs Ray-native:
+
+  * **retrieval is ONE pass for ALL queries** — the query matrix
+    (dense + sparse) is broadcast once and every collection batch
+    scores all queries locally, keeping per-query local top-k
+    (the knn_brute_force shape; no per-query collection scan);
+  * context assembly and generation run over the tiny top-k result
+    set; the LLM is a deterministic extractive fake (this container
+    has no model — same treatment as the embedders, which the
+    reference's own tests also fake) behind the ``llm`` hook.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+try:
+    import ray
+except ImportError:  # pragma: no cover
+    ray = None
+
+# ≙ pipeline.py:28-33
+DEFAULT_PROMPT = (
+    "Use the following context to answer the questions. If none of the "
+    "context answer the question, just say you don't know.\n\n"
+    "Context:\n{context}\n"
+)
+
+DONT_KNOW = "I don't know."
+
+
+def format_docs(texts: list[str]) -> str:
+    """≙ RAGPipeline.format_docs (pipeline.py:93-97): rank-tagged blocks."""
+    return "\n\n".join(f"[{i + 1}] {t}" for i, t in enumerate(texts))
+
+
+class FakeChatLLM:
+    """Deterministic extractive stand-in for the chat model: answers
+    with the context sentence sharing the most words with the question,
+    or the don't-know fallback the prompt instructs.  Loads once per
+    actor when used in a pool; swap a real model via the ``llm`` hook
+    of :func:`rag_answer`."""
+
+    def generate(self, prompt: str, question: str) -> str:
+        q = set(question.lower().split())
+        best, best_score = DONT_KNOW, 0
+        for line in prompt.splitlines():
+            line = line.strip()
+            if not line or line.startswith(("Context:", "Use the following")):
+                continue
+            for sent in line.split(". "):
+                score = sum(1 for w in sent.lower().split() if w in q)
+                if score > best_score:
+                    best, best_score = sent.strip(), score
+        return best
+
+
+def rag_answer(collection_dir: str, queries: dict[str, str], k: int = 3,
+               dense_weight: float = 0.5, llm=None,
+               prompt: str = DEFAULT_PROMPT) -> pd.DataFrame:
+    """Answer ``queries`` ({query_id: question}) against an indexed
+    parquet collection (built by ``stages/embed.index_documents``).
+
+    Returns (query_id, question, answer, context, n_docs) — small,
+    driver-side, like the reference's API response."""
+    import ray.data  # noqa: F401 — also binds `ray` in function scope
+
+    from ..stages.embed import FakeDenseEmbedder, FakeSparseEmbedder
+
+    llm = llm or FakeChatLLM()
+    q_ids = sorted(queries)
+    dense = FakeDenseEmbedder()
+    sparse = FakeSparseEmbedder()
+    Q = np.stack([dense.embed_one(queries[q]) for q in q_ids])
+    SQ = [dict(zip(*sparse.embed_one(queries[q]))) for q in q_ids]
+    q_ref = ray.put((Q, SQ))
+
+    def score(batch: pa.Table) -> pa.Table:
+        Qm, SQm = ray.get(q_ref)
+        D = np.array(batch.column("dense_embedding").to_pylist())
+        d_cos = Qm @ D.T  # (nq, nb)
+        sp_i = batch.column("sparse_indices").to_pylist()
+        sp_v = batch.column("sparse_values").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = {"qi": [], "text": [], "score": []}
+        for qi, sq in enumerate(SQm):
+            s_dot = np.array([
+                sum(sq.get(i, 0.0) * v for i, v in zip(idxs, vals))
+                for idxs, vals in zip(sp_i, sp_v)])
+            hybrid = dense_weight * d_cos[qi] + (1 - dense_weight) * s_dot
+            top = np.argsort(-hybrid)[:k]  # local top-k per query
+            for c in top:
+                out["qi"].append(qi)
+                out["text"].append(texts[c])
+                out["score"].append(float(hybrid[c]))
+        return pa.table({
+            "qi": pa.array(out["qi"], pa.int64()),
+            "text": pa.array(out["text"], pa.string()),
+            "score": pa.array(out["score"], pa.float64()),
+        })
+
+    local = ray.data.read_parquet(collection_dir).map_batches(
+        score, batch_format="pyarrow")
+    # survivors ≤ k × blocks × nq — tiny
+    hits = local.to_pandas()
+    rows = []
+    for qi, q_id in enumerate(q_ids):
+        g = hits[hits.qi == qi].sort_values(
+            ["score", "text"], ascending=[False, True]).head(k)
+        context = format_docs(g["text"].tolist())
+        full_prompt = prompt.format(context=context)
+        answer = llm.generate(full_prompt, queries[q_id])
+        rows.append({"query_id": q_id, "question": queries[q_id],
+                     "answer": answer, "context": context,
+                     "n_docs": len(g)})
+    return pd.DataFrame(rows)

@@ -184,6 +184,17 @@ class MentionScanner:
         return mentions, edges
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # Single pass over the content column: the lineage sha256 is
+        # hashed from the Arrow buffer (no bytes copies) and the regex
+        # scan reuses ONE str materialization — content bytes are the
+        # 100-TB bandwidth budget, touch them once.
+        if "content_sha256" not in batch.column_names:
+            from ..functions.hashing import sha256_of_string_array
+
+            batch = batch.append_column(
+                "content_sha256",
+                pa.array(sha256_of_string_array(batch.column("content")),
+                         pa.string()))
         mention_col, edge_col = [], []
         for content in batch.column("content").to_pylist():
             mentions, edges = self._scan(content)
@@ -198,6 +209,14 @@ class MentionScanner:
 _PROCESS_SCANNER: MentionScanner | None = None
 
 
+def get_default_scanner() -> MentionScanner:
+    """Per-worker cached default-gazetteer scanner (compile once)."""
+    global _PROCESS_SCANNER
+    if _PROCESS_SCANNER is None:
+        _PROCESS_SCANNER = MentionScanner()
+    return _PROCESS_SCANNER
+
+
 def scan_batch(batch: pa.Table) -> pa.Table:
     """Task-stage variant of the scanner for the DEFAULT gazetteer.
 
@@ -207,7 +226,4 @@ def scan_batch(batch: pa.Table) -> pa.Table:
     the cluster.  Custom gazetteers go through the actor-pool path
     (state can't live in a module global keyed by arbitrary input).
     """
-    global _PROCESS_SCANNER
-    if _PROCESS_SCANNER is None:
-        _PROCESS_SCANNER = MentionScanner()
-    return _PROCESS_SCANNER(batch)
+    return get_default_scanner()(batch)

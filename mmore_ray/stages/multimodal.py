@@ -90,6 +90,97 @@ class FrameSampler:
             "frames", pa.array(out, pa.list_(pa.binary())))
 
 
+AUDIO_META_STRUCT = pa.struct([
+    ("format", pa.string()),
+    ("seconds", pa.int32()),
+])
+
+
+def fake_audio_bytes(seed: int, seconds: int = 30,
+                     transcript: str = "") -> bytes:
+    """Deterministic opaque payload standing in for encoded audio.
+    The transcript rides INSIDE the fake payload so the fake ASR can
+    "transcribe" it — end-to-end-testable plumbing, clearly fake."""
+    rng = np.random.default_rng(seed)
+    t = transcript.encode("utf-8")
+    header = f"FAKEAUD:{seconds}:{len(t)}:".encode()
+    return header + t + rng.integers(0, 256, size=seconds * 64,
+                                     dtype=np.uint8).tobytes()
+
+
+def fake_video_bytes(seed: int, seconds: int = 30,
+                     transcript: str = "") -> bytes:
+    """Fake video = header + embedded fake audio track + frame noise."""
+    rng = np.random.default_rng(seed)
+    audio = fake_audio_bytes(seed + 1, seconds, transcript)
+    header = f"FAKEVID:{seconds}:{len(audio)}:".encode()
+    return header + audio + rng.integers(0, 256, size=seconds * 256,
+                                         dtype=np.uint8).tobytes()
+
+
+def extract_audio_track(batch: pa.Table,
+                        video_col: str = "video_bytes") -> pa.Table:
+    """≙ the reference's moviepy audio extraction from video containers
+    (media_processor.py:160-171) — fake container parsing: slice the
+    embedded audio track out of FAKEVID payloads."""
+    out = []
+    for payload in batch.column(video_col).to_pylist():
+        if payload.startswith(b"FAKEVID:"):
+            _, secs, alen, rest = payload.split(b":", 3)
+            out.append(rest[:int(alen)])
+        else:
+            out.append(b"")
+    return batch.append_column("audio_bytes", pa.array(out, pa.binary()))
+
+
+class AsrTranscriber:
+    """Actor-pool ASR stage (≙ the reference's per-device whisper
+    pipelines, media_processor.py:39-61,155-184): the model loads ONCE
+    per actor in ``__init__``; ``__call__`` transcribes a batch of
+    audio payloads into a text column.
+
+    Production shape: ``map_batches(AsrTranscriber, concurrency=N,
+    num_gpus=1, batch_size=small)`` — audio payloads are wide rows, so
+    batch_size × payload × concurrency must fit the node.  Whisper is
+    not in this container, so decode is the clearly-marked fake
+    (reads the transcript embedded in FAKEAUD payloads); swapping in a
+    real model changes ``_transcribe`` only."""
+
+    def __init__(self, use_fake_decode: bool = True,
+                 model: str = "whisper-large-v3-turbo"):
+        if not use_fake_decode:
+            raise NotImplementedError(
+                "real ASR requires whisper/transformers (not in env); "
+                "pass use_fake_decode=True")
+        self._model = model  # loaded once per actor in production
+
+    def _transcribe(self, payload: bytes) -> str:
+        """FAKE decode: recover the transcript embedded in the fake
+        payload; unknown payloads transcribe to '' (the reference's
+        error path also yields '', media_processor.py:182-184)."""
+        if payload.startswith(b"FAKEAUD:"):
+            _, secs, tlen, rest = payload.split(b":", 3)
+            return rest[:int(tlen)].decode("utf-8")
+        return ""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [self._transcribe(p)
+                 for p in batch.column("audio_bytes").to_pylist()]
+        return batch.append_column("text", pa.array(texts, pa.string()))
+
+
+def attach_audio_meta(batch: pa.Table) -> pa.Table:
+    metas = []
+    for payload in batch.column("audio_bytes").to_pylist():
+        if payload.startswith(b"FAKEAUD:"):
+            secs = int(payload.split(b":", 2)[1])
+            metas.append({"format": "fake", "seconds": secs})
+        else:
+            metas.append({"format": "unknown", "seconds": 0})
+    return batch.append_column("audio_meta",
+                               pa.array(metas, AUDIO_META_STRUCT))
+
+
 def attach_image_meta(batch: pa.Table) -> pa.Table:
     """Parse the typed metadata of fake payloads (format/width/height)."""
     metas = []

@@ -70,30 +70,60 @@ def metadata_infusor(template: str, position: str = "prepend"):
     return fn
 
 
-def translator(target_lang: str = "en", confidence: float = 0.8):
+def _xlate_tables() -> dict[tuple[str, str], dict[str, str]]:
+    """Deterministic word-level translation tables: positional zips of
+    the stopword profiles, so (xx→en) is the exact inverse of (en→xx).
+    The argos stand-in — word-for-word, unknown words pass through."""
+    from .text_analysis import LANG_PROFILES
+
+    en = LANG_PROFILES["en"]
+    tables: dict[tuple[str, str], dict[str, str]] = {}
+    for lang, words in LANG_PROFILES.items():
+        if lang == "en":
+            continue
+        tables[(lang, "en")] = dict(zip(words, en))
+        tables[("en", lang)] = dict(zip(en, words))
+    return tables
+
+
+def dictionary_translate(text: str, from_code: str, to_code: str) -> str:
+    """Deterministic dictionary translation (the argos-translate
+    stand-in): space-tokenized word map, unknown words unchanged."""
+    table = _xlate_tables().get((from_code, to_code), {})
+    return " ".join(table.get(w, w) for w in text.split(" "))
+
+
+def translator(target_lang: str = "en", confidence: float = 0.0,
+               attachment_tag: str = "<attachment>",
+               translate_fn=dictionary_translate):
     """≙ TranslatorPostProcessor (translator/base.py:29,87-126).
 
-    The reference translates ``<attachment>``-split segments with
-    argos-translate when the detected language differs from the target;
-    argos is not in this env, so translation itself raises — but the
-    detection gate, segment split and ``original_text`` preservation
-    (the reference's observable contract) are real."""
+    Full observable contract: classify (lang + confidence); skip when
+    already in the target language, unknown, or confidence ≤ threshold;
+    otherwise split on the attachment tag (tags must never reach the
+    translator), translate each segment, rejoin with the tag, and
+    preserve the pre-translation text in ``original_text``.
+
+    ``translate_fn(text, from_code, to_code)`` defaults to the
+    deterministic dictionary stand-in (argos-translate is not in this
+    env); swap in a real engine via this hook."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        from .text_analysis import detect_lang
+        from .text_analysis import detect_lang_scored
 
         texts = batch.column("text").to_pylist()
         out_texts, originals = [], []
         for t in texts:
-            lang = detect_lang(t)
-            if lang == target_lang or lang == "unknown":
+            lang, score = detect_lang_scored(t)
+            if lang == target_lang or lang == "unknown" or score <= confidence:
                 out_texts.append(t)
                 originals.append("")
                 continue
-            raise NotImplementedError(
-                f"translation {lang}->{target_lang} requires argos-translate "
-                "(not in this env); detection gate and plumbing are real"
-            )
+            segments = t.split(attachment_tag)
+            translated = attachment_tag.join(
+                translate_fn(s, lang, target_lang) for s in segments)
+            out_texts.append(translated)
+            originals.append(t)
         batch = batch.append_column(
             "original_text", pa.array(originals, pa.string()))
         idx = batch.schema.get_field_index("text")

@@ -57,6 +57,18 @@ def detect_lang(text: str) -> str:
     return best_lang
 
 
+def detect_lang_scored(text: str) -> tuple[str, float]:
+    """(lang, confidence) where confidence = best-profile hit ratio —
+    the classifier-confidence analogue the translator gate needs
+    (≙ langid's normalized probability, translator/base.py:89)."""
+    words = text.split(" ")
+    lang = detect_lang(text)
+    if lang == "unknown" or not words:
+        return lang, 0.0
+    hits = sum(1 for w in words if w in LANG_PROFILES[lang])
+    return lang, hits / len(words)
+
+
 def detect_lang_batch(s: pd.Series) -> np.ndarray:
     """Vectorized :func:`detect_lang` over a text column — one compiled
     regex scan per language instead of a Python loop per document

@@ -82,3 +82,21 @@ def test_derivation_matches_sql_byte_for_byte():
     for col in ["repo", "path", "commit", "lang", "content"]:
         assert (py[col] == sql[col]).all(), col
     assert con.execute(f"SELECT count(*) FROM {gazetteer_sql()}").fetchone()[0] == len(GAZETTEER)
+
+
+def test_extract_regions_per_language():
+    from mmore_ray.stages.code_regions import extract_regions
+
+    py = '"""Doc line."""\n\ndef f(x):\n    # note about Paris\n    return x\n'
+    got = extract_regions("python", py)
+    assert ("docstring", "Doc line.") in got
+    assert ("comment", "note about Paris") in got
+    assert all(rt != "prose" for rt, _ in got)
+
+    js = "/** Block doc */\nfunction f(x) {\n  // inline note\n  return x;\n}\n"
+    got = extract_regions("javascript", js)
+    assert ("docstring", "Block doc") in got
+    assert ("comment", "inline note") in got
+
+    md = "# Guide\n\nplain text\n"
+    assert extract_regions("markdown", md) == [("prose", md)]

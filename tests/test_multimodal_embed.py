@@ -111,3 +111,44 @@ def test_embedders_deterministic():
     s1 = FakeSparseEmbedder().embed_one("a b b c")
     assert s1 == FakeSparseEmbedder().embed_one("a b b c")
     assert len(s1[0]) == len(s1[1]) <= 8
+
+
+def test_audio_asr_pipeline_plumbing(ray_session):
+    """Video → audio-track extraction → actor-pool ASR → text column
+    (media_processor.py semantics; decode honestly faked)."""
+    import pyarrow as pa
+
+    ray = ray_session
+    from mmore_ray.stages.multimodal import (
+        AsrTranscriber,
+        attach_audio_meta,
+        extract_audio_track,
+        fake_video_bytes,
+    )
+
+    rows = pa.table({
+        "media_id": pa.array([0, 1, 2], pa.int64()),
+        "video_bytes": pa.array([
+            fake_video_bytes(0, seconds=10, transcript="hello from clip zero"),
+            fake_video_bytes(1, seconds=20, transcript="second clip speech"),
+            b"not-a-video",
+        ], pa.binary()),
+    })
+    ds = ray.data.from_arrow(rows)
+    out = (ds.map_batches(extract_audio_track, batch_format="pyarrow")
+             .map_batches(attach_audio_meta, batch_format="pyarrow")
+             .map_batches(AsrTranscriber, concurrency=1, batch_size=2,
+                          batch_format="pyarrow")
+             .to_pandas().sort_values("media_id"))
+    assert out["text"].tolist() == [
+        "hello from clip zero", "second clip speech", ""]
+    assert [m["seconds"] for m in out["audio_meta"]] == [10, 20, 0]
+
+
+def test_asr_real_decode_path_is_marked():
+    import pytest
+
+    from mmore_ray.stages.multimodal import AsrTranscriber
+
+    with pytest.raises(NotImplementedError):
+        AsrTranscriber(use_fake_decode=False)

@@ -33,15 +33,41 @@ def test_metadata_infusor_prepend():
     assert out.column("text").to_pylist()[0] == "[source: /x/0.txt]\nbody text"
 
 
-def test_translator_gate_passthrough_and_stub():
-    from mmore_ray.stages.postprocess_extra import translator
+def test_translator_gate_translate_and_tag_isolation():
+    from mmore_ray.stages.postprocess_extra import (
+        dictionary_translate,
+        translator,
+    )
 
     fn = translator(target_lang="en")
+    # already-EN text passes through untouched, original_text empty
     out = fn(_sample_batch(["the cat is on the mat and that is that"]))
     assert out.column("original_text").to_pylist() == [""]
-    fr = _sample_batch(["le chat et le chien dans la maison et le jardin"])
-    with pytest.raises(NotImplementedError):
-        fn(fr)
+
+    # FR text translates word-by-word; original preserved
+    fr_text = "le chat et le chien dans la maison et le jardin"
+    out = fn(_sample_batch([fr_text]))
+    assert out.column("original_text").to_pylist() == [fr_text]
+    got = out.column("text").to_pylist()[0]
+    assert got == dictionary_translate(fr_text, "fr", "en")
+    assert got != fr_text
+
+    # attachment tags are split out and NEVER reach the translator
+    seen: list[str] = []
+
+    def spy(text, src, dst):
+        seen.append(text)
+        return dictionary_translate(text, src, dst)
+
+    fn2 = translator(target_lang="en", translate_fn=spy)
+    tagged = "le chat <attachment> le chien"
+    out = fn2(_sample_batch([tagged]))
+    assert all("<attachment>" not in s for s in seen)
+    assert out.column("text").to_pylist()[0].count("<attachment>") == 1
+    # round-trip property of the positional tables
+    assert dictionary_translate(
+        dictionary_translate("the a and of", "en", "de"), "de", "en"
+    ) == "the a and of"
 
 
 def test_connected_components_distributed(ray_session):
