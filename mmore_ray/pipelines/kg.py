@@ -207,7 +207,8 @@ def _shard_filter(bucket: int, num_shards: int):
 
 def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
            gazetteer=None, alias: dict[str, str] | None = None,
-           concurrency=_SCAN_CONCURRENCY, max_concurrent_shards: int = 2) -> dict:
+           concurrency=_SCAN_CONCURRENCY, max_concurrent_shards: int = 2,
+           num_sorted_partitions: int = 32, warm_docs: int = 20_000) -> dict:
     """Sharded, resumable KG run.
 
     ``read_corpus`` is a factory returning a fresh corpus Dataset:
@@ -247,9 +248,53 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
             _shard_filter(shard, num_shards), batch_format="pyarrow"
         )
 
+    import json
+
+    import numpy as np
+
+    from ..stages.sortwrite import bucket_spill, compute_boundaries
+
     surface_canon = canonical_alias_map(alias)
     canon_ref = ray.put(surface_canon)
     alias_ref = ray.put(alias if alias is not None else default_alias_dict())
+
+    # Sorted-write partition boundaries, fixed BEFORE the main pass by a
+    # cheap warmup scan (sample-then-range-partition, TeraSort-style):
+    # the tee then spills every triple batch directly into its FINAL
+    # output partition, so finalize is a pure per-partition merge — no
+    # data-sized serial pass, no read amplification.  compute_boundaries
+    # only uses count *proportions*, so a sample suffices; skewed hot
+    # keys still get split within-key by sha because the sample sees
+    # their relative mass.  Boundaries persist write-once in the
+    # manifest dir: resumed runs MUST reuse them (completed shards'
+    # spill dirs are laid out by them).  Sample bias only affects
+    # partition balance, never correctness.
+    def _key_counts_kernel(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["subj", "pred", "obj"]).aggregate(
+            [("weight", "count")])
+        return g.rename_columns(["subj", "pred", "obj", "n"])
+
+    bounds_file = out_dir / mf.MANIFEST_DIR / "sort_bounds.json"
+    if bounds_file.exists():
+        bounds = np.array(json.loads(bounds_file.read_text()), dtype=object)
+    else:
+        warm = extract_docs(shard_corpus(0).limit(warm_docs), gazetteer,
+                            concurrency)
+        rollup = warm.map_batches(
+            _doc_triples_fn, fn_kwargs={"canon_ref": canon_ref},
+            batch_format="pyarrow",
+        ).map_batches(_key_counts_kernel, batch_format="pyarrow")
+        parts = rollup.take_all()  # vocabulary-bounded: tiny
+        agg: dict[tuple[str, str, str], float] = {}
+        for r in parts:
+            k = (r["subj"], r["pred"], r["obj"])
+            agg[k] = agg.get(k, 0.0) + float(r["n"])
+        bounds = np.array(
+            compute_boundaries(list(agg.items()), num_sorted_partitions),
+            dtype=object)
+        bounds_file.parent.mkdir(parents=True, exist_ok=True)
+        bounds_file.write_text(json.dumps(list(bounds)))
+    n_sorted_parts = len(bounds) + 1
 
     def run_shard(shard: int) -> None:
         """Phase 1 (per shard, resumable): ONE streaming execution that
@@ -290,7 +335,11 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
             mentions = _link_mentions_fn(batch, alias_ref, canon_ref)
             pq.write_table(mentions, f"{paths['mentions']}/part-{tag}.parquet")
             triples = _doc_triples_fn(batch, canon_ref)
-            pq.write_table(triples, f"{paths['triples']}/part-{tag}.parquet")
+            # pre-partitioned by FINAL sorted-output partition (b=BBBBB
+            # subdirs): the union of bucket files IS the per-shard
+            # triple table, and the finalize merge reads each output
+            # partition's rows exactly once
+            bucket_spill(triples, bounds, paths["triples"], tag)
             # per-batch PARTIAL graph rollup (vocabulary-bounded, tiny):
             # finalize combines these driver-side instead of re-reading
             # and shuffling the full triple set — the global rollup costs
@@ -345,12 +394,16 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
         # the combine is tiny) — finalize never re-reads or shuffles the
         # full triple set for it.  The rollup IS the exact key
         # distribution, so the sorted write range-partitions on known
-        # boundaries instead of sampling (stages/sortwrite.py) —
-        # Dataset.sort measured ~4x slower here.  Keeping the serial
-        # phase lean is the Amdahl term of the scaling criterion.
+        # boundaries instead of sampling, and because the tee already
+        # spilled triples pre-partitioned by subj range, finalize is
+        # just N parallel range merges — no data-sized serial pass
+        # remains (stages/sortwrite.py; Dataset.sort measured ~4x
+        # slower, and the previous read+spill+merge finalize was ~40%
+        # of wall time at 32 CPUs — the Amdahl term of the scaling
+        # criterion).
         import pyarrow.parquet as _pq
 
-        from ..stages.sortwrite import write_sorted
+        from ..stages.sortwrite import merge_sorted_spills
 
         t0 = time.perf_counter()
         for d in (out_dir / "graph", out_dir / "triples_sorted"):
@@ -373,14 +426,9 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
                 "weight": rolled.column("weight_sum"),
             }),
             graph_dir / "part-00000.parquet")
-        key_counts = list(zip(
-            zip(rolled.column("subj").to_pylist(),
-                rolled.column("pred").to_pylist(),
-                rolled.column("obj").to_pylist()),
-            rolled.column("n_rows_sum").to_pylist()))
-        triples = ray.data.read_parquet(str(out_dir / "triples"))
-        write_sorted(triples, key_counts, out_dir / "triples_sorted",
-                     num_partitions=32)
+        spill_roots = sorted((out_dir / "triples").glob("shard=*"))
+        merge_sorted_spills(spill_roots, n_sorted_parts,
+                            out_dir / "triples_sorted")
         mf.publish(out_dir, "finalize", 0, {
             "seconds": round(time.perf_counter() - t0, 3),
         })

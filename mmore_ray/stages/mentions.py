@@ -27,6 +27,7 @@ from ..sources.corpus import CO_OCCURS_PRED, GAZETTEER
 from .parser import (
     DEFAULT_RECORD_DELIMITER,
     DEFAULT_TUPLE_DELIMITER,
+    DocGraph,
     parse_extraction,
 )
 
@@ -148,6 +149,44 @@ class MentionScanner:
         # matching cost independent of dictionary size (see _trie_regex)
         self._pattern = (re.compile(_trie_regex([s for s, _ in ordered]))
                          if ordered else None)
+        # Fast graph path: the render→parse string roundtrip is pure
+        # per-doc overhead (~40% of scan CPU measured) when no surface
+        # contains a delimiter — the parsed graph is then a closed-form
+        # function of the found list.  Precompute each surface's
+        # parser-cleaned entity name / type / description once;
+        # tests/test_mentions_fastpath.py asserts graph equality with
+        # the render+parse path on randomized docs.
+        from ..functions.textfns import clean_str
+
+        self._fastpath = all(
+            tuple_delimiter not in s and record_delimiter not in s
+            for s, _ in ordered)
+        self._entity_of = {
+            s: (str(clean_str(s.upper())),
+                str(clean_str(t.upper())),
+                str(clean_str(f"MENTION OF {s.upper()}")))
+            for s, t in ordered
+        }
+        self._co_occurs = str(clean_str(CO_OCCURS_PRED))
+
+    def _graph_of(self, found: list[tuple[str, str]]):
+        """DocGraph of a found list — closed form when no surface can
+        perturb record tokenization, else the render+parse roundtrip."""
+        if not self._fastpath:
+            td, rd = self._delims
+            return parse_extraction(render_records(found, td, rd),
+                                    tuple_delimiter=td, record_delimiter=rd)
+        graph = DocGraph()
+        names = []
+        for s, _ in found:
+            name, etype, desc = self._entity_of[s]
+            graph.add_entity(name, etype, desc)
+            names.append(name)
+        pred = self._co_occurs
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                graph.add_relationship(names[i], names[j], pred)
+        return graph
 
     def _scan(self, content: str) -> tuple[list[dict], list[dict]]:
         if self._pattern is None:  # empty (or fully filtered) gazetteer
@@ -163,9 +202,7 @@ class MentionScanner:
             else:
                 slot[0] += 1
         found = [(s, self._type_of[s]) for s in order]
-        td, rd = self._delims
-        graph = parse_extraction(render_records(found, td, rd),
-                                 tuple_delimiter=td, record_delimiter=rd)
+        graph = self._graph_of(found)
         mentions = [
             {
                 "surface": s,
@@ -195,9 +232,19 @@ class MentionScanner:
                 "content_sha256",
                 pa.array(sha256_of_string_array(batch.column("content")),
                          pa.string()))
+        # Exact-duplicate scan elision: web-scale corpora are dup-heavy
+        # (identical files across repo forks/commits), and the scan is a
+        # pure function of content — so scan each distinct content once
+        # per batch, keyed by the sha256 already computed for lineage.
+        # Cost when all rows are distinct: one dict probe per row.
         mention_col, edge_col = [], []
-        for content in batch.column("content").to_pylist():
-            mentions, edges = self._scan(content)
+        memo: dict[str, tuple[list[dict], list[dict]]] = {}
+        for sha, content in zip(batch.column("content_sha256").to_pylist(),
+                                batch.column("content").to_pylist()):
+            hit = memo.get(sha)
+            if hit is None:
+                hit = memo[sha] = self._scan(content)
+            mentions, edges = hit
             mention_col.append(mentions)
             edge_col.append(edges)
         out = batch.select([c for c in DOC_KEY_COLUMNS if c in batch.column_names])

@@ -80,6 +80,70 @@ def compute_boundaries(key_counts: list[tuple[tuple[str, str, str], float]],
     return bounds
 
 
+def encode_table_keys(batch: pa.Table) -> np.ndarray:
+    """Encoded sort keys of an Arrow triple batch (object ndarray)."""
+    cols = [batch.column(c).to_numpy(zero_copy_only=False)
+            for c in SORT_COLS]
+    return np.array([SEP.join(t) for t in zip(*cols)], dtype=object)
+
+
+def bucket_spill(batch: pa.Table, bounds: np.ndarray,
+                 spill_root: Path, tag: str) -> None:
+    """Split a triple batch by FINAL output partition (``bounds`` =
+    :func:`compute_boundaries` output over encoded sort keys) and write
+    one parquet per (batch, partition) under ``spill_root/b=BBBBB/``.
+
+    Called from the extract phase's tee, so the data-sized partitioning
+    pass of the sorted write rides the streaming scan instead of being
+    a serial finalize phase (the Amdahl term of the scaling criterion).
+    ``tag`` must be collision-proof across batches and stable on retry
+    (the caller derives it from the batch's full key content)."""
+    import pyarrow.parquet as pq
+
+    part = np.searchsorted(bounds, encode_table_keys(batch), side="right")
+    for p in np.unique(part):
+        sub = batch.filter(pa.array(part == p))
+        d = Path(spill_root) / f"b={int(p):05d}"
+        d.mkdir(parents=True, exist_ok=True)
+        pq.write_table(sub, d / f"{tag}.parquet")
+
+
+def merge_sorted_spills(spill_roots: list[Path], num_partitions: int,
+                        out_dir: str | Path) -> None:
+    """Final phase of the spill-at-extract sorted write: one Ray task
+    per output partition concatenates exactly its own ``b=BBBBB`` spill
+    dirs (across all shards' spill roots), sorts, and writes
+    ``part-NNNNN.parquet`` — file names in lexical order ARE the global
+    (subj, pred, obj) order.
+
+    Fully parallel, zero read amplification: every spill row is read
+    exactly once, because the spill already used the final partition
+    boundaries."""
+    import ray
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    roots = [str(r) for r in spill_roots]
+
+    @ray.remote
+    def merge(p: int) -> int:
+        import pyarrow.parquet as pq
+
+        files = []
+        for root in roots:
+            d = Path(root) / f"b={p:05d}"
+            if d.is_dir():
+                files.extend(sorted(d.glob("*.parquet")))
+        if not files:
+            return 0
+        tbl = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
+        df = tbl.to_pandas().sort_values(SORT_COLS)
+        df.to_parquet(out_dir / f"part-{p:05d}.parquet", index=False)
+        return len(df)
+
+    ray.get([merge.remote(p) for p in range(num_partitions)])
+
+
 def write_sorted(triples_ds, key_counts, out_dir: str | Path,
                  num_partitions: int = 32) -> None:
     """Write ``triples_ds`` as globally (subj,pred,obj)-sorted parquet

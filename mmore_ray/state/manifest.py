@@ -77,4 +77,7 @@ def all_entries(out_dir: str | Path) -> list[dict[str, Any]]:
     mdir = Path(out_dir) / MANIFEST_DIR
     if not mdir.is_dir():
         return []
-    return [json.loads(f.read_text()) for f in sorted(mdir.glob("*.json"))]
+    entries = [json.loads(f.read_text()) for f in sorted(mdir.glob("*.json"))]
+    # step entries only — the manifest dir also holds auxiliary
+    # write-once state (e.g. sort_bounds.json) that is not an entry
+    return [e for e in entries if isinstance(e, dict) and "step" in e]

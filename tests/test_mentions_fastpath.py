@@ -1,0 +1,79 @@
+"""The closed-form graph construction in MentionScanner._graph_of must
+be observationally identical to the render→parse roundtrip it replaces
+(mentions.py fast path), and the per-batch scan memo must not change
+output on duplicate-content batches."""
+
+import random
+
+import pyarrow as pa
+
+from mmore_ray.sources.corpus import GAZETTEER
+from mmore_ray.stages.mentions import (
+    MentionScanner,
+    render_records,
+)
+from mmore_ray.stages.parser import parse_extraction
+
+
+def _graphs_equal(a, b):
+    assert a.nodes == b.nodes
+    assert a.edges == b.edges
+
+
+def test_fastpath_matches_render_parse_randomized():
+    rng = random.Random(7)
+    sc = MentionScanner()
+    surfaces = sorted(sc._type_of)
+    for _ in range(200):
+        k = rng.randint(0, 8)
+        found = [(s, sc._type_of[s])
+                 for s in rng.sample(surfaces, min(k, len(surfaces)))]
+        fast = sc._graph_of(found)
+        slow = parse_extraction(render_records(found))
+        _graphs_equal(fast, slow)
+
+
+def test_fastpath_handles_colliding_cleaned_names():
+    # two surfaces that clean/uppercase to the SAME entity name exercise
+    # the duplicate-entity merge and the self-loop edge the parser makes
+    gaz = [("Paris", "LOCATION", "PARIS"), ("paris", "CITY", "PARIS")]
+    sc = MentionScanner(gazetteer=gaz)
+    found = [("Paris", "LOCATION"), ("paris", "CITY")]
+    fast = sc._graph_of(found)
+    slow = parse_extraction(render_records(found))
+    _graphs_equal(fast, slow)
+
+
+def test_fastpath_disabled_when_surface_contains_delimiter():
+    gaz = [("a<|>b", "ORGANIZATION", "AB"), ("Paris", "LOCATION", "PARIS")]
+    sc = MentionScanner(gazetteer=gaz)
+    assert not sc._fastpath  # falls back to the render+parse roundtrip
+
+
+def test_scan_memo_identical_on_duplicate_content():
+    sc = MentionScanner()
+    text = "Barack Obama visited Paris with Elon Musk."
+    batch = pa.table({
+        "repo": ["r"] * 4,
+        "path": [f"p{i}" for i in range(4)],
+        "commit": ["c"] * 4,
+        "lang": ["python"] * 4,
+        "content": [text, "no entities here", text, text],
+    })
+    out = sc(batch)
+    m = out.column("mentions").to_pylist()
+    e = out.column("edges").to_pylist()
+    assert m[0] == m[2] == m[3] and m[0]  # memo rows identical, non-empty
+    assert e[0] == e[2] == e[3]
+    assert m[1] == [] and e[1] == []
+    # memo off-path sanity: a fresh scanner scanning row-by-row agrees
+    ref = MentionScanner()
+    for i, content in enumerate([text, "no entities here", text, text]):
+        mm, ee = ref._scan(content)
+        assert mm == m[i] and ee == e[i]
+
+
+def test_default_gazetteer_surfaces_delimiter_free():
+    # precondition for the fast path being on by default
+    for s, _, _ in GAZETTEER:
+        assert "<|>" not in s and "##" not in s
