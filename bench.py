@@ -79,8 +79,12 @@ def main() -> None:
 
     import pyarrow as pa
 
+    # _u1: contents carry a unique per-doc salt — replicated docs are
+    # NOT byte-identical, so the engine's exact-duplicate scan elision
+    # (stages/mentions.py) gets no artificial advantage and the
+    # headline measures true per-byte extraction work.
     cache = (f"/tmp/kg_corpus_cache_{os.path.basename(SF_DIR)}"
-             f"_r{replicate}_t{tile}_s{num_shards}")
+             f"_r{replicate}_t{tile}_s{num_shards}_u1")
     if not os.path.exists(os.path.join(cache, "_DONE")):
         base = pq.read_table(f"{SF_DIR}/documents.parquet",
                              columns=["doc_id", "text"])
@@ -93,7 +97,7 @@ def main() -> None:
             lookup = _ray.get(base_texts)
             ids = batch.column("id").to_pylist()
             texts = [" ".join([lookup[(i // replicate) % n_base]] * tile)
-                     for i in ids]
+                     + f" uniq{i}" for i in ids]
             return pa.table({"doc_id": pa.array(ids, pa.int64()),
                              "text": pa.array(texts, pa.string())})
 
