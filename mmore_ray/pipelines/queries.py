@@ -430,6 +430,15 @@ def q_dedup_minhash(sf_dir: str):
     return near_dup_minhash(_docs_with_near_copies(sf_dir))
 
 
+def q_dedup_jaccard(sf_dir: str):
+    """EXACT n-gram-Jaccard near-dup pairs (≥ 0.3) — the zero-false-
+    negative verification-grade dedup; inverted-index blocking +
+    join-based exact verify (stages/dedup.py near_dup_jaccard)."""
+    from ..stages.dedup import near_dup_jaccard
+
+    return near_dup_jaccard(_docs_with_near_copies(sf_dir), threshold=0.3)
+
+
 def q_dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dup (cos ≥ 0.999) over embeddings ∪
     scaled copies (vec_id+1000000, 1.01×vec of every 5th)."""
@@ -998,6 +1007,7 @@ QUERIES = {
     "q_topk_brand": q_topk_brand,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_jaccard": q_dedup_jaccard,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embedding": q_dedup_embedding,
     "q_knn": q_knn,
@@ -1183,6 +1193,14 @@ ORACLES = {
                       * 10000 + 0.5) AS BIGINT) AS jaccard_e4
           FROM cand c JOIN sh x ON c.id_a = x.id JOIN sh y ON c.id_b = y.id
         ) WHERE jaccard_e4 >= 5000""",
+    "q_dedup_jaccard": _SHINGLE_CTES + """
+        SELECT * FROM (
+          SELECT c.id_a, c.id_b,
+                 CAST(floor(1.0 * len(list_intersect(x.shingles, y.shingles)) /
+                      len(list_distinct(list_concat(x.shingles, y.shingles)))
+                      * 10000 + 0.5) AS BIGINT) AS jaccard_e4
+          FROM cand c JOIN sh x ON c.id_a = x.id JOIN sh y ON c.id_b = y.id
+        ) WHERE jaccard_e4 >= 3000""",
     "q_dedup_embedding": """
         WITH vecs AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

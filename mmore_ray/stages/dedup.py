@@ -169,6 +169,25 @@ def near_dup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
         num_buckets=num_buckets,
     ).materialize()
 
+    return verify_pairs_jaccard(pairs, source, id_col=id_col,
+                                text_col=text_col, k=k, threshold=threshold,
+                                num_buckets=num_buckets)
+
+
+def verify_pairs_jaccard(pairs, source, id_col: str, text_col: str,
+                         k: int = 3, threshold: float = 0.5,
+                         num_buckets: int = 64):
+    """Exact shingle-Jaccard verification of an (id_a, id_b) pair
+    Dataset against ``source`` (id, text) — join-based end-to-end.
+
+    The distinct candidate ids semi-join the corpus for their texts
+    (``Dataset.join``), candidate texts hash-join onto the pair list
+    for both endpoints, and each pair's exact shingle Jaccard is
+    computed in the map task — no driver-side candidate map, so a
+    dup-heavy corpus cannot OOM the driver.  Returns (id_a, id_b,
+    jaccard_e4) with jaccard ≥ threshold."""
+    from .groupby import bucketed_agg
+
     # verification: join-based — candidate texts reach the pair rows
     # through hash joins, never through a driver-side map
     def stack_ids(t: pa.Table) -> pa.Table:
@@ -222,6 +241,69 @@ def near_dup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
         return out[out["jaccard_e4"] >= int(threshold * 10000)]
 
     return j.map_batches(verify, batch_format="pandas")
+
+
+def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
+                     k: int = 3, threshold: float = 0.5,
+                     num_buckets: int = 64, max_df: int | None = None):
+    """EXACT n-gram-Jaccard near-duplicate pairs (no sketching).
+
+    Inverted-index blocking: explode each doc into its distinct word
+    k-shingles, bucketed-groupby the shingle, emit candidate pairs per
+    posting list, distinct them, then exact-verify with
+    :func:`verify_pairs_jaccard`.  Unlike MinHash this has zero false
+    negatives by construction — it is the verification-grade operator;
+    at corpus scale a hot shingle's posting list generates O(df²)
+    pairs, so either pass ``max_df`` to drop stopword-like shingles
+    (standard blocking practice; makes the result a documented
+    under-approximation) or prefer :func:`near_dup_minhash`."""
+    from .groupby import _BUCKET, _bucket_of, bucketed_agg
+
+    source = ds.select_columns([id_col, text_col])
+
+    def explode_shingles(batch: pa.Table) -> pa.Table:
+        ids_out, sh_out = [], []
+        for i, t in zip(batch.column(id_col).to_pylist(),
+                        batch.column(text_col).to_pylist()):
+            for s in shingle_set(t, k):
+                ids_out.append(i)
+                sh_out.append(s)
+        return pa.table({"id": pa.array(ids_out, pa.int64()),
+                         "shingle": pa.array(sh_out, pa.string())})
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.copy()
+        df[_BUCKET] = _bucket_of(df, ["shingle"], num_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby("shingle"):
+            ids = sorted(set(g["id"]))
+            if max_df is not None and len(ids) > max_df:
+                continue
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    out_a.append(ids[x])
+                    out_b.append(ids[y])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b}).drop_duplicates()
+
+    pairs = (
+        source.map_batches(explode_shingles, batch_format="pyarrow",
+                           batch_size=2048)
+        .map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        .groupby(_BUCKET)
+        .map_groups(lambda df: pairs_in_bucket(df.drop(columns=[_BUCKET])),
+                    batch_format="pandas")
+    )
+    pairs = bucketed_agg(
+        pairs, ["id_a", "id_b"],
+        lambda df, keys: df.drop_duplicates(subset=["id_a", "id_b"]),
+        num_buckets=num_buckets,
+    ).materialize()
+    return verify_pairs_jaccard(pairs, source, id_col=id_col,
+                                text_col=text_col, k=k, threshold=threshold,
+                                num_buckets=num_buckets)
 
 
 # ---------------------------------------------------------------------------

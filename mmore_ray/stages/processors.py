@@ -166,23 +166,115 @@ class EMLProcessor(ProcessorBase):
         return {"text": clean_text(text.strip()), "modalities": modalities}
 
 
+_XLSX_S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
 class SpreadsheetProcessor(ProcessorBase):
-    """≙ spreadsheet_processor.py:18 — pandas ``to_string`` per sheet;
-    csv/tsv handled here, xlsx/xls need openpyxl (stubbed)."""
+    """≙ spreadsheet_processor.py:18-170 — the reference renders every
+    sheet as ``Sheet: {name}\\n`` + ``df.to_string(index=False)`` joined
+    by blank lines (xlsx via openpyxl) and csv/tsv via pandas.  The
+    xlsx path here reads the zip directly with stdlib zipfile +
+    ElementTree (workbook sheet order, sharedStrings, per-cell types:
+    shared/inline strings, booleans, numbers) into the same pandas
+    frame, so the rendered text matches the reference's shape without
+    openpyxl.  ``.xls`` (the legacy binary format) stays out of scope —
+    no stdlib parser exists for it."""
 
     EXTENSIONS = (".csv", ".tsv", ".xlsx", ".xls")
     NAME = "SpreadsheetProcessor"
 
     @classmethod
-    def parse(cls, file_name: str, payload: str) -> dict:
+    def _xlsx_frames(cls, data: bytes):
+        """Yield (sheet_name, DataFrame) in workbook order."""
+        import zipfile
+        from xml.etree import ElementTree as ET
+
+        import pandas as pd
+
+        zf = zipfile.ZipFile(io.BytesIO(data))
+        rels = {}
+        try:
+            for rel in ET.fromstring(zf.read("xl/_rels/workbook.xml.rels")):
+                rels[rel.get("Id") or ""] = rel.get("Target") or ""
+        except KeyError:
+            pass
+        shared: list[str] = []
+        try:
+            for si in ET.fromstring(zf.read("xl/sharedStrings.xml")):
+                shared.append("".join(t.text or ""
+                                      for t in si.iter(f"{_XLSX_S}t")))
+        except KeyError:
+            pass
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        rns = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+               "relationships}id")
+
+        def cell_value(c):
+            t = c.get("t")
+            if t == "inlineStr":
+                return "".join(x.text or "" for x in c.iter(f"{_XLSX_S}t"))
+            v = c.find(f"{_XLSX_S}v")
+            if v is None or v.text is None:
+                return None
+            if t == "s":
+                return shared[int(v.text)]
+            if t in ("str",):
+                return v.text
+            if t == "b":
+                return bool(int(v.text))
+            num = float(v.text)
+            return int(num) if num.is_integer() else num
+
+        def col_index(ref: str) -> int:
+            i = 0
+            for ch in ref:
+                if ch.isalpha():
+                    i = i * 26 + (ord(ch.upper()) - 64)
+                else:
+                    break
+            return i - 1
+
+        for sheet in wb.find(f"{_XLSX_S}sheets") or []:
+            name = sheet.get("name") or ""
+            target = rels.get(sheet.get(rns) or "", "")
+            part = "xl/" + target.lstrip("/") if not target.startswith("xl/") else target
+            try:
+                root = ET.fromstring(zf.read(part))
+            except KeyError:
+                continue
+            rows: list[list] = []
+            for row in root.iter(f"{_XLSX_S}row"):
+                vals: dict[int, object] = {}
+                for pos, c in enumerate(row):
+                    ref = c.get("r")
+                    idx = col_index(ref) if ref else pos
+                    vals[idx] = cell_value(c)
+                width = max(vals) + 1 if vals else 0
+                rows.append([vals.get(i) for i in range(width)])
+            if not rows:
+                yield name, pd.DataFrame()
+                continue
+            width = max(len(r) for r in rows)
+            rows = [r + [None] * (width - len(r)) for r in rows]
+            header, body = rows[0], rows[1:]
+            yield name, pd.DataFrame(body, columns=header)
+
+    @classmethod
+    def parse(cls, file_name: str, payload) -> dict:
         import pandas as pd
 
         low = file_name.lower()
-        if low.endswith((".xlsx", ".xls")):
+        if low.endswith(".xls"):
             raise NotImplementedError(
-                "xlsx/xls parsing requires openpyxl (not in this env); "
-                "csv/tsv path is implemented"
-            )
+                "legacy .xls needs xlrd; .xlsx/.csv/.tsv are implemented")
+        if low.endswith(".xlsx"):
+            data = (payload.encode("latin-1")
+                    if isinstance(payload, str) else payload)
+            text = ""
+            for name, df in cls._xlsx_frames(data):
+                text += f"Sheet: {name}\n"
+                text += df.to_string(index=False) + "\n\n"
+            return {"text": clean_text(text.strip()), "modalities": []}
         sep = "\t" if low.endswith(".tsv") else ","
         df = pd.read_csv(io.StringIO(payload), sep=sep)
         return {"text": clean_text(df.to_string()), "modalities": []}
@@ -309,13 +401,113 @@ class DOCXProcessor(ProcessorBase):
                 "modalities": modalities}
 
 
+_PPTX_P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+_PPTX_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+
+
 class PPTXProcessor(ProcessorBase):
+    """≙ pptx_processor.py:18-116 — the reference walks each slide's
+    shapes sorted by vertical position (``shape.top``), appends each
+    text frame's cleaned text, swaps pictures for ``<attachment>`` tags
+    + image modalities, then appends the notes paragraphs.  A .pptx is
+    a zip of XML, so the same observable output comes from stdlib
+    zipfile + ElementTree: ``p:sp``/``p:pic`` children of the shape
+    tree sorted by ``a:off/@y``, ``a:t`` runs per paragraph joined by
+    newlines (python-pptx ``shape.text`` semantics), ``a:blip`` image
+    refs resolved through the slide's rels part, and the notes slide's
+    body-placeholder paragraphs.  Binary payloads travel
+    latin-1-decoded in the string ``content`` column."""
+
     EXTENSIONS = (".pptx",)
     NAME = "PPTXProcessor"
 
     @classmethod
-    def parse(cls, file_name: str, payload: str) -> dict:
-        raise NotImplementedError("pptx parsing requires python-pptx")
+    def _rels(cls, zf, part: str) -> dict[str, str]:
+        from xml.etree import ElementTree as ET
+
+        d, _, name = part.rpartition("/")
+        try:
+            root = ET.fromstring(zf.read(f"{d}/_rels/{name}.rels"))
+        except KeyError:
+            return {}
+        return {rel.get("Id") or "": (rel.get("Target") or "",
+                                      rel.get("Type") or "")
+                for rel in root}
+
+    @classmethod
+    def parse(cls, file_name: str, payload) -> dict:
+        import zipfile
+        from xml.etree import ElementTree as ET
+
+        data = payload.encode("latin-1") if isinstance(payload, str) else payload
+        zf = zipfile.ZipFile(io.BytesIO(data))
+        slide_parts = sorted(
+            (n for n in zf.namelist()
+             if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[-1]).group()))
+        texts: list[str] = []
+        modalities: list[dict] = []
+
+        def para_text(node) -> str:
+            # one a:p paragraph → its runs concatenated
+            return "".join(t.text or "" for t in node.iter(f"{_PPTX_A}t"))
+
+        def shape_text(sp) -> str:
+            # python-pptx shape.text: paragraphs joined by newlines
+            body = sp.find(f"{_PPTX_P}txBody")
+            if body is None:
+                return ""
+            return "\n".join(para_text(p) for p in body.iter(f"{_PPTX_A}p"))
+
+        for part in slide_parts:
+            rels = cls._rels(zf, part)
+            root = ET.fromstring(zf.read(part))
+            tree = root.find(f"{_PPTX_P}cSld/{_PPTX_P}spTree")
+            shapes = []
+            for sp in (list(tree) if tree is not None else []):
+                if sp.tag not in (f"{_PPTX_P}sp", f"{_PPTX_P}pic"):
+                    continue
+                off = sp.find(f"{_PPTX_P}spPr/{_PPTX_A}xfrm/{_PPTX_A}off")
+                top = int(off.get("y") or 0) if off is not None else 0
+                shapes.append((top, len(shapes), sp))
+            for _, _, sp in sorted(shapes, key=lambda s: (s[0], s[1])):
+                if sp.tag == f"{_PPTX_P}sp":
+                    cleaned = clean_text(shape_text(sp))
+                    if cleaned.strip():
+                        texts.append(cleaned)
+                else:  # p:pic → attachment tag + image modality
+                    blip = sp.find(
+                        f"{_PPTX_P}blipFill/{_PPTX_A}blip")
+                    rid = (blip.get(f"{_DOCX_R}embed") or ""
+                           if blip is not None else "")
+                    target = rels.get(rid, (rid, ""))[0]
+                    modalities.append({"type": "image", "value": target})
+                    texts.append(ATTACHMENT_TAG)
+            # notes: the slide's notesSlide rel → body placeholder paras
+            notes_part = next(
+                (tgt for tgt, typ in rels.values()
+                 if tgt and typ.endswith("/notesSlide")), None)
+            if notes_part:
+                notes_name = "ppt/" + notes_part.replace("../", "")
+                try:
+                    nroot = ET.fromstring(zf.read(notes_name))
+                except KeyError:
+                    continue
+                for sp in nroot.iter(f"{_PPTX_P}sp"):
+                    ph = sp.find(f"{_PPTX_P}nvSpPr/{_PPTX_P}nvPr/"
+                                 f"{_PPTX_P}ph")
+                    if ph is None or ph.get("type") != "body":
+                        continue
+                    body = sp.find(f"{_PPTX_P}txBody")
+                    for p in (body.iter(f"{_PPTX_A}p")
+                              if body is not None else []):
+                        raw = para_text(p)
+                        if not raw:
+                            continue
+                        cleaned = clean_text(raw)
+                        if cleaned.strip():
+                            texts.append(cleaned)
+        return {"text": "\n".join(texts), "modalities": modalities}
 
 
 class URLProcessor(ProcessorBase):

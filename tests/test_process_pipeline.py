@@ -165,7 +165,12 @@ def test_process_batch_skips_unsupported_and_stubs():
     with pytest.raises(ValueError):
         process_batch(pa.table({"file_path": ["/x/b.pdf"],
                                 "content": ["%PDF"]}), on_error="raise")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError):  # legacy .xls stays stubbed
+        process_batch(pa.table({"file_path": ["/x/s.xls"],
+                                "content": ["bin"]}), on_error="raise")
+    import zipfile
+
+    with pytest.raises(zipfile.BadZipFile):  # pptx is real now: bad zip
         process_batch(pa.table({"file_path": ["/x/s.pptx"],
                                 "content": ["zip"]}), on_error="raise")
 
