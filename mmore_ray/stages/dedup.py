@@ -160,36 +160,64 @@ def near_dup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
                     batch_format="pandas")
     )
 
-    # distinct candidate pairs (a pair can match in several bands)
-    from .groupby import bucketed_agg
-
-    pairs = bucketed_agg(
-        pairs, ["id_a", "id_b"],
-        lambda df, keys: df.drop_duplicates(subset=["id_a", "id_b"]),
-        num_buckets=num_buckets,
-    ).materialize()
-
+    pairs = _distinct_pairs(pairs, num_buckets)
     return verify_pairs_jaccard(pairs, source, id_col=id_col,
                                 text_col=text_col, k=k, threshold=threshold,
                                 num_buckets=num_buckets)
 
 
-def verify_pairs_jaccard(pairs, source, id_col: str, text_col: str,
-                         k: int = 3, threshold: float = 0.5,
-                         num_buckets: int = 64):
-    """Exact shingle-Jaccard verification of an (id_a, id_b) pair
-    Dataset against ``source`` (id, text) — join-based end-to-end.
-
-    The distinct candidate ids semi-join the corpus for their texts
-    (``Dataset.join``), candidate texts hash-join onto the pair list
-    for both endpoints, and each pair's exact shingle Jaccard is
-    computed in the map task — no driver-side candidate map, so a
-    dup-heavy corpus cannot OOM the driver.  Returns (id_a, id_b,
-    jaccard_e4) with jaccard ≥ threshold."""
+def _distinct_pairs(pairs, num_buckets: int, small_limit: int = 500_000):
+    """Distinct (id_a, id_b) rows — driver-side pandas when the raw
+    pair list is small (one cheap gather instead of a groupby shuffle;
+    candidates are normally a tiny fraction of the corpus), bucketed
+    groupby distinct above the limit."""
     from .groupby import bucketed_agg
 
-    # verification: join-based — candidate texts reach the pair rows
-    # through hash joins, never through a driver-side map
+    mat = pairs.materialize()
+    if mat.count() <= small_limit:
+        return mat.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
+    return bucketed_agg(
+        mat, ["id_a", "id_b"],
+        lambda df, keys: df.drop_duplicates(subset=["id_a", "id_b"]),
+        num_buckets=num_buckets,
+    ).materialize()
+
+
+def verify_pairs_jaccard(pairs, source, id_col: str, text_col: str,
+                         k: int = 3, threshold: float = 0.5,
+                         num_buckets: int = 64,
+                         broadcast_limit: int = 50_000):
+    """Exact shingle-Jaccard verification of an (id_a, id_b) pair
+    Dataset against ``source`` (id, text).
+
+    Two physical plans behind one semantic (standard small-side rule):
+
+    * **broadcast** (≤ ``broadcast_limit`` distinct candidate ids) —
+      the candidate texts are gathered once, ``ray.put``, and looked
+      up inside the verify map task.  No shuffle, no join operators;
+      this is the common case because candidates are a tiny fraction
+      of the corpus.
+    * **join** (above the limit, e.g. a dup-heavy crawl) — the
+      distinct candidate ids semi-join the corpus for their texts
+      (``Dataset.join``), candidate texts hash-join onto the pair list
+      for both endpoints, and the Jaccard is computed in the map task
+      — no driver-side candidate map, so the driver cannot OOM.
+
+    Returns (id_a, id_b, jaccard_e4) with jaccard ≥ threshold.
+
+    ``pairs`` may be a pandas DataFrame (already-distinct small pair
+    list, e.g. from :func:`_distinct_pairs`) — then the candidate ids
+    come straight off the frame and the broadcast plan is used — or a
+    Dataset."""
+    import ray
+
+    from .groupby import bucketed_agg
+
+    if isinstance(pairs, pd.DataFrame):
+        id_set = set(pairs["id_a"]) | set(pairs["id_b"])
+        return _verify_broadcast(ray.data.from_pandas(pairs), id_set,
+                                 source, id_col, text_col, k, threshold)
+
     def stack_ids(t: pa.Table) -> pa.Table:
         return pa.table({"id": pa.concat_arrays([
             t.column("id_a").combine_chunks(),
@@ -202,6 +230,60 @@ def verify_pairs_jaccard(pairs, source, id_col: str, text_col: str,
         ["id"], lambda df, keys: df.drop_duplicates(subset=["id"]),
         num_buckets=num_buckets,
     ).materialize()
+
+    if cand_ids.count() <= broadcast_limit:
+        id_set = {r["id"] for r in cand_ids.take_all()}
+        return _verify_broadcast(pairs, id_set, source, id_col, text_col,
+                                 k, threshold)
+    return _verify_join(pairs, cand_ids, source, id_col, text_col, k,
+                        threshold)
+
+
+def _verify_broadcast(pairs, id_set: set, source, id_col: str,
+                      text_col: str, k: int, threshold: float):
+    """Broadcast plan: candidate texts gathered once and looked up in
+    the verify map task."""
+    import ray
+
+    id_ref = ray.put(id_set)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(id_ref)
+        mask = pa.array([i in wanted
+                         for i in batch.column(id_col).to_pylist()])
+        return batch.filter(mask)
+
+    picked = source.map_batches(pick, batch_format="pyarrow").take_all()
+    texts_ref = ray.put({r[id_col]: r[text_col] for r in picked})
+
+    def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(texts_ref)
+        cache: dict[int, frozenset] = {}
+
+        def sset(i: int) -> frozenset:
+            s = cache.get(i)
+            if s is None:
+                s = frozenset(shingle_set(texts[i], k))
+                cache[i] = s
+            return s
+
+        ja = []
+        for ia, ib in zip(df["id_a"], df["id_b"]):
+            sa, sb = sset(ia), sset(ib)
+            union = len(sa | sb)
+            ja.append(len(sa & sb) / union if union else 0.0)
+        out = df[["id_a", "id_b"]].copy()
+        out["jaccard_e4"] = np.floor(
+            np.array(ja, dtype=np.float64) * 10000 + 0.5).astype(np.int64)
+        return out[out["jaccard_e4"] >= int(threshold * 10000)]
+
+    return pairs.map_batches(verify_bcast, batch_format="pandas")
+
+
+def _verify_join(pairs, cand_ids, source, id_col: str, text_col: str,
+                 k: int, threshold: float):
+    """Join plan: candidate texts reach the pair rows through hash
+    joins, never through a driver-side map."""
     # semi-join: only candidate docs' texts leave the scan
     cand_docs = cand_ids.join(
         source, join_type="inner", num_partitions=16,
@@ -262,14 +344,19 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
     source = ds.select_columns([id_col, text_col])
 
     def explode_shingles(batch: pa.Table) -> pa.Table:
+        # block on the crc32 of the shingle, not the string: docs
+        # sharing a shingle always share its hash, so hash-blocked
+        # candidates are a superset of string-blocked ones and the
+        # exact verification makes the final output identical — while
+        # the shuffle moves int64s instead of n-gram strings
         ids_out, sh_out = [], []
         for i, t in zip(batch.column(id_col).to_pylist(),
                         batch.column(text_col).to_pylist()):
             for s in shingle_set(t, k):
                 ids_out.append(i)
-                sh_out.append(s)
+                sh_out.append(zlib.crc32(s.encode()))
         return pa.table({"id": pa.array(ids_out, pa.int64()),
-                         "shingle": pa.array(sh_out, pa.string())})
+                         "shingle": pa.array(sh_out, pa.int64())})
 
     def add_bucket(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
@@ -296,11 +383,7 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
         .map_groups(lambda df: pairs_in_bucket(df.drop(columns=[_BUCKET])),
                     batch_format="pandas")
     )
-    pairs = bucketed_agg(
-        pairs, ["id_a", "id_b"],
-        lambda df, keys: df.drop_duplicates(subset=["id_a", "id_b"]),
-        num_buckets=num_buckets,
-    ).materialize()
+    pairs = _distinct_pairs(pairs, num_buckets)
     return verify_pairs_jaccard(pairs, source, id_col=id_col,
                                 text_col=text_col, k=k, threshold=threshold,
                                 num_buckets=num_buckets)

@@ -87,3 +87,37 @@ def test_fingerprint_deterministic_and_discriminative():
     f2 = fingerprint_rolling("k l m n o p q r s t")
     assert f1 != f2
     assert f1 == sorted(f1)
+
+
+def test_verify_paths_agree_broadcast_vs_join(ray_session):
+    """The broadcast and join physical plans of verify_pairs_jaccard
+    must produce identical results (one semantic, two plans)."""
+    from mmore_ray.pipelines.queries import _docs_with_near_copies
+    from mmore_ray.stages.dedup import near_dup_minhash
+
+    import pandas as pd
+    import ray as _ray
+
+    import mmore_ray.stages.dedup as dd
+
+    pairs_cols = ["id_a", "id_b", "jaccard_e4"]
+    bc = (near_dup_minhash(_docs_with_near_copies("/root/testdata/sf0.001"))
+          .to_pandas().sort_values(pairs_cols).reset_index(drop=True))
+    # candidate pairs = the broadcast run's survivors ∪ a few non-dup
+    # pairs, so both plans also see below-threshold pairs they must drop
+    extra = pd.DataFrame({"id_a": [1, 2], "id_b": [3, 4]})
+    cand = pd.concat([bc[["id_a", "id_b"]], extra]).drop_duplicates()
+    src = _docs_with_near_copies("/root/testdata/sf0.001") \
+        .select_columns(["doc_id", "text"])
+    out_join = dd.verify_pairs_jaccard(
+        _ray.data.from_pandas(cand), src, id_col="doc_id", text_col="text",
+        broadcast_limit=0).to_pandas()  # limit 0 forces the join plan
+    src2 = _docs_with_near_copies("/root/testdata/sf0.001") \
+        .select_columns(["doc_id", "text"])
+    out_bc = dd.verify_pairs_jaccard(
+        _ray.data.from_pandas(cand), src2,
+        id_col="doc_id", text_col="text").to_pandas()
+    j = out_join.sort_values(pairs_cols).reset_index(drop=True)
+    b = out_bc.sort_values(pairs_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(j, b)
+    pd.testing.assert_frame_equal(b, bc)
