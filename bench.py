@@ -40,6 +40,18 @@ def main() -> None:
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    # Ray-internal noise on empty shuffle partitions: pandas block
+    # schemas are unhashable (list fields) so schema-dedup logs a
+    # warning per reduce task, and empty partitions log a RefBundle
+    # schema-mismatch.  Both are benign (ray-project/ray
+    # transform_pyarrow.py "Unsure if there are cases..."), and they
+    # drown the bench log — silence just those two loggers.
+    import logging
+
+    for name in ("ray.data._internal.arrow_ops.transform_pyarrow",
+                 "ray.data._internal.execution.streaming_executor_state"):
+        logging.getLogger(name).setLevel(logging.ERROR)
+
     import pyarrow.parquet as pq
 
     from mmore_ray.pipelines import queries as Q

@@ -498,6 +498,25 @@ def q_knn_ivf(sf_dir: str):
                    n_centroids=16, nprobe=4)
 
 
+def q_knn_ivf_indexed(sf_dir: str):
+    """Persisted-IVF top-10 in EXACT mode (nprobe == n_centroids):
+    build the bucket-partitioned index once under /tmp, probe it with
+    partition-pruned reads (stages/similarity.py build_ivf_index /
+    knn_ivf_indexed).  Full probe reads every bucket, so the result
+    equals brute force and shares q_knn's oracle."""
+    import hashlib
+    import os
+
+    from ..stages.similarity import build_ivf_index, knn_ivf_indexed
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/ivf_index_{tag}"
+    if not os.path.exists(f"{idx}/centroids.json"):
+        build_ivf_index(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                        idx, n_centroids=16)
+    return knn_ivf_indexed(idx, _query_vectors(sf_dir), k=10, nprobe=16)
+
+
 def q_lang_id(sf_dir: str):
     from ..stages.text_analysis import detect_lang_batch
 
@@ -1011,6 +1030,7 @@ QUERIES = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_embedding": q_dedup_embedding,
     "q_knn": q_knn,
+    "q_knn_ivf_indexed": q_knn_ivf_indexed,
     "q_knn_ivf": q_knn_ivf,
     "q_lang_id": q_lang_id,
     "q_quality": q_quality,
@@ -1477,3 +1497,4 @@ def _mentions_regions_sql() -> str:
 QUERIES["q_mentions_regions"] = q_mentions_regions
 ORACLES["q_mentions_regions"] = _mentions_regions_sql()
 QUERIES["q_rag"] = q_rag
+ORACLES["q_knn_ivf_indexed"] = ORACLES["q_knn"]  # full probe == exact

@@ -121,3 +121,50 @@ def test_verify_paths_agree_broadcast_vs_join(ray_session):
     b = out_bc.sort_values(pairs_cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(j, b)
     pd.testing.assert_frame_equal(b, bc)
+
+
+def test_persisted_ivf_index_matches_in_session_ivf(ray_session):
+    """build_ivf_index + knn_ivf_indexed ≡ knn_ivf (same centroids,
+    same probes) and full-probe is exact vs brute force."""
+    import shutil
+
+    import pandas as pd
+    import ray as _ray
+
+    from mmore_ray.stages.similarity import (
+        build_ivf_index,
+        knn_brute_force,
+        knn_ivf,
+        knn_ivf_indexed,
+    )
+
+    SF = "/root/testdata/sf0.001"
+
+    def vecs():
+        return _ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                      columns=["vec_id", "embedding"])
+
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{SF}/embeddings.parquet",
+                       columns=["vec_id", "embedding"]).to_pandas().head(5)
+    queries = {int(r.vec_id): list(r.embedding) for r in qt.itertuples()}
+
+    idx = "/tmp/ivf_index_test"
+    build_ivf_index(vecs(), idx, n_centroids=8)
+    key = ["query_id", "rnk"]
+    live = knn_ivf(vecs(), queries, k=5, n_centroids=8, nprobe=3) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    stored = knn_ivf_indexed(idx, queries, k=5, nprobe=3) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(live, stored)
+
+    # full probe through the index == exact brute force
+    brute = knn_brute_force(vecs(), queries, k=5) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    full = knn_ivf_indexed(idx, queries, k=5, nprobe=8) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        brute[["query_id", "neighbor_id", "rnk"]],
+        full[["query_id", "neighbor_id", "rnk"]])
+    shutil.rmtree(idx, ignore_errors=True)
