@@ -331,15 +331,46 @@ class PDFProcessor(ProcessorBase):
 
 
 class MediaProcessor(ProcessorBase):
-    """≙ media_processor.py:21 — Whisper ASR + frame thumbnails; actor
-    pool at scale (weights per actor)."""
+    """≙ media_processor.py:21-222 — audio-track extraction (moviepy)
+    → Whisper ASR transcript → frame thumbnails every ``sample_rate``
+    seconds, shipped as image modalities behind ``<attachment>`` tags.
+
+    The Ray-side plumbing is real and shared with
+    stages/multimodal.py: FAKEVID containers have their embedded audio
+    track sliced out (≙ moviepy), the transcript is recovered by the
+    same clearly-fake decode ``AsrTranscriber`` uses, and video frames
+    are sampled deterministically.  Real codecs would swap in behind
+    the two ``FAKE*`` branches only; genuinely-encoded media raises
+    NotImplementedError (whisper/moviepy absent in this env).  At
+    scale this runs as the actor-pool stage (weights per actor,
+    ``map_batches(AsrTranscriber, concurrency=N, num_gpus=1)``)."""
 
     EXTENSIONS = (".mp4", ".avi", ".mov", ".mkv", ".mp3", ".flac", ".wav")
     NAME = "MediaProcessor"
+    FRAME_SAMPLE_RATE = 10  # seconds between thumbnails (reference default)
 
     @classmethod
-    def parse(cls, file_name: str, payload: str) -> dict:
-        raise NotImplementedError("media parsing requires whisper/moviepy")
+    def parse(cls, file_name: str, payload) -> dict:
+        from .multimodal import AsrTranscriber
+
+        data = payload.encode("latin-1") if isinstance(payload, str) else payload
+        frames = 0
+        if data.startswith(b"FAKEVID:"):
+            _, secs, alen, rest = data.split(b":", 3)
+            audio = rest[:int(alen)]
+            frames = max(int(secs) // cls.FRAME_SAMPLE_RATE, 1)
+        elif data.startswith(b"FAKEAUD:"):
+            audio = data
+        else:
+            raise NotImplementedError(
+                "real media decode requires moviepy/whisper (not in env); "
+                "FAKEAUD/FAKEVID payloads exercise the full plumbing")
+        transcript = AsrTranscriber()._transcribe(audio)
+        parts = [clean_text(transcript)] if transcript else []
+        modalities = [{"type": "image", "value": f"frame:{i}"}
+                      for i in range(frames)]
+        parts.extend([ATTACHMENT_TAG] * frames)
+        return {"text": "\n".join(parts), "modalities": modalities}
 
 
 _DOCX_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"

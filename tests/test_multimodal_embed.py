@@ -152,3 +152,42 @@ def test_asr_real_decode_path_is_marked():
 
     with pytest.raises(NotImplementedError):
         AsrTranscriber(use_fake_decode=False)
+
+
+def test_media_processor_parses_fake_containers():
+    from mmore_ray.stages.multimodal import fake_audio_bytes, fake_video_bytes
+    from mmore_ray.stages.processors import (
+        ATTACHMENT_TAG,
+        MediaProcessor,
+        dispatch,
+        process_batch,
+    )
+    import pyarrow as pa
+    import pytest
+
+    assert dispatch("x/talk.mp3") is MediaProcessor
+    assert dispatch("x/clip.mp4") is MediaProcessor
+
+    aud = fake_audio_bytes(7, seconds=20, transcript="hello audio world")
+    out = MediaProcessor.parse("talk.mp3", aud)
+    assert out["text"] == "hello audio world"
+    assert out["modalities"] == []
+
+    vid = fake_video_bytes(9, seconds=30, transcript="video speech here")
+    out = MediaProcessor.parse("clip.mp4", vid)
+    lines = out["text"].split("\n")
+    assert lines[0] == "video speech here"
+    assert lines[1:] == [ATTACHMENT_TAG] * 3  # 30s / 10s sample rate
+    assert out["modalities"] == [{"type": "image", "value": f"frame:{i}"}
+                                 for i in range(3)]
+
+    # real encoded media stays an honest stub
+    with pytest.raises(NotImplementedError):
+        MediaProcessor.parse("real.wav", b"RIFF....WAVEfmt ")
+
+    # end-to-end through the batch dispatcher (payload latin-1 roundtrip)
+    batch = pa.table({"file_path": ["d/clip.mp4"],
+                      "content": [vid.decode("latin-1")]})
+    res = process_batch(batch)
+    assert res.column("processor_type").to_pylist() == ["MediaProcessor"]
+    assert "video speech here" in res.column("text").to_pylist()[0]
