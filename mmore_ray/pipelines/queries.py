@@ -182,11 +182,16 @@ def q3_top_orders(sf_dir: str):
 
     rev = bucketed_sum(li, ["l_orderkey"], ["revenue_e4"], prepare=prepare)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = rev.join(orders, join_type="inner", num_partitions=16,
-                      on=("l_orderkey",), right_on=("o_orderkey",))
-    # join keeps only the left key column; restore the orders-side name
-    joined = joined.rename_columns({"l_orderkey": "o_orderkey"}) \
-                   .select_columns(["o_orderkey", "o_custkey", "revenue_e4"])
+    # adaptive: broadcast at bench scale, hash join beyond the limit
+    from ..stages.joins import lookup_join
+
+    joined = lookup_join(rev, orders, "l_orderkey", "o_orderkey")
+    # the join keeps the LEFT key name; restore the orders-side name
+    # (pandas-safe rename: Dataset.rename_columns assumes Arrow blocks)
+    joined = joined.map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"})[
+            ["o_orderkey", "o_custkey", "revenue_e4"]],
+        batch_format="pandas")
     return topk(joined, ["revenue_e4", "o_orderkey"], 10, descending=[True, False])
 
 
@@ -210,8 +215,10 @@ def q_nation_revenue(sf_dir: str):
     rev = bucketed_sum(orders, ["o_custkey"], ["revenue_cents", "n_orders"],
                        prepare=per_cust, num_buckets=32)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    joined = rev.join(cust, join_type="inner", num_partitions=16,
-                      on=("o_custkey",), right_on=("c_custkey",))
+    # adaptive: broadcast at bench scale, hash join beyond the limit
+    from ..stages.joins import lookup_join
+
+    joined = lookup_join(rev, cust, "o_custkey", "c_custkey")
 
     nation_tbl = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     n2name_ref = ray.put(dict(zip(nation_tbl.n_nationkey, nation_tbl.n_name)))

@@ -166,7 +166,7 @@ def near_dup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
                                 num_buckets=num_buckets)
 
 
-def _distinct_pairs(pairs, num_buckets: int, small_limit: int = 500_000):
+def _distinct_pairs(pairs, num_buckets: int, small_limit: int = 5_000_000):
     """Distinct (id_a, id_b) rows — driver-side pandas when the raw
     pair list is small (one cheap gather instead of a groupby shuffle;
     candidates are normally a tiny fraction of the corpus), bucketed
@@ -215,7 +215,12 @@ def verify_pairs_jaccard(pairs, source, id_col: str, text_col: str,
 
     if isinstance(pairs, pd.DataFrame):
         id_set = set(pairs["id_a"]) | set(pairs["id_b"])
-        return _verify_broadcast(ray.data.from_pandas(pairs), id_set,
+        # one block per chunk (from_pandas of a list, no shuffle) so the
+        # verify map parallelizes instead of running as a single task
+        n_chunks = max(1, min(64, len(pairs) // 10_000))
+        chunks = [pairs.iloc[i::n_chunks].reset_index(drop=True)
+                  for i in range(n_chunks)]
+        return _verify_broadcast(ray.data.from_pandas(chunks), id_set,
                                  source, id_col, text_col, k, threshold)
 
     def stack_ids(t: pa.Table) -> pa.Table:
