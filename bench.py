@@ -130,6 +130,15 @@ def main() -> None:
             corpus.write_parquet(f"{cache}/shard={shard:04d}")
         open(os.path.join(cache, "_DONE"), "w").close()
 
+    # Warm the corpus cache files too (the sf-table warmup above does
+    # not touch them): this box reclaims page cache aggressively, and a
+    # cold 200 MB cache read shows up as minutes of extract skew.
+    import glob as _glob
+
+    for f in _glob.glob(f"{cache}/shard=*/*.parquet"):
+        with open(f, "rb") as fh:
+            fh.read()
+
     def read_corpus(shard: int, num_shards_: int):
         return ray.data.read_parquet(f"{cache}/shard={shard:04d}")
 
