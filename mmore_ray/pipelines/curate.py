@@ -1,0 +1,84 @@
+"""Training-data curation pipeline: the standard pre-training ladder
+(quality gates → language ID → exact dedup → near-dup dedup) as ONE
+streaming Ray Data flow.
+
+This is the composition a large-scale curation job actually runs (the
+reference exposes the stages separately: taggers + DatatroveFilter
+post-processors, SURVEY §2.3); every stage here is the engine's
+already-oracle-checked operator, so the whole ladder is SQL-checkable
+end-to-end (``q_curate``).
+
+Scale shape per stage:
+
+* annotate+gate — one vectorized ``map_batches`` (no shuffle; the
+  quality/lang kernels are the 100-TB per-byte hot path and reuse the
+  compiled-regex batch implementations in stages/text_analysis.py);
+* exact dedup — bucketed keep-min (stages/dedup.exact_dedup), joined
+  back adaptively (stages/joins.lookup_join: broadcast when small,
+  hash join when not);
+* near-dup — EXACT n-gram Jaccard (stages/dedup.near_dup_jaccard,
+  zero false negatives) with the drop-higher-id policy: any doc that
+  appears as ``id_b`` of a verified pair is dropped.  Single-linkage
+  clustering is available separately (stages/canonicalize) when the
+  transitive policy is wanted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+try:
+    import ray
+except ImportError:  # pragma: no cover
+    ray = None
+
+
+def curate(ds, text_col: str = "text", id_col: str = "doc_id",
+           min_words: int = 20, min_stop_e4: int = 200, lang: str = "en",
+           jaccard: float = 0.5, num_buckets: int = 64):
+    """(id, text) Dataset → curated Dataset with columns
+    (doc_id, word_count, stop_ratio_e4, lang_pred, n_dupes).
+
+    ``n_dupes`` counts the exact-duplicate group size the surviving doc
+    represents (provenance for loss-weighting / dedup accounting)."""
+    from ..stages.dedup import exact_dedup, near_dup_jaccard
+    from ..stages.joins import lookup_join
+    from ..stages.text_analysis import detect_lang_batch, quality_stats
+
+    def annotate(df: pd.DataFrame) -> pd.DataFrame:
+        qs = quality_stats(df, text_col)
+        langs = detect_lang_batch(df[text_col])
+        out = pd.DataFrame({
+            "doc_id": df[id_col].astype(np.int64),
+            "text": df[text_col],
+            "word_count": qs["word_count"].to_numpy(),
+            "stop_ratio_e4": qs["stop_ratio_e4"].to_numpy(),
+            "lang_pred": langs,
+        })
+        keep = ((out["word_count"].to_numpy() >= min_words)
+                & (out["stop_ratio_e4"].to_numpy() >= min_stop_e4)
+                & (langs == lang))
+        return out[keep].reset_index(drop=True)
+
+    kept = ds.map_batches(annotate, batch_format="pandas").materialize()
+
+    # exact dedup: keep the minimum id per content; n_dupes rides along
+    groups = exact_dedup(kept, text_col="text", id_col="doc_id",
+                         num_buckets=num_buckets)
+    survivors = lookup_join(
+        kept, groups.select_columns(["keep_id", "n_dupes"]),
+        "doc_id", "keep_id").materialize()
+
+    # near-dup: exact Jaccard pairs; drop every id_b (id_a < id_b)
+    pairs = near_dup_jaccard(survivors, text_col="text", id_col="doc_id",
+                             threshold=jaccard, num_buckets=num_buckets)
+    drop = {r["id_b"] for r in pairs.select_columns(["id_b"]).take_all()}
+    drop_ref = ray.put(drop)
+
+    def not_dropped(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(drop_ref)
+        out = df[~df["doc_id"].isin(d)]
+        return out.drop(columns=["text"]).reset_index(drop=True)
+
+    return survivors.map_batches(not_dropped, batch_format="pandas")

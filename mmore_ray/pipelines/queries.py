@@ -446,6 +446,45 @@ def q_dedup_jaccard(sf_dir: str):
     return near_dup_jaccard(_docs_with_near_copies(sf_dir), threshold=0.3)
 
 
+def _docs_curate_input(sf_dir: str):
+    """documents ∪ exact copies (+500000, every 7th) ∪ near copies
+    (+1000000, ' extradup', every 5th) — makes every curation stage do
+    real work (plain documents have no duplicates)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def variants(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def mod_eq(col, m):
+            return pc.equal(
+                pc.subtract(col, pc.multiply(pc.divide(col, m), m)), 0)
+
+        ex = t.filter(mod_eq(t.column("doc_id"), 7))
+        ex = pa.table({
+            "doc_id": pc.add(ex.column("doc_id"), 500000),
+            "text": ex.column("text"),
+        })
+        nr = t.filter(mod_eq(t.column("doc_id"), 5))
+        nr = pa.table({
+            "doc_id": pc.add(nr.column("doc_id"), 1000000),
+            "text": pc.binary_join_element_wise(
+                nr.column("text").cast(pa.string()), " extradup", ""),
+        })
+        return pa.concat_tables([t.select(["doc_id", "text"]), ex, nr])
+
+    return ds.map_batches(variants, batch_format="pyarrow")
+
+
+def q_curate(sf_dir: str):
+    """Flagship curation ladder end-to-end: quality gates → lang-ID →
+    exact dedup (keep-min, n_dupes accounting) → exact near-dup dedup
+    (drop-higher-id) — one streaming pipeline (pipelines/curate.py),
+    SQL-checkable because every stage is an oracle-green operator."""
+    from .curate import curate
+
+    return curate(_docs_curate_input(sf_dir))
+
+
 def q_dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dup (cos ≥ 0.999) over embeddings ∪
     scaled copies (vec_id+1000000, 1.01×vec of every 5th)."""
@@ -1084,7 +1123,7 @@ cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
 """
 
 
-def _lang_id_sql() -> str:
+def _lang_id_sql(src: str = "documents") -> str:
     from ..stages.text_analysis import LANG_PROFILES
 
     langs = sorted(LANG_PROFILES)
@@ -1097,14 +1136,14 @@ def _lang_id_sql() -> str:
     gmax = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
     case = " ".join(f"WHEN s_{lang} = {gmax} THEN '{lang}'" for lang in langs)
     return f"""
-      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}),
       sc AS (SELECT doc_id, {scores} FROM w)
       SELECT doc_id,
              CASE WHEN {gmax} = 0 THEN 'unknown' {case} END AS lang_pred
       FROM sc"""
 
 
-def _quality_sql() -> str:
+def _quality_sql(src: str = "documents") -> str:
     from ..stages.text_analysis import LANG_PROFILES
 
     en = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
@@ -1112,7 +1151,7 @@ def _quality_sql() -> str:
       WITH w AS (
         SELECT doc_id, text, string_split(text, ' ') AS ws,
                length(text) AS n_chars
-        FROM documents
+        FROM {src}
       ),
       m AS (
         SELECT doc_id, n_chars,
@@ -1405,6 +1444,62 @@ def _filter_quality_sql() -> str:
 
 QUERIES["q_filter_quality"] = q_filter_quality
 ORACLES["q_filter_quality"] = _filter_quality_sql()
+
+
+def _curate_sql() -> str:
+    """The whole curation ladder as one DuckDB query, composed from the
+    SAME SQL the per-stage oracles use (quality, lang, shingle Jaccard)
+    over the same tri-union input."""
+    return f"""
+      WITH cdocs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 500000, text FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' extradup'
+        FROM documents WHERE doc_id % 5 = 0
+      ),
+      kept AS (
+        SELECT d.doc_id, d.text, q.word_count, q.stop_ratio_e4, l.lang_pred
+        FROM cdocs d
+        JOIN ({_quality_sql("cdocs")}) q USING (doc_id)
+        JOIN ({_lang_id_sql("cdocs")}) l USING (doc_id)
+        WHERE q.word_count >= 20 AND q.stop_ratio_e4 >= 200
+          AND l.lang_pred = 'en'
+      ),
+      ex AS (
+        SELECT text, min(doc_id) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_dupes
+        FROM kept GROUP BY text
+      ),
+      surv AS (
+        SELECT k.doc_id, k.text, k.word_count, k.stop_ratio_e4,
+               k.lang_pred, e.n_dupes
+        FROM kept k JOIN ex e ON k.doc_id = e.keep_id
+      ),
+      w2 AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM surv),
+      sh AS (
+        SELECT id, list_distinct(list_transform(
+                 range(1, greatest(len(ws) - 1, 1)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+        FROM w2
+      ),
+      shrow AS (SELECT id, unnest(shingles) AS s FROM sh),
+      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+               FROM shrow a JOIN shrow b ON a.s = b.s AND a.id < b.id),
+      dropped AS (
+        SELECT DISTINCT c.id_b
+        FROM cand c JOIN sh x ON c.id_a = x.id JOIN sh y ON c.id_b = y.id
+        WHERE CAST(floor(1.0 * len(list_intersect(x.shingles, y.shingles)) /
+              len(list_distinct(list_concat(x.shingles, y.shingles)))
+              * 10000 + 0.5) AS BIGINT) >= 5000
+      )
+      SELECT doc_id, word_count, stop_ratio_e4, lang_pred, n_dupes
+      FROM surv WHERE doc_id NOT IN (SELECT id_b FROM dropped)"""
+
+
+QUERIES["q_curate"] = q_curate
+ORACLES["q_curate"] = _curate_sql()
 
 
 def _translate_sql() -> str:
