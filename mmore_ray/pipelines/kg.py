@@ -370,6 +370,24 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
             n_docs += t.num_rows
             n_mentions += pc.sum(t.column("n_mentions")).as_py() or 0
             n_edges += pc.sum(t.column("n_edges")).as_py() or 0
+        # Consolidate this shard's per-batch rollup partials into ONE
+        # file before publishing: the partials are one-per-tee-batch,
+        # which at corpus scale is millions of tiny files — after this,
+        # finalize reads num_shards files, independent of corpus size.
+        # (Runs before the manifest publish, so a crash re-runs the
+        # shard and the rmtree at the top clears half-consolidated
+        # state; the combine is vocabulary-bounded, hence tiny.)
+        partial_files = sorted(Path(paths["_rollup"]).rglob("*.parquet"))
+        combined = (
+            pa.concat_tables([pq.read_table(f) for f in partial_files])
+            .group_by(["subj", "pred", "obj"])
+            .aggregate([("weight", "sum"), ("n_rows", "sum")])
+            .rename_columns(["subj", "pred", "obj", "weight", "n_rows"])
+        )
+        pq.write_table(combined,
+                       Path(paths["_rollup"]) / "_combined.parquet")
+        for f in partial_files:
+            f.unlink()
         mf.publish(out_dir, "extract", shard, {
             "n_docs": n_docs,
             "n_mentions": n_mentions,
