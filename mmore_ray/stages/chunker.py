@@ -64,13 +64,73 @@ def split_sentences(text: str) -> list[str]:
 
 
 def chunk_prose(text: str, chunk_size: int = 2, unit: str = "sentence") -> list[str]:
-    """Group ``chunk_size`` sentences (or words) per chunk."""
+    """Group ``chunk_size`` units per chunk.
+
+    Units mirror the reference's chonkie strategy set
+    (``chunker/utils.py:344-354`` load_chonkie): ``sentence`` (default
+    SentenceChunker shape), ``word`` (WordChunker), ``token``
+    (TokenChunker over the BPE-ish pre-tokenizer — chunk text is the
+    raw slice spanning its tokens, so nothing is lost between token
+    boundaries), and ``semantic`` (SemanticChunker shape —
+    embedding-similarity grouping, :func:`chunk_semantic`)."""
     if not text.strip():
         return []
+    if unit == "token":
+        from .text_analysis import _TOKEN_RE
+
+        spans = [m.span() for m in _TOKEN_RE.finditer(text)]
+        return [text[spans[i][0]:spans[min(i + chunk_size, len(spans)) - 1][1]]
+                for i in range(0, len(spans), chunk_size)]
+    if unit == "semantic":
+        return chunk_semantic(text, max_sentences=max(chunk_size, 1))
     parts = split_sentences(text) if unit == "sentence" else text.split()
     sep = " "
     return [sep.join(parts[i:i + chunk_size])
             for i in range(0, len(parts), chunk_size)]
+
+
+def _bow_vector(text: str, dim: int = 64) -> "np.ndarray":
+    """Deterministic hashed bag-of-words unit vector (feature hashing).
+    Real lexical locality — sentences sharing words have high cosine —
+    which is what the semantic grouping needs; a neural encoder would
+    swap in here as an actor-pool stage."""
+    import zlib
+
+    import numpy as np
+
+    v = np.zeros(dim, dtype=np.float64)
+    for w in text.lower().split():
+        h = zlib.crc32(w.encode())
+        v[h % dim] += 1.0 if (h >> 16) & 1 else -1.0  # signed hashing
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+def chunk_semantic(text: str, threshold: float = 0.3,
+                   max_sentences: int = 8, dim: int = 64) -> list[str]:
+    """SemanticChunker shape: grow a sentence group while each next
+    sentence stays cosine-similar to the group centroid; break below
+    ``threshold`` or at ``max_sentences``."""
+    import numpy as np
+
+    sents = split_sentences(text)
+    if not sents:
+        return []
+    vecs = [_bow_vector(s, dim) for s in sents]
+    chunks: list[str] = []
+    group = [sents[0]]
+    centroid = vecs[0].copy()
+    for s, v in zip(sents[1:], vecs[1:]):
+        n = np.linalg.norm(centroid)
+        sim = float(centroid @ v / n) if n > 0 else 0.0
+        if sim < threshold or len(group) >= max_sentences:
+            chunks.append(" ".join(group))
+            group, centroid = [s], v.copy()
+        else:
+            group.append(s)
+            centroid += v
+    chunks.append(" ".join(group))
+    return chunks
 
 
 def chunk_table(lines: list[str], mode: str = "single_row",

@@ -102,3 +102,40 @@ def test_mixed_document_order_preserved():
 def test_table_mode_none_flows_as_prose():
     chunks = chunk_document(TABLE, table_mode="none")
     assert all(not is_table for _, is_table, _ in chunks)
+
+
+def test_token_unit_chunks_are_raw_slices():
+    from mmore_ray.stages.chunker import chunk_prose
+    from mmore_ray.stages.text_analysis import count_tokens
+
+    text = "alpha beta42 gamma, delta epsilon zeta eta theta!"
+    chunks = chunk_prose(text, chunk_size=3, unit="token")
+    # every chunk holds ≤ 3 pre-tokenizer tokens, and all tokens survive
+    assert all(count_tokens(c) <= 3 for c in chunks)
+    assert sum(count_tokens(c) for c in chunks) == count_tokens(text)
+    # chunk text is a verbatim slice of the original
+    for c in chunks:
+        assert c in text
+
+
+def test_semantic_unit_groups_by_topic():
+    from mmore_ray.stages.chunker import chunk_prose, chunk_semantic
+
+    text = ("the cat sat on the mat. the cat ate near the mat. "
+            "stock markets fell today. stock markets dropped again.")
+    chunks = chunk_semantic(text, threshold=0.3)
+    assert len(chunks) == 2
+    assert "cat" in chunks[0] and "markets" not in chunks[0]
+    assert "markets" in chunks[1] and "cat" not in chunks[1]
+    # deterministic
+    assert chunks == chunk_semantic(text, threshold=0.3)
+    # reachable through the chunk_prose unit switch
+    assert chunk_prose(text, chunk_size=8, unit="semantic") == chunks
+
+
+def test_semantic_respects_max_sentences():
+    from mmore_ray.stages.chunker import chunk_semantic
+
+    text = " ".join(["the same exact words here."] * 10)
+    chunks = chunk_semantic(text, threshold=0.1, max_sentences=4)
+    assert len(chunks) == 3  # 4 + 4 + 2
