@@ -209,9 +209,10 @@ def write_sorted(triples_ds, key_counts, out_dir: str | Path,
         if not d.is_dir():
             return 0
         tables = [pq.read_table(f) for f in sorted(d.glob("*.parquet"))]
-        df = pa.concat_tables(tables).to_pandas().sort_values(SORT_COLS)
-        df.to_parquet(out_dir / f"part-{p:05d}.parquet", index=False)
-        return len(df)
+        tbl = pa.concat_tables(tables).sort_by(
+            [(c, "ascending") for c in SORT_COLS])
+        pq.write_table(tbl, out_dir / f"part-{p:05d}.parquet")
+        return tbl.num_rows
 
     ray.get([merge.remote(p) for p in range(n_parts)])
     import shutil
