@@ -563,6 +563,51 @@ def q_knn_ivf_indexed(sf_dir: str):
     return knn_ivf_indexed(idx, _query_vectors(sf_dir), k=10, nprobe=16)
 
 
+def q_colvision(sf_dir: str):
+    """ColVision late-interaction retrieval: pages = groups of 4
+    embedding vectors (vec_id // 4) in nested multi-vector rows,
+    queries = the first 3 pages' vector sets, exact MaxSim top-5
+    (stages/colvision.py; score spec milvuscolvision.py:230)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.colvision import maxsim_retrieve
+    from ..stages.groupby import _BUCKET
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    qt = t.filter(pc.less(t.column("vec_id"), 12)).to_pandas() \
+        .sort_values("vec_id")
+    queries = {
+        int(pid): [list(v) for v in g.sort_values("vec_id").embedding]
+        for pid, g in qt.groupby(qt.vec_id // 4)
+    }
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def add_keys(df):
+        df = df.copy()
+        df["page_id"] = (df.vec_id // 4).astype("int64")
+        df[_BUCKET] = (df.page_id % 32).astype("int64")
+        return df
+
+    def nest_pages(df):
+        rows = {"page_id": [], "patches": []}
+        for pid, g in df.groupby("page_id"):
+            g = g.sort_values("vec_id")
+            rows["page_id"].append(int(pid))
+            rows["patches"].append([list(v) for v in g.embedding])
+        return pd.DataFrame(rows)
+
+    pages = (
+        ds.map_batches(add_keys, batch_format="pandas")
+        .groupby(_BUCKET)
+        .map_groups(lambda df: nest_pages(df.drop(columns=[_BUCKET])),
+                    batch_format="pandas")
+    )
+    return maxsim_retrieve(pages, queries, k=5)
+
+
 def q_lang_id(sf_dir: str):
     from ..stages.text_analysis import detect_lang_batch
 
@@ -1077,6 +1122,7 @@ QUERIES = {
     "q_dedup_embedding": q_dedup_embedding,
     "q_knn": q_knn,
     "q_knn_ivf_indexed": q_knn_ivf_indexed,
+    "q_colvision": q_colvision,
     "q_knn_ivf": q_knn_ivf,
     "q_lang_id": q_lang_id,
     "q_quality": q_quality,
@@ -1600,3 +1646,23 @@ QUERIES["q_mentions_regions"] = q_mentions_regions
 ORACLES["q_mentions_regions"] = _mentions_regions_sql()
 QUERIES["q_rag"] = q_rag
 ORACLES["q_knn_ivf_indexed"] = ORACLES["q_knn"]  # full probe == exact
+
+ORACLES["q_colvision"] = """
+  WITH pages AS (SELECT vec_id // 4 AS page_id, vec_id,
+                        embedding::DOUBLE[] AS v FROM embeddings),
+  q AS (SELECT vec_id // 4 AS query_id, vec_id,
+               embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 12),
+  best AS (
+    SELECT q.query_id, q.vec_id AS qvec, p.page_id,
+           max(list_dot_product(q.v, p.v)) AS m
+    FROM q JOIN pages p ON TRUE
+    GROUP BY 1, 2, 3
+  ),
+  score AS (SELECT query_id, page_id,
+                   CAST(floor(sum(m) * 10000 + 0.5) AS BIGINT) AS score_e4
+            FROM best GROUP BY 1, 2),
+  ranked AS (SELECT *, row_number() OVER
+               (PARTITION BY query_id
+                ORDER BY score_e4 DESC, page_id) AS rnk
+             FROM score)
+  SELECT query_id, page_id, score_e4, rnk FROM ranked WHERE rnk <= 5"""
