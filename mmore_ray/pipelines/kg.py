@@ -8,7 +8,8 @@
       → map_batches(CanonicalRelabel)            # union-find canonical map
       → doc_triples                              # per-doc merge, no shuffle
       → partial rollup → groupby(s,p,o).sum      # combiner + small shuffle
-      → sort(subj,pred,obj) → write_parquet      # range-partition shuffle
+      → spill-at-extract sorted shards           # warmup-sampled boundaries;
+                                                 # finalize = parallel merges
 
 Lifecycle analogue of the reference's process→postprocess chain
 (SURVEY §3): crawl ≙ parquet read; processors ≙ normalize stage; NER
