@@ -76,3 +76,26 @@ def test_ner_config_surface_custom_gazetteer(tmp_path):
     got = {(e["entity"], e["type"]) for e in ner[0]}
     assert got == {("ACME", "ORGANIZATION"), ("WIDGET", "PRODUCT")}
     assert ner[1] == []
+
+
+def test_profiler_captures_stats_and_persists(ray_session, tmp_path):
+    import json
+
+    import ray as _ray
+
+    from mmore_ray.profiler import profiled
+
+    ds = _ray.data.range(100).map_batches(lambda b: b)
+    mat = {}
+
+    def consume():
+        mat["ds"] = ds.materialize()
+        return mat["ds"].count()
+
+    result, rec = profiled("count100", consume,
+                           dataset=lambda: mat["ds"], out_dir=tmp_path)
+    assert result == 100
+    assert rec["seconds"] >= 0
+    assert "MapBatches" in (rec["stats"] or "")
+    saved = json.loads((tmp_path / "_profile" / "count100.json").read_text())
+    assert saved["name"] == "count100"

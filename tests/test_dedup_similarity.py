@@ -168,3 +168,47 @@ def test_persisted_ivf_index_matches_in_session_ivf(ray_session):
         brute[["query_id", "neighbor_id", "rnk"]],
         full[["query_id", "neighbor_id", "rnk"]])
     shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_jaccard_dedup_equals_naive_ground_truth(ray_session):
+    """near_dup_jaccard must equal the O(n²) definition exactly (zero
+    false negatives / positives) on randomized corpora."""
+    import random
+
+    import pandas as pd
+    import ray as _ray
+
+    from mmore_ray.stages.dedup import near_dup_jaccard, shingle_set
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(3):
+        docs = {}
+        for i in range(24):
+            base = [rng.choice(vocab) for _ in range(rng.randint(4, 15))]
+            docs[i] = " ".join(base)
+            if rng.random() < 0.4:  # inject a near copy
+                mutated = list(base)
+                if mutated:
+                    mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+                docs[100 + i] = " ".join(mutated)
+        ds = _ray.data.from_pandas(pd.DataFrame({
+            "doc_id": list(docs), "text": list(docs.values())}))
+        got = near_dup_jaccard(ds, threshold=0.3).to_pandas()
+        got_set = {(a, b, j) for a, b, j in
+                   zip(got.id_a, got.id_b, got.jaccard_e4)}
+
+        want = set()
+        ids = sorted(docs)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                sa = set(shingle_set(docs[ids[x]]))
+                sb = set(shingle_set(docs[ids[y]]))
+                if not (sa & sb):
+                    continue  # no shared shingle → not a candidate
+                import numpy as np
+
+                j = int(np.floor(len(sa & sb) / len(sa | sb) * 10000 + 0.5))
+                if j >= 3000:
+                    want.add((ids[x], ids[y], j))
+        assert got_set == want, f"trial {trial}"
