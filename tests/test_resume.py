@@ -71,3 +71,76 @@ def test_sorted_shards_globally_ordered(read_corpus, tmp_path):
             assert prev <= keys[0]
         if keys:
             prev = keys[-1]
+
+
+def test_mid_shard_crash_leaves_no_duplicates(read_corpus, tmp_path):
+    """A crash mid-shard leaves partial spill/output parquet behind with
+    NO manifest entry; the re-run must clear and rewrite that shard so
+    no stale file contributes duplicate rows (ADVICE: stale-spill
+    concatenation)."""
+    import pyarrow as pa
+
+    out = tmp_path / "kg"
+    run_kg(read_corpus, out, num_shards=3)
+    base_triples = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{out}/triples/shard=*/b=*/*.parquet"))
+
+    # simulate the crash: delete shard 1's manifest (it "never finished")
+    # and plant stale partial files a dying run could have left
+    (out / "_manifest" / "extract_00001.json").unlink()
+    (out / "_manifest" / "finalize_00000.json").unlink()
+    junk = pa.table({"subj": ["ZZZ"], "pred": ["CO_OCCURS"],
+                     "obj": ["ZZZ"], "weight": [1.0],
+                     "repo": ["junk"], "path": ["j"], "commit": ["c"],
+                     "lang": ["python"], "content_sha256": ["0" * 64]})
+    stale_dir = out / "triples" / "shard=0001" / "b=00099"
+    stale_dir.mkdir(parents=True, exist_ok=True)
+    pq.write_table(junk, stale_dir / "stale.parquet")
+    pq.write_table(junk, out / "docs" / "shard=0001" / "stale.parquet")
+
+    stats = run_kg(read_corpus, out, num_shards=3)
+    assert stats["shards_skipped"] == [0, 2]
+    assert _lineage_rows(out) == 200
+    after = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{out}/triples/shard=*/b=*/*.parquet"))
+    assert after == base_triples  # stale rows gone, nothing duplicated
+    # and the junk key never reaches the sorted output
+    for f in glob.glob(f"{out}/triples_sorted/*.parquet"):
+        t = pq.read_table(f, columns=["subj"])
+        assert "ZZZ" not in set(t.column("subj").to_pylist())
+
+
+def test_custom_gazetteer_actor_pool_end_to_end(ray_session, tmp_path):
+    """run_kg with a CUSTOM gazetteer exercises the actor-pool scanner
+    (state in __init__) through warmup, tee, and finalize; mentions and
+    sorted triples must reflect only the custom surfaces."""
+    import pyarrow as pa
+
+    ray = ray_session
+    gaz = [("Widget Corp", "ORGANIZATION", "WIDGET CORP"),
+           ("Acme Ltd", "ORGANIZATION", "ACME LTD")]
+    alias = {"WIDGET CORP": "WIDGET CORP", "ACME LTD": "ACME LTD"}
+
+    rows = {"repo": [], "path": [], "commit": [], "lang": [], "content": []}
+    for i in range(120):
+        rows["repo"].append("r")
+        rows["path"].append(f"f{i}.py")
+        rows["commit"].append("c")
+        rows["lang"].append("python")
+        rows["content"].append(
+            f"# doc {i}: Widget Corp partners with Acme Ltd uniq{i}")
+    table = pa.table(rows)
+
+    out = tmp_path / "kg_custom"
+    run_kg(lambda: ray.data.from_arrow(table), out, num_shards=2,
+           gazetteer=gaz, alias=alias)
+    subs = set()
+    for f in glob.glob(f"{out}/triples_sorted/*.parquet"):
+        subs |= set(pq.read_table(f, columns=["subj"]).column("subj").to_pylist())
+    assert subs == {"ACME LTD"}  # sorted pair: (ACME LTD, WIDGET CORP)
+    n_mentions = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{out}/mentions/**/*.parquet", recursive=True))
+    assert n_mentions == 240  # two mentions per doc
