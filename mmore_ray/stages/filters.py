@@ -222,6 +222,97 @@ def lambda_filter(predicate: Callable[[dict], bool]) -> Callable:
     return fn
 
 
+class HashingTextClassifier:
+    """fastText-supervised-style linear text classifier: hashed bag of
+    word unigrams + bigrams (feature hashing, the trick fastText uses)
+    → multinomial logistic regression trained by deterministic
+    full-batch gradient descent.
+
+    This is the 11th datatrove filter's model family implemented for
+    real (``filter/datatrove_wrapper.py:36`` FastTextClassifierFilter)
+    — the reference loads pre-trained ``.bin`` weights, which cannot be
+    fetched in this sandbox, so the classifier trains from caller-
+    provided (text, label) pairs instead; both are the same linear
+    model at inference time.  Deterministic end-to-end (seeded init,
+    fixed iteration order)."""
+
+    def __init__(self, dim: int = 4096, lr: float = 0.5,
+                 epochs: int = 50, seed: int = 3):
+        self._dim = dim
+        self._lr = lr
+        self._epochs = epochs
+        self._seed = seed
+        self._labels: list[str] = []
+        self._W: np.ndarray | None = None
+
+    def _features(self, text: str) -> np.ndarray:
+        import zlib
+
+        v = np.zeros(self._dim, dtype=np.float64)
+        words = text.lower().split()
+        for i, w in enumerate(words):
+            v[zlib.crc32(w.encode()) % self._dim] += 1.0
+            if i + 1 < len(words):
+                bg = f"{w} {words[i + 1]}"
+                v[zlib.crc32(bg.encode()) % self._dim] += 1.0
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+    def fit(self, texts: list[str], labels: list[str]) -> "HashingTextClassifier":
+        self._labels = sorted(set(labels))
+        lab_idx = {l: i for i, l in enumerate(self._labels)}
+        X = np.stack([self._features(t) for t in texts])
+        Y = np.zeros((len(texts), len(self._labels)))
+        for r, l in enumerate(labels):
+            Y[r, lab_idx[l]] = 1.0
+        rng = np.random.default_rng(self._seed)
+        W = rng.standard_normal((self._dim, len(self._labels))) * 0.01
+        for _ in range(self._epochs):
+            Z = X @ W
+            Z -= Z.max(axis=1, keepdims=True)
+            P = np.exp(Z)
+            P /= P.sum(axis=1, keepdims=True)
+            W -= self._lr * (X.T @ (P - Y)) / len(texts)
+        self._W = W
+        return self
+
+    def predict_proba(self, texts: list[str]) -> np.ndarray:
+        assert self._W is not None, "fit() first"
+        X = np.stack([self._features(t) for t in texts])
+        Z = X @ self._W
+        Z -= Z.max(axis=1, keepdims=True)
+        P = np.exp(Z)
+        return P / P.sum(axis=1, keepdims=True)
+
+    @property
+    def labels(self) -> list[str]:
+        return self._labels
+
+
+def fasttext_like_filter(keep_label: str, threshold: float = 0.5,
+                         train_texts: list[str] | None = None,
+                         train_labels: list[str] | None = None,
+                         classifier: HashingTextClassifier | None = None,
+                         text_col: str = "text") -> Callable:
+    """Keep rows where P(keep_label) ≥ threshold under the linear
+    classifier (≙ datatrove FastTextClassifierFilter semantics).  Pass
+    a pre-trained ``classifier`` or training pairs; the model is built
+    ONCE at filter construction (per-pipeline, not per batch) and rides
+    into tasks by closure capture."""
+    clf = classifier or HashingTextClassifier().fit(
+        train_texts or [], train_labels or [])
+    col = clf.labels.index(keep_label)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        if not texts:
+            return batch
+        p = clf.predict_proba(texts)[:, col]
+        return _keep(batch, list(p >= threshold))
+
+    return fn
+
+
 ALL_FILTERS = {
     "length": length_filter,
     "alpha_ratio": alpha_ratio_filter,
@@ -233,6 +324,7 @@ ALL_FILTERS = {
     "url": url_filter,
     "unigram_logprob": unigram_logprob_filter,
     "gopher_quality": gopher_quality_filter,
+    "fasttext_like": fasttext_like_filter,
 }
 
 

@@ -17,9 +17,10 @@ def _texts(*texts):
     return pa.table({"text": pa.array(list(texts), pa.string())})
 
 
-def test_registry_covers_ten_of_eleven():
-    # only the fasttext classifier (a learned model) stays unmapped
-    assert len(ALL_FILTERS) == 10
+def test_registry_covers_all_eleven():
+    # the fasttext slot is filled by the trainable hashed-ngram
+    # linear classifier (same model family, no .bin download needed)
+    assert len(ALL_FILTERS) == 11
 
 
 def test_url_filter_domains_parents_and_subwords():
@@ -63,3 +64,59 @@ def test_length_and_sampler_are_deterministic():
     assert length_filter(4, 10)(t).num_rows == 1
     fn = sampler_filter(0.5)
     assert fn(t).num_rows == fn(t).num_rows  # stable across calls
+
+
+def test_fasttext_like_classifier_filter(ray_session):
+    """The hashed-ngram linear classifier must separate two simple
+    classes, be deterministic, and filter batches by label prob."""
+    import pyarrow as pa
+
+    from mmore_ray.stages.filters import (
+        HashingTextClassifier,
+        fasttext_like_filter,
+    )
+
+    good = [f"the quick research paper discusses results {i}"
+            for i in range(12)]
+    spam = [f"buy cheap pills now click here winner {i}"
+            for i in range(12)]
+    clf = HashingTextClassifier().fit(good + spam,
+                                      ["good"] * 12 + ["spam"] * 12)
+    p = clf.predict_proba(["a research paper with results",
+                           "click here to buy cheap pills"])
+    gi = clf.labels.index("good")
+    assert p[0, gi] > 0.8 and p[1, gi] < 0.2
+
+    # deterministic across fresh instances
+    clf2 = HashingTextClassifier().fit(good + spam,
+                                       ["good"] * 12 + ["spam"] * 12)
+    import numpy as np
+
+    assert np.allclose(p, clf2.predict_proba(
+        ["a research paper with results", "click here to buy cheap pills"]))
+
+    fn = fasttext_like_filter("good", threshold=0.5, classifier=clf)
+    batch = pa.table({"text": ["research results discussed",
+                               "cheap pills winner click",
+                               "the quick paper"]})
+    kept = fn(batch).column("text").to_pylist()
+    assert "cheap pills winner click" not in kept
+    assert "research results discussed" in kept
+
+
+def test_fasttext_like_via_yaml_registry(ray_session):
+    from mmore_ray.config import build_stage
+
+    fn = build_stage({
+        "type": "filter/fasttext_like",
+        "args": {
+            "keep_label": "ok",
+            "threshold": 0.5,
+            "train_texts": ["alpha beta good text", "zzz spammy junk text"],
+            "train_labels": ["ok", "bad"],
+        },
+    })
+    import pyarrow as pa
+
+    out = fn(pa.table({"text": ["alpha beta good", "zzz spammy junk"]}))
+    assert out.num_rows == 1
