@@ -130,3 +130,43 @@ def test_xlsx_dispatch_and_types():
     s1 = frames["S1"]
     assert list(s1["qty"]) == [3, 2.5]  # int-like stays int, float stays
     assert list(s1["name"]) == ["alpha", "beta"]
+
+
+REF_SAMPLES = "/root/reference/examples/sample_data"
+
+
+def test_docx_parses_reference_sample():
+    """Drive the stdlib DOCX parser over the reference's real fixture
+    (examples/sample_data/docx/ums.docx — the same file its own
+    test_processors_local.py uses)."""
+    import os
+
+    import pytest
+
+    path = f"{REF_SAMPLES}/docx/ums.docx"
+    if not os.path.exists(path):
+        pytest.skip("reference sample data not present")
+    from mmore_ray.stages.processors import DOCXProcessor
+
+    out = DOCXProcessor.parse("ums.docx", open(path, "rb").read())
+    assert len(out["text"]) > 1000
+    assert "Swiss elite" in out["text"]
+    # the document embeds images → attachment tags + image modalities
+    assert len(out["modalities"]) >= 1
+    assert out["text"].count(ATTACHMENT_TAG) == len(out["modalities"])
+
+
+def test_xlsx_parses_reference_sample():
+    import os
+
+    import pytest
+
+    path = f"{REF_SAMPLES}/spreadsheet/survey.xlsx"
+    if not os.path.exists(path):
+        pytest.skip("reference sample data not present")
+    from mmore_ray.stages.processors import SpreadsheetProcessor
+
+    out = SpreadsheetProcessor.parse("survey.xlsx", open(path, "rb").read())
+    assert out["text"].startswith("Sheet: ")
+    assert "Swiss" in out["text"]
+    assert len(out["text"]) > 10_000  # full sheet rendered
