@@ -1666,3 +1666,140 @@ ORACLES["q_colvision"] = """
                 ORDER BY score_e4 DESC, page_id) AS rnk
              FROM score)
   SELECT query_id, page_id, score_e4, rnk FROM ranked WHERE rnk <= 5"""
+
+
+def q_asof_join(sf_dir: str):
+    """Backward as-of join: each event matched to the SAME customer's
+    most recent order at or before the event time (ties on order date
+    broken by max orderkey) — the temporal join operator Ray Data
+    lacks, built as the co-partitioned bucketed ``merge_asof`` of
+    :func:`mmore_ray.stages.joins.asof_join` (scale notes there)."""
+    from ..stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep_ev(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "key": pa.array(df.user_id.to_numpy(dtype=np.int64)),
+            "us": pa.array(df.ts.to_numpy().astype("datetime64[us]")
+                           .astype(np.int64)),
+            "event_id": pa.array(df.event_id.to_numpy(dtype=np.int64)),
+        })
+
+    def prep_ord(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "key": pa.array(df.o_custkey.to_numpy(dtype=np.int64)),
+            "us": pa.array(df.o_orderdate.to_numpy()
+                           .astype("datetime64[us]").astype(np.int64)),
+            "last_orderkey": pa.array(df.o_orderkey.to_numpy(dtype=np.int64)),
+            "last_total_cents": pa.array(_int_scale(df.o_totalprice, 100)),
+        })
+
+    joined = asof_join(
+        ev.map_batches(prep_ev, batch_format="pandas"),
+        orders.map_batches(prep_ord, batch_format="pandas"),
+        by="key", on="us", left_cols=["event_id"],
+        right_cols=["last_orderkey", "last_total_cents"],
+        tiebreak="last_orderkey")
+    return joined.select_columns(["event_id", "last_orderkey",
+                                  "last_total_cents"])
+
+
+def q_range_join(sf_dir: str):
+    """Non-equi interval join + windowed aggregate: every 'purchase'
+    event opens a 10-minute attribution window; count and sum the
+    value of ALL events (any user — no equality key) inside each
+    window.  Built on the band-bucketed
+    :func:`mmore_ray.stages.joins.interval_agg_join` (replicate
+    intervals into overlapped time bands, equi-merge per band, exact
+    containment filter, partial-sum merge; scale notes there).  Every
+    window contains its own opening event, so inner semantics lose no
+    windows."""
+    from ..stages.joins import interval_agg_join
+
+    W_US = 10 * 60 * 1_000_000
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def prep_points(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "us": pa.array(df.ts.to_numpy().astype("datetime64[us]")
+                           .astype(np.int64)),
+            "sum_value_e2": pa.array(_int_scale(df.value, 100)),
+        })
+
+    def prep_intervals(df: pd.DataFrame) -> pa.Table:
+        d = df[df.event_type == "purchase"]
+        us = d.ts.to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "window_id": pa.array(d.event_id.to_numpy(dtype=np.int64)),
+            "start": pa.array(us),
+            "end": pa.array(us + W_US),
+        })
+
+    return interval_agg_join(
+        ev.map_batches(prep_points, batch_format="pandas"),
+        ev.map_batches(prep_intervals, batch_format="pandas"),
+        point_on="us", interval_id="window_id", interval_start="start",
+        interval_end="end", sum_cols=["sum_value_e2"],
+        bucket_width=W_US, count_col="n_events")
+
+
+def q_distinct_per_group(sf_dir: str):
+    """Exact distributed count-distinct per group
+    (:func:`mmore_ray.stages.groupby.grouped_count_distinct`: pair-hash
+    bucketing makes per-bucket counts disjoint partials; scale notes
+    there)."""
+    from ..stages.groupby import grouped_count_distinct
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
+    return grouped_count_distinct(li, ["l_returnflag"], "l_partkey",
+                                  out_col="n_parts")
+
+
+def q_median(sf_dir: str):
+    """Exact grouped median (quantile_cont 0.5 interpolation) via the
+    value-rollup selection of
+    :func:`mmore_ray.stages.groupby.grouped_median` (scale notes and
+    the distinct-values ≪ rows assumption there)."""
+    from ..stages.groupby import grouped_median
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return grouped_median(li, ["l_returnflag"], "l_quantity",
+                          out_col="median_qty_e2", scale=100)
+
+
+QUERIES["q_asof_join"] = q_asof_join
+ORACLES["q_asof_join"] = """
+    WITH m AS (
+      SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC,
+                                         o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    SELECT event_id, o_orderkey AS last_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             AS last_total_cents
+    FROM m WHERE rn = 1"""
+QUERIES["q_range_join"] = q_range_join
+ORACLES["q_range_join"] = """
+    SELECT i.event_id AS window_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(p.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_e2
+    FROM events i JOIN events p
+      ON p.ts >= i.ts AND p.ts < i.ts + INTERVAL 10 MINUTE
+    WHERE i.event_type = 'purchase'
+    GROUP BY i.event_id"""
+QUERIES["q_distinct_per_group"] = q_distinct_per_group
+ORACLES["q_distinct_per_group"] = """
+    SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY l_returnflag"""
+QUERIES["q_median"] = q_median
+ORACLES["q_median"] = """
+    SELECT l_returnflag,
+           CAST(floor(median(l_quantity) * 100 + 0.5) AS BIGINT)
+             AS median_qty_e2
+    FROM lineitem GROUP BY l_returnflag"""

@@ -117,3 +117,93 @@ def topk(ds, sort_cols: list[str], k: int, descending: list[bool] | bool = True)
     return reduced.repartition(1).map_batches(
         local, batch_format="pandas", batch_size=None
     )
+
+
+def grouped_count_distinct(ds, keys: list[str], col: str, out_col: str,
+                           num_buckets: int = 64, batch_size: int = 65536):
+    """Exact distributed ``count(DISTINCT col) GROUP BY keys``.
+
+    Scale shape: per-batch dedup of the (keys, col) pairs (the
+    combiner — dup-heavy batches collapse before any shuffle), then
+    ONE bucketed shuffle keyed on the PAIR hash — every distinct pair
+    lands in exactly one bucket, so the per-bucket counts per key are
+    disjoint partials — and a final bounded :func:`bucketed_sum` over
+    ≤ num_buckets partial rows per key.  Driver holds nothing; a hot
+    key's distinct values spread over all buckets (the pair hash salts
+    the key for free), so key skew does not concentrate."""
+    pair = keys + [col]
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        g = df[pair].drop_duplicates()
+        g = g.copy()
+        g[_BUCKET] = _bucket_of(g, pair, num_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        d = df.drop(columns=[_BUCKET]).drop_duplicates(subset=pair)
+        out = (d.groupby(keys, as_index=False)
+               .size().rename(columns={"size": out_col}))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        .groupby(_BUCKET)
+        .map_groups(per_bucket, batch_format="pandas"))
+    return bucketed_sum(partials, keys, [out_col],
+                        num_buckets=max(8, num_buckets // 4))
+
+
+def grouped_median(ds, keys: list[str], col: str, out_col: str,
+                   scale: int = 100, num_buckets: int = 64,
+                   batch_size: int = 65536):
+    """Exact grouped median with ``quantile_cont(0.5)`` semantics (even
+    counts interpolate the two middle values), integerized as
+    ``floor(median * scale + 0.5)`` for cross-engine hash parity — the
+    interpolation fraction is only ever 0 or exactly 0.5, so the
+    float64 arithmetic is exact for integer-representable inputs.
+
+    Scale shape — the exact-percentile-by-value-rollup trick: a
+    :func:`bucketed_sum` rolls the input up to (keys, value) → count
+    (combiner + one bounded shuffle; scale-safe while distinct values
+    per key ≪ rows — quantities, scores, sizes; for continuous
+    high-cardinality values switch to a fixed-bin histogram sketch and
+    accept approximation), then one bucketed shuffle on keys and a
+    per-key weighted-median selection over the sorted value/count rows
+    (cheap: rows per key = distinct values per key)."""
+    n_col = "_n"
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keys + [col]].copy()
+        out[n_col] = np.int64(1)
+        return out
+
+    rolled = bucketed_sum(ds, keys + [col], [n_col], prepare=prepare,
+                          num_buckets=num_buckets, batch_size=batch_size)
+
+    def add_key_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.copy()
+        df[_BUCKET] = _bucket_of(df, keys, num_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_key_bucket(df: pd.DataFrame) -> pa.Table:
+        rows = []
+        for kv, g in df.drop(columns=[_BUCKET]).groupby(keys, sort=False):
+            g = g.sort_values(col)
+            v = g[col].to_numpy(dtype=np.float64)
+            cum = np.cumsum(g[n_col].to_numpy(dtype=np.int64))
+            n = int(cum[-1])
+            p = 0.5 * (n - 1)
+            lo = int(np.floor(p))
+            frac = p - lo
+            vlo = v[np.searchsorted(cum, lo, side="right")]
+            vhi = (v[np.searchsorted(cum, lo + 1, side="right")]
+                   if frac else vlo)
+            med = vlo + frac * (vhi - vlo)
+            row = dict(zip(keys, kv if isinstance(kv, tuple) else (kv,)))
+            row[out_col] = np.int64(np.floor(med * scale + 0.5))
+            rows.append(row)
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    return (rolled.map_batches(add_key_bucket, batch_format="pandas")
+            .groupby(_BUCKET)
+            .map_groups(per_key_bucket, batch_format="pandas"))

@@ -15,7 +15,9 @@ queries build on.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 try:
     import ray
@@ -49,3 +51,198 @@ def lookup_join(left_ds, right_ds, left_key: str, right_key: str,
     # Dataset.join keeps the left key column under the left name and
     # drops the right key — already the contract; nothing to rename.
     return joined
+
+
+def _int64_relation(df: pd.DataFrame, live: list[str], dead: list[str],
+                    side: int, bucket: np.ndarray) -> pa.Table:
+    """One side of a two-sided co-grouped operator as a typed Arrow
+    relation: live columns as int64, the other side's columns as int64
+    ZERO sentinels (never read — rows are split by ``_side`` before any
+    access; zeros, not nulls, because a null in any row would make the
+    pandas conversion of the unioned column float64, and float64 cannot
+    represent epoch-µs timestamps ≈ 1.7e18 > 2^53 exactly), plus the
+    side tag and shuffle bucket.  Keeping every payload column int64
+    (epoch-µs timestamps, integerized money — the suite's
+    numeric-parity convention) is what lets two different schemas union
+    into ONE relation with no schema negotiation."""
+    n = len(df)
+    cols: dict[str, pa.Array] = {}
+    for c in live:
+        cols[c] = pa.array(df[c].to_numpy(dtype=np.int64, copy=False),
+                           type=pa.int64())
+    for c in dead:
+        cols[c] = pa.array(np.zeros(n, dtype=np.int64))
+    cols["_side"] = pa.array(np.full(n, side, dtype=np.int64))
+    cols["_bucket"] = pa.array(bucket.astype(np.int64))
+    return pa.table(cols)
+
+
+def asof_join(left_ds, right_ds, *, by: str, on: str,
+              left_cols: list[str], right_cols: list[str],
+              tiebreak: str, num_buckets: int = 32,
+              batch_size: int = 65536):
+    """Distributed backward as-of join — the temporal-join operator Ray
+    Data lacks (DuckDB ``ASOF JOIN`` / pandas ``merge_asof``
+    semantics, made deterministic).
+
+    For each left row: the right row with the same ``by`` key and the
+    greatest ``on`` ≤ the left ``on``; ties on ``on`` broken by the
+    greatest ``tiebreak`` (which must be one of ``right_cols``).  Left
+    rows with no qualifying right row are dropped (inner).
+
+    Every participating column must be int64 (pre-convert timestamps
+    to epoch-µs and integerize money — see module doc of
+    pipelines/queries.py for the parity rule).
+
+    Scale shape: hash-bucket ``by`` with the SAME function on both
+    sides (co-partitioning), union the two int64 relations, ONE
+    ``groupby(_bucket)`` shuffle, and inside each bucket a single
+    vectorized ``pd.merge_asof`` over the sorted frames.  No driver
+    state, no broadcast of either side; a bucket's memory is bounded
+    by (rows of its keys on both sides), so skew is bounded by the
+    hottest single key — salt ``by`` upstream if one key outgrows a
+    worker (same rule as stages/groupby.py).
+    """
+    if tiebreak not in right_cols:
+        raise ValueError("tiebreak must be one of right_cols")
+    from .groupby import _bucket_of
+
+    out_schema = pa.schema(
+        [(c, pa.int64()) for c in [by, on, *left_cols, *right_cols]])
+
+    def prep_left(df: pd.DataFrame) -> pa.Table:
+        b = _bucket_of(df, [by], num_buckets)
+        return _int64_relation(df, [by, on, *left_cols], right_cols, 0, b)
+
+    def prep_right(df: pd.DataFrame) -> pa.Table:
+        b = _bucket_of(df, [by], num_buckets)
+        return _int64_relation(df, [by, on, *right_cols], left_cols, 1, b)
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        left = df[df["_side"] == 0]
+        right = df[df["_side"] == 1]
+        if left.empty or right.empty:
+            return out_schema.empty_table()
+        lf = pd.DataFrame(
+            {c: left[c].to_numpy(dtype=np.int64) for c in [by, on, *left_cols]}
+        ).sort_values(on, kind="stable")
+        # ascending (on, tiebreak): merge_asof takes the LAST right row
+        # with on ≤ left.on, so equal-on ties resolve to max(tiebreak)
+        rf = pd.DataFrame(
+            {c: right[c].to_numpy(dtype=np.int64) for c in [by, on, *right_cols]}
+        ).sort_values([on, tiebreak], kind="stable").reset_index(drop=True)
+        # join on a right ROW NUMBER, not the right payload: merge_asof
+        # renders unmatched slots as NaN, which would force the matched
+        # payload column through float64 (inexact past 2^53); the row
+        # number is always < 2^53, and the payload is then gathered
+        # from the intact int64 frame
+        rkey = rf[[by, on]].copy()
+        rkey["_ridx"] = np.arange(len(rf), dtype=np.int64)
+        m = pd.merge_asof(lf, rkey, on=on, by=by, direction="backward")
+        mask = m["_ridx"].notna().to_numpy()
+        m = m[mask]
+        ridx = m["_ridx"].to_numpy(dtype=np.int64)
+        out = {c: pa.array(m[c].to_numpy(dtype=np.int64), pa.int64())
+               for c in [by, on, *left_cols]}
+        for c in right_cols:
+            out[c] = pa.array(rf[c].to_numpy()[ridx], pa.int64())
+        return pa.table(out)
+
+    unioned = (
+        left_ds.map_batches(prep_left, batch_format="pandas",
+                            batch_size=batch_size)
+        .union(right_ds.map_batches(prep_right, batch_format="pandas",
+                                    batch_size=batch_size)))
+    return unioned.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+
+def interval_agg_join(points_ds, intervals_ds, *, point_on: str,
+                      interval_id: str, interval_start: str,
+                      interval_end: str, sum_cols: list[str],
+                      bucket_width: int, count_col: str = "n_points",
+                      num_buckets: int = 32, batch_size: int = 65536):
+    """Non-equi range join + windowed aggregate: for each interval
+    ``[start, end)``, the count and column sums of the points whose
+    ``point_on`` falls inside it.  No equality key at all — both sides
+    can be fact-scale.  Intervals with zero points are absent from the
+    output (inner semantics).
+
+    All columns int64 (epoch-µs / integerized), as in :func:`asof_join`.
+
+    Scale shape (band-bucketing, the classic distributed interval
+    join): time is cut into ``bucket_width`` bands; each point lands
+    in exactly one band, each interval is REPLICATED into every band
+    it overlaps (≤ ``len/width + 1`` copies — choose ``bucket_width``
+    ≥ the typical interval length so replication stays ≤ 2×).  Bands
+    are spread round-robin over ``num_buckets`` shuffle groups
+    (adjacent hot bands land on different workers); inside a group the
+    candidate pairs come from an exact equi-merge on the band id — a
+    (point, interval) pair can meet in only the point's band, so no
+    pair dedup is needed — then the exact containment filter and a
+    vectorized partial aggregate per interval.  Partials from
+    different bands of the same interval are summed by one final
+    bounded ``bucketed_sum`` shuffle.
+    """
+    from .groupby import bucketed_sum
+
+    out_cols = [count_col, *sum_cols]
+
+    def prep_points(df: pd.DataFrame) -> pa.Table:
+        us = df[point_on].to_numpy(dtype=np.int64)
+        tb = us // bucket_width
+        out = pd.DataFrame({"_tb": tb, point_on: us,
+                            **{c: df[c].to_numpy(dtype=np.int64)
+                               for c in sum_cols}})
+        return _int64_relation(
+            out, ["_tb", point_on, *sum_cols],
+            [interval_id, interval_start, interval_end], 0,
+            (tb % num_buckets))
+
+    def prep_intervals(df: pd.DataFrame) -> pa.Table:
+        start = df[interval_start].to_numpy(dtype=np.int64)
+        end = df[interval_end].to_numpy(dtype=np.int64)
+        ids = df[interval_id].to_numpy(dtype=np.int64)
+        tb0 = start // bucket_width
+        tb1 = (end - 1) // bucket_width
+        span = (tb1 - tb0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(df)), span)
+        pos = np.arange(span.sum()) - np.repeat(np.cumsum(span) - span, span)
+        out = pd.DataFrame({"_tb": tb0[idx] + pos, interval_id: ids[idx],
+                            interval_start: start[idx],
+                            interval_end: end[idx]})
+        return _int64_relation(
+            out, ["_tb", interval_id, interval_start, interval_end],
+            [point_on, *sum_cols], 1, (out["_tb"].to_numpy() % num_buckets))
+
+    partial_schema = pa.schema(
+        [(interval_id, pa.int64())] + [(c, pa.int64()) for c in out_cols])
+
+    def per_band_group(df: pd.DataFrame) -> pa.Table:
+        pt = df[df["_side"] == 0]
+        iv = df[df["_side"] == 1]
+        if pt.empty or iv.empty:
+            return partial_schema.empty_table()
+        ptf = pd.DataFrame({c: pt[c].to_numpy(dtype=np.int64)
+                            for c in ["_tb", point_on, *sum_cols]})
+        ivf = pd.DataFrame({c: iv[c].to_numpy(dtype=np.int64)
+                            for c in ["_tb", interval_id, interval_start,
+                                      interval_end]})
+        m = ptf.merge(ivf, on="_tb")
+        m = m[(m[point_on] >= m[interval_start])
+              & (m[point_on] < m[interval_end])]
+        if m.empty:
+            return partial_schema.empty_table()
+        m[count_col] = np.int64(1)
+        g = m.groupby(interval_id, as_index=False)[out_cols].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    unioned = (
+        points_ds.map_batches(prep_points, batch_format="pandas",
+                              batch_size=batch_size)
+        .union(intervals_ds.map_batches(prep_intervals, batch_format="pandas",
+                                        batch_size=batch_size)))
+    partials = unioned.groupby("_bucket").map_groups(
+        per_band_group, batch_format="pandas")
+    return bucketed_sum(partials, [interval_id], out_cols,
+                        num_buckets=max(8, num_buckets // 2))

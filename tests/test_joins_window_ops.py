@@ -1,0 +1,117 @@
+"""Edge-case tests for the as-of join, interval join and the exact
+count-distinct / median aggregates — the cases the TPC-H-shaped oracle
+data does not pin: equal-timestamp tie-breaks, intervals spanning two
+bands, [start, end) boundary semantics, even-count median
+interpolation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from mmore_ray.stages.groupby import grouped_count_distinct, grouped_median
+from mmore_ray.stages.joins import asof_join, interval_agg_join
+
+US = 1_000_000
+# epoch-µs of a modern date: exercises the >2^53 territory where a
+# float64 roundtrip would silently corrupt timestamps
+T0 = 1_700_000_000 * US
+
+
+def _ds(rows: dict, parallelism: int = 2):
+    return ray.data.from_arrow(
+        pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+    ).repartition(parallelism)
+
+
+def test_asof_join_tiebreak_and_inner(ray_session):
+    left = _ds({
+        "key": [1, 1, 2, 3],
+        "us": [T0 + 10, T0 + 4, T0 + 10, T0 + 10],
+        "lid": [100, 101, 102, 103],
+    })
+    right = _ds({
+        "key": [1, 1, 1, 2],
+        # key 1: two rows share us=T0+5 → tiebreak picks rid 8, not 7;
+        # key 2's only row is AFTER the left row → left row dropped;
+        # key 3 has no right rows at all → dropped (inner)
+        "us": [T0 + 5, T0 + 5, T0 + 1, T0 + 20],
+        "rid": [7, 8, 3, 9],
+    })
+    out = asof_join(left, right, by="key", on="us", left_cols=["lid"],
+                    right_cols=["rid"], tiebreak="rid").to_pandas()
+    got = dict(zip(out.lid, out.rid))
+    assert got == {100: 8, 101: 3}
+    assert out.us.dtype == np.int64 and set(out.us) == {T0 + 10, T0 + 4}
+
+
+def test_asof_join_exact_match_included(ray_session):
+    left = _ds({"key": [5], "us": [T0], "lid": [1]})
+    right = _ds({"key": [5], "us": [T0], "rid": [42]})
+    out = asof_join(left, right, by="key", on="us", left_cols=["lid"],
+                    right_cols=["rid"], tiebreak="rid").to_pandas()
+    assert list(out.rid) == [42]  # on ≤ on: equality qualifies
+
+
+def test_interval_join_band_spanning_and_boundaries(ray_session):
+    W = 100 * US
+    # interval starts mid-band and spans into the next band: the point
+    # in the second band must be counted exactly once; end is exclusive
+    intervals = _ds({"iid": [1], "start": [T0 + 50 * US],
+                     "end": [T0 + 150 * US]})
+    points = _ds({
+        "us": [T0 + 49 * US,   # before start → out
+               T0 + 50 * US,   # == start → in (inclusive)
+               T0 + 120 * US,  # second band → in, counted once
+               T0 + 150 * US], # == end → out (exclusive)
+        "v": [1, 10, 100, 1000],
+    })
+    out = interval_agg_join(points, intervals, point_on="us",
+                            interval_id="iid", interval_start="start",
+                            interval_end="end", sum_cols=["v"],
+                            bucket_width=W).to_pandas()
+    assert len(out) == 1
+    assert int(out.n_points[0]) == 2 and int(out.v[0]) == 110
+
+
+def test_interval_join_zero_point_interval_absent(ray_session):
+    W = 100 * US
+    intervals = _ds({"iid": [1, 2], "start": [T0, T0 + 1000 * US],
+                     "end": [T0 + 10 * US, T0 + 1010 * US]})
+    points = _ds({"us": [T0 + 5 * US], "v": [3]})
+    out = interval_agg_join(points, intervals, point_on="us",
+                            interval_id="iid", interval_start="start",
+                            interval_end="end", sum_cols=["v"],
+                            bucket_width=W).to_pandas()
+    assert list(out.iid) == [1]  # inner: empty window 2 absent
+
+
+def test_grouped_count_distinct_dup_heavy(ray_session):
+    rng = np.random.default_rng(7)
+    n = 20_000
+    df = pd.DataFrame({"g": rng.integers(0, 3, n),
+                       "x": rng.integers(0, 50, n)})
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = (grouped_count_distinct(ds, ["g"], "x", out_col="n_x")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    want = (df.groupby("g")["x"].nunique().reset_index(name="n_x"))
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    assert out.n_x.dtype == np.int64
+
+
+def test_grouped_median_interpolation(ray_session):
+    # group a: odd count → exact middle; group b: even count → mean of
+    # the two middle values (7.5 → 750 integerized)
+    df = pd.DataFrame({"g": ["a"] * 5 + ["b"] * 4,
+                       "x": [1.0, 9.0, 5.0, 3.0, 7.0,
+                             5.0, 10.0, 20.0, 10.0]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = (grouped_median(ds, ["g"], "x", out_col="m", scale=100)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert list(out.g) == ["a", "b"]
+    assert list(out.m) == [500, 1000]
+    # quantile_cont parity on a case with a genuine .5 interpolation
+    df2 = pd.DataFrame({"g": ["c"] * 4, "x": [1.0, 6.0, 9.0, 2.0]})
+    out2 = grouped_median(ray.data.from_pandas(df2), ["g"], "x",
+                          out_col="m", scale=100).to_pandas()
+    assert list(out2.m) == [400]  # (2 + 6) / 2
