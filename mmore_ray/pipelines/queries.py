@@ -1803,3 +1803,44 @@ ORACLES["q_median"] = """
            CAST(floor(median(l_quantity) * 100 + 0.5) AS BIGINT)
              AS median_qty_e2
     FROM lineitem GROUP BY l_returnflag"""
+
+
+def q_sliding_window(sf_dir: str):
+    """Sliding-window aggregate (1-hour windows hopping by 15 min, per
+    event type) — the hopping-window shape that tumbling
+    (q_events_window) and session (q_sessionize) windows don't cover.
+    Built on :func:`mmore_ray.stages.groupby.hopping_window_agg`
+    (closed-form window replication + combiner + one bounded shuffle;
+    scale notes there)."""
+    from ..stages.groupby import hopping_window_agg
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "us": df.ts.to_numpy().astype("datetime64[us]").astype(np.int64),
+            "event_type": df.event_type.to_numpy(),
+            "sum_value_e2": _int_scale(df.value, 100),
+        })
+
+    return hopping_window_agg(
+        ev, ts_col="us", keys=["event_type"], sum_cols=["sum_value_e2"],
+        width=3_600_000_000, step=900_000_000, prepare=prep,
+        count_col="n_events")
+
+
+QUERIES["q_sliding_window"] = q_sliding_window
+ORACLES["q_sliding_window"] = """
+    WITH e AS (
+      SELECT epoch_us(ts) AS us, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events),
+    r AS (
+      SELECT us, event_type, v,
+             unnest(range((us - 3600000000) // 900000000 + 1,
+                          us // 900000000 + 1)) AS k
+      FROM e)
+    SELECT k * 900000000 AS window_start_us, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v) AS BIGINT) AS sum_value_e2
+    FROM r GROUP BY 1, 2"""

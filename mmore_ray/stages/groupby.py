@@ -207,3 +207,45 @@ def grouped_median(ds, keys: list[str], col: str, out_col: str,
     return (rolled.map_batches(add_key_bucket, batch_format="pandas")
             .groupby(_BUCKET)
             .map_groups(per_key_bucket, batch_format="pandas"))
+
+
+def hopping_window_agg(ds, *, ts_col: str, keys: list[str],
+                       sum_cols: list[str], width: int, step: int,
+                       prepare=None, window_col: str = "window_start_us",
+                       count_col: str = "n_rows", num_buckets: int = 64,
+                       batch_size: int = 65536):
+    """Sliding (hopping) window aggregate: count + column sums per
+    ``(window_start, *keys)`` for EVERY window of length ``width``
+    advancing by ``step`` that contains the row's ``ts_col`` (int64
+    epoch-µs; windows align to the ``k·step`` epoch grid).  Tumbling
+    windows are the ``step == width`` special case.
+
+    Scale shape: a row's covering windows are CLOSED-FORM —
+    ``k ∈ [(ts - width)//step + 1, ts//step]`` — so the map stage
+    replicates each row into its ``width/step`` windows with
+    ``np.repeat`` (no join, no state, no ordering assumption), the
+    per-batch combiner collapses the replicas immediately, and one
+    bounded :func:`bucketed_sum` shuffle merges the partials.
+    Replication factor = ``width/step`` (size ``step`` accordingly);
+    window-grid cardinality is time-range/step, spread uniformly by
+    the bucket hash, so no window is hot unless its KEY is hot."""
+
+    def prepare_rep(df: pd.DataFrame) -> pd.DataFrame:
+        if prepare is not None:
+            df = prepare(df)
+        us = df[ts_col].to_numpy(dtype=np.int64)
+        k1 = us // step
+        k0 = (us - width) // step + 1
+        span = k1 - k0 + 1
+        idx = np.repeat(np.arange(len(df)), span)
+        pos = np.arange(int(span.sum())) - np.repeat(np.cumsum(span) - span,
+                                                     span)
+        out = pd.DataFrame({window_col: (k0[idx] + pos) * step,
+                            **{k: df[k].to_numpy()[idx] for k in keys},
+                            **{c: df[c].to_numpy()[idx] for c in sum_cols}})
+        out[count_col] = np.int64(1)
+        return out
+
+    return bucketed_sum(ds, [window_col, *keys], [count_col, *sum_cols],
+                        prepare=prepare_rep, num_buckets=num_buckets,
+                        batch_size=batch_size)

@@ -115,3 +115,25 @@ def test_grouped_median_interpolation(ray_session):
     out2 = grouped_median(ray.data.from_pandas(df2), ["g"], "x",
                           out_col="m", scale=100).to_pandas()
     assert list(out2.m) == [400]  # (2 + 6) / 2
+
+
+def test_hopping_window_replication_and_tumbling(ray_session):
+    from mmore_ray.stages.groupby import hopping_window_agg
+
+    STEP = 15 * 60 * US
+    WIDTH = 4 * STEP
+    # one row exactly ON the grid, one mid-step: each must appear in
+    # exactly width/step = 4 windows; grid-aligned ts is included in
+    # its own window (half-open [w, w+width))
+    ds = _ds({"us": [T0 - (T0 % STEP), T0 - (T0 % STEP) + STEP // 2],
+              "v": [1, 10]}, parallelism=1)
+    out = hopping_window_agg(ds, ts_col="us", keys=[], sum_cols=["v"],
+                             width=WIDTH, step=STEP).to_pandas()
+    assert int(out.n_rows.sum()) == 8  # 2 rows × 4 windows
+    assert (out.window_start_us % STEP == 0).all()
+    both = out[out.n_rows == 2]
+    assert len(both) == 4 and (both.v == 11).all()
+    # tumbling = step == width: each row in exactly one window
+    t = hopping_window_agg(ds, ts_col="us", keys=[], sum_cols=["v"],
+                           width=STEP, step=STEP).to_pandas()
+    assert int(t.n_rows.sum()) == 2
