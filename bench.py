@@ -172,7 +172,8 @@ def main() -> None:
     for name in ("kg_graph", "q1_pricing", "q3_top_orders",
                  "q_nation_revenue", "q_events_window",
                  "q_dedup_minhash", "q_dedup_jaccard", "q_curate",
-                 "q_knn", "q_sessionize"):
+                 "q_knn", "q_sessionize", "q_asof_join",
+                 "q_sliding_window"):
         fn = Q.QUERIES[name]
         timings[name] = _timed(lambda f=fn: f(SF_DIR).count())
 

@@ -137,3 +137,47 @@ def test_hopping_window_replication_and_tumbling(ray_session):
     t = hopping_window_agg(ds, ts_col="us", keys=[], sum_cols=["v"],
                            width=STEP, step=STEP).to_pandas()
     assert int(t.n_rows.sum()) == 2
+
+
+def test_asof_join_hot_key_skew(ray_session):
+    """One key owns 95% of both sides (the mega-repo shape): the
+    operator must stay correct — the whole hot key lands in one bucket
+    and is handled by a single vectorized merge_asof."""
+    rng = np.random.default_rng(11)
+    n = 50_000
+    key = np.where(rng.random(n) < 0.95, 7, rng.integers(0, 40, n))
+    l_us = T0 + rng.integers(0, 10_000, n) * US
+    lid = np.arange(n)
+    rk = np.where(rng.random(n) < 0.95, 7, rng.integers(0, 40, n))
+    r_us = T0 + rng.integers(0, 10_000, n) * US
+    rid = np.arange(n)
+    left = _ds({"key": key, "us": l_us, "lid": lid}, parallelism=8)
+    right = _ds({"key": rk, "us": r_us, "rid": rid}, parallelism=8)
+    out = asof_join(left, right, by="key", on="us", left_cols=["lid"],
+                    right_cols=["rid"], tiebreak="rid").to_pandas()
+
+    lf = pd.DataFrame({"key": key, "us": l_us, "lid": lid}).sort_values("us",
+                                                                        kind="stable")
+    rf = pd.DataFrame({"key": rk, "us": r_us, "rid": rid}).sort_values(
+        ["us", "rid"], kind="stable")
+    want = pd.merge_asof(lf, rf, on="us", by="key",
+                         direction="backward").dropna(subset=["rid"])
+    assert len(out) == len(want)
+    got = dict(zip(out.lid, out.rid))
+    ref = dict(zip(want.lid, want.rid.astype(np.int64)))
+    assert got == ref
+
+
+def test_interval_join_long_interval_replication(ray_session):
+    """An interval much longer than the band width replicates into many
+    bands; its per-band partials must merge to one exact row."""
+    W = 10 * US
+    intervals = _ds({"iid": [5], "start": [T0], "end": [T0 + 1000 * US]},
+                    parallelism=1)
+    points = _ds({"us": [T0 + i * US for i in range(0, 1000, 7)],
+                  "v": [1] * len(range(0, 1000, 7))}, parallelism=4)
+    out = interval_agg_join(points, intervals, point_on="us",
+                            interval_id="iid", interval_start="start",
+                            interval_end="end", sum_cols=["v"],
+                            bucket_width=W).to_pandas()
+    assert len(out) == 1 and int(out.n_points[0]) == 143
