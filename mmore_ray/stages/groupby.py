@@ -249,3 +249,68 @@ def hopping_window_agg(ds, *, ts_col: str, keys: list[str],
     return bucketed_sum(ds, [window_col, *keys], [count_col, *sum_cols],
                         prepare=prepare_rep, num_buckets=num_buckets,
                         batch_size=batch_size)
+
+
+def grouped_quantiles_sketch(ds, keys: list[str], col: str,
+                             quantiles: list[float], lo: float, hi: float,
+                             bins: int = 512, prefix: str = "q",
+                             num_buckets: int = 32,
+                             batch_size: int = 65536):
+    """Approximate grouped quantiles via a fixed-bin histogram sketch —
+    the documented scale fallback of :func:`grouped_median` for
+    CONTINUOUS high-cardinality values, where the exact value-rollup
+    would approach one row per input row.
+
+    Error bound: each estimate is within one bin width
+    ``(hi - lo) / bins`` of the exact quantile (within-bin linear
+    interpolation; values outside ``[lo, hi]`` clamp to the edge bins,
+    so quantiles in clamped mass carry the clamp error too — widen the
+    range or raise ``bins`` as needed; both are O(bins) memory per
+    key, independent of row count).
+
+    Scale shape: the histogram is a MERGEABLE sketch, so the partial /
+    shuffle / final structure of :func:`bucketed_sum` applies
+    verbatim — per-batch vectorized ``np.add.at`` histograms (one row
+    per key per batch, ``bins`` int64 columns wide), one bounded
+    bucketed shuffle, and a vectorized per-key inverse-CDF read-off."""
+    hcols = [f"_h{i}" for i in range(bins)]
+    width = (hi - lo) / bins
+
+    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        codes, uniq = pd.factorize(
+            pd.MultiIndex.from_frame(df[keys]) if len(keys) > 1
+            else df[keys[0]])
+        mat = np.zeros((len(uniq), bins), dtype=np.int64)
+        np.add.at(mat, (codes, b), 1)
+        out = pd.DataFrame(mat, columns=hcols)
+        if len(keys) > 1:
+            for i, k in enumerate(keys):
+                out.insert(i, k, [u[i] for u in uniq])
+        else:
+            out.insert(0, keys[0], uniq)
+        return out
+
+    merged = bucketed_sum(ds, keys, hcols, prepare=partial_hist,
+                          num_buckets=num_buckets, batch_size=batch_size)
+
+    qnames = [f"{prefix}{str(q).replace('.', '')}" for q in quantiles]
+
+    def read_off(df: pd.DataFrame) -> pa.Table:
+        mat = df[hcols].to_numpy(dtype=np.int64)
+        cum = np.cumsum(mat, axis=1)
+        n = cum[:, -1]
+        out = df[keys].copy().reset_index(drop=True)
+        for q, name in zip(quantiles, qnames):
+            r = q * (n - 1)
+            # first bin whose cumulative count exceeds the target rank
+            b = (cum <= r[:, None]).sum(axis=1)
+            prev = np.where(b > 0, np.take_along_axis(
+                cum, np.maximum(b - 1, 0)[:, None], axis=1)[:, 0], 0)
+            cnt = np.take_along_axis(mat, b[:, None], axis=1)[:, 0]
+            frac = np.where(cnt > 0, (r - prev + 0.5) / cnt, 0.5)
+            out[name] = lo + (b + np.clip(frac, 0.0, 1.0)) * width
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return merged.map_batches(read_off, batch_format="pandas")

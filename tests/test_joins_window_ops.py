@@ -181,3 +181,38 @@ def test_interval_join_long_interval_replication(ray_session):
                             interval_end="end", sum_cols=["v"],
                             bucket_width=W).to_pandas()
     assert len(out) == 1 and int(out.n_points[0]) == 143
+
+
+def test_grouped_quantiles_sketch_error_bound(ray_session):
+    from mmore_ray.stages.groupby import grouped_quantiles_sketch
+
+    rng = np.random.default_rng(3)
+    n = 120_000
+    df = pd.DataFrame({"g": rng.integers(0, 4, n),
+                       "x": rng.gamma(2.0, 1500.0, n)})
+    LO, HI, BINS = 0.0, 30_000.0, 512
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = (grouped_quantiles_sketch(ds, ["g"], "x", [0.5, 0.9, 0.99],
+                                    lo=LO, hi=HI, bins=BINS)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    bound = (HI - LO) / BINS
+    for g, grp in df.groupby("g"):
+        row = out[out.g == g].iloc[0]
+        for q, cname in [(0.5, "q05"), (0.9, "q09"), (0.99, "q099")]:
+            exact = np.quantile(grp.x, q)
+            assert abs(row[cname] - exact) <= bound + 1e-9, (
+                g, q, row[cname], exact)
+
+
+def test_grouped_quantiles_sketch_multi_key(ray_session):
+    from mmore_ray.stages.groupby import grouped_quantiles_sketch
+
+    df = pd.DataFrame({"a": [1, 1, 2, 2] * 50, "b": ["x", "y"] * 100,
+                       "x": np.tile(np.arange(100.0), 2)})
+    out = (grouped_quantiles_sketch(
+        ray.data.from_pandas(df).repartition(4), ["a", "b"], "x", [0.5],
+        lo=0.0, hi=100.0, bins=200).to_pandas())
+    assert len(out) == 4
+    for _, row in out.iterrows():
+        exact = np.quantile(df[(df.a == row.a) & (df.b == row.b)].x, 0.5)
+        assert abs(row.q05 - exact) <= 0.5 + 1e-9
