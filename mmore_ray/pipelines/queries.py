@@ -1844,3 +1844,39 @@ ORACLES["q_sliding_window"] = """
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(v) AS BIGINT) AS sum_value_e2
     FROM r GROUP BY 1, 2"""
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-3 orders by value per customer — per-group top-k
+    (:func:`mmore_ray.stages.groupby.topk_per_group`: per-batch
+    k-survivor combiner + one bucketed shuffle; deterministic via the
+    orderkey tie-break; scale notes there)."""
+    from ..stages.groupby import topk_per_group
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prep(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "o_custkey": pa.array(df.o_custkey.to_numpy(dtype=np.int64)),
+            "o_orderkey": pa.array(df.o_orderkey.to_numpy(dtype=np.int64)),
+            "totalprice_cents": pa.array(_int_scale(df.o_totalprice, 100)),
+        })
+
+    ds = orders.map_batches(prep, batch_format="pandas")
+    return topk_per_group(ds, ["o_custkey"],
+                          ["totalprice_cents", "o_orderkey"], k=3,
+                          descending=[True, False])
+
+
+QUERIES["q_topk_per_group"] = q_topk_per_group
+ORACLES["q_topk_per_group"] = """
+    SELECT o_custkey, o_orderkey, totalprice_cents FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               AS totalprice_cents,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                        o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3"""

@@ -314,3 +314,43 @@ def grouped_quantiles_sketch(ds, keys: list[str], col: str,
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return merged.map_batches(read_off, batch_format="pandas")
+
+
+def topk_per_group(ds, keys: list[str], sort_cols: list[str], k: int,
+                   descending: list[bool] | bool = True,
+                   num_buckets: int = 64, batch_size: int = 65536):
+    """Top-k rows PER GROUP (global top-k is :func:`topk`).
+
+    Determinism: ``sort_cols`` must end in a tie-breaking unique
+    column, or equal-valued rows at the k boundary make the result
+    run-dependent (same contract as the SQL ``row_number()``
+    equivalent).
+
+    Scale shape: the per-batch combiner keeps at most k rows per
+    (batch, group) — a vectorized sort + ``groupby(keys).head(k)`` —
+    so survivors entering the single bucketed shuffle are ≤ k × blocks
+    per group regardless of group size; the per-bucket final repeats
+    the same sort+head.  Both stages are whole-frame vectorized (no
+    per-group Python)."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_cols)
+    ascending = [not d for d in descending]
+
+    def local(df: pd.DataFrame) -> pa.Table:
+        out = (df.sort_values(sort_cols, ascending=ascending, kind="stable")
+               .groupby(keys, sort=False).head(k))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        t = local(df)
+        g = t.to_pandas()
+        g[_BUCKET] = _bucket_of(g, keys, num_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        return local(df.drop(columns=[_BUCKET]))
+
+    return (ds.map_batches(partial, batch_format="pandas",
+                           batch_size=batch_size)
+            .groupby(_BUCKET)
+            .map_groups(final, batch_format="pandas"))
