@@ -27,7 +27,8 @@ def entry() -> Any:
     from mmore_ray.pipelines.kg import kg_datasets
     from mmore_ray.sources.corpus import derive_corpus_batch
 
-    corpus = ray.data.read_parquet(
+    from mmore_ray.sources.readers import read_parquet_clean
+    corpus = read_parquet_clean(
         "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(derive_corpus_batch, batch_format="pyarrow")
     return kg_datasets(corpus)["triples"]

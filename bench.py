@@ -140,7 +140,8 @@ def main() -> None:
             fh.read()
 
     def read_corpus(shard: int, num_shards_: int):
-        return ray.data.read_parquet(f"{cache}/shard={shard:04d}")
+        from mmore_ray.sources.readers import read_parquet_clean
+        return read_parquet_clean(f"{cache}/shard={shard:04d}")
 
     n_docs *= replicate
     out_dir = tempfile.mkdtemp(prefix="kg_bench_")

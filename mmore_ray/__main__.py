@@ -14,6 +14,9 @@ import json
 import sys
 
 
+from mmore_ray.sources.readers import read_parquet_clean
+
+
 def _ray():
     import ray
 
@@ -38,7 +41,7 @@ def cmd_kg(args) -> dict:
     from .sources.corpus import derive_corpus_batch
 
     def read_corpus():
-        ds = ray.data.read_parquet(args.input)
+        ds = read_parquet_clean(args.input)
         if args.from_documents:
             ds = ds.map_batches(derive_corpus_batch, batch_format="pyarrow")
         return ds
@@ -53,7 +56,7 @@ def cmd_curate(args) -> dict:
     ray = _ray()
     from .pipelines.curate import curate
 
-    ds = ray.data.read_parquet(args.input)
+    ds = read_parquet_clean(args.input)
     clean = curate(ds, min_words=args.min_words, lang=args.lang)
     clean.write_parquet(args.out)
     import pyarrow.parquet as pq
@@ -68,7 +71,7 @@ def cmd_index(args) -> dict:
     ray = _ray()
     from .stages.embed import index_documents
 
-    ds = ray.data.read_parquet(args.input)
+    ds = read_parquet_clean(args.input)
     index_documents(ds, args.out)
     return {"out": args.out, "indexed": ds.count()}
 

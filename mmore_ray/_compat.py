@@ -17,6 +17,30 @@ import sys
 import types
 
 
+def install_schema_hash_warning_filter() -> None:
+    """Drop Ray Data's per-block "Failed to hash the schemas (for
+    deduplication): unhashable type: 'dict'" warning.
+
+    The warning fires inside ``transform_pyarrow.unify_schemas`` whenever a
+    block schema is unhashable.  Parquet written by pandas/pyarrow carries
+    a ``b'pandas'`` metadata blob, and ``pyarrow.Schema.__hash__`` raises on
+    any schema with metadata — so *every* ``read_parquet`` of such a file
+    logs the warning once per unify, hundreds of times per pipeline.  Ray
+    falls back to the slow-path set-compare and produces identical results;
+    the message carries no signal for metadata-bearing schemas, so it is
+    filtered here (only that exact message — other warnings pass through).
+    """
+    import logging
+
+    class _DropSchemaHashWarning(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "Failed to hash the schemas" not in record.getMessage()
+
+    logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow").addFilter(
+        _DropSchemaHashWarning()
+    )
+
+
 def install_fsspec_http_stub() -> None:
     try:
         import fsspec.implementations.http  # noqa: F401
@@ -33,3 +57,4 @@ def install_fsspec_http_stub() -> None:
 
 
 install_fsspec_http_stub()
+install_schema_hash_warning_filter()

@@ -31,7 +31,9 @@ from .kg import kg_datasets
 
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None):
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    from mmore_ray.sources.readers import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 def _int_scale(x, scale: int):

@@ -106,7 +106,8 @@ def rag_answer(collection_dir: str, queries: dict[str, str], k: int = 3,
             "score": pa.array(out["score"], pa.float64()),
         })
 
-    local = ray.data.read_parquet(collection_dir).map_batches(
+    from mmore_ray.sources.readers import read_parquet_clean
+    local = read_parquet_clean(collection_dir).map_batches(
         score, batch_format="pyarrow")
     # survivors ≤ k × blocks × nq — tiny
     hits = local.to_pandas()

@@ -134,7 +134,9 @@ def get_by_ids(collection_dir: str, ids: list[str]):
         mask = [i in want for i in batch.column("sample_id").to_pylist()]
         return batch.filter(pa.array(mask, pa.bool_()))
 
-    return ray.data.read_parquet(collection_dir).map_batches(
+    from mmore_ray.sources.readers import read_parquet_clean
+
+    return read_parquet_clean(collection_dir).map_batches(
         fn, batch_format="pyarrow")
 
 
@@ -163,7 +165,9 @@ def retrieve(collection_dir: str, query_text: str, k: int = 5,
         return keep.append_column("score",
                                   pa.array(hybrid.tolist(), pa.float64()))
 
-    ds = ray.data.read_parquet(collection_dir)
+    from mmore_ray.sources.readers import read_parquet_clean
+
+    ds = read_parquet_clean(collection_dir)
     scored = ds.map_batches(score, batch_format="pyarrow")
     from .groupby import topk
 

@@ -236,7 +236,8 @@ def knn_ivf_indexed(index_dir, queries: dict[int, list[float]], k: int = 10,
              if (index_dir / f"bucket={b:03d}").is_dir()]
     if not paths:
         return ray.data.from_items([])
-    sub = ray.data.read_parquet(paths)
+    from mmore_ray.sources.readers import read_parquet_clean
+    sub = read_parquet_clean(paths)
 
     ref = ray.put((np.array(q_ids, dtype=np.int64), Q, C, probes))
 

@@ -49,7 +49,8 @@ def main() -> None:
     from mmore_ray.sources.corpus import derive_corpus_batch
 
     def read_corpus():
-        ds = ray.data.read_parquet(args.input)
+        from mmore_ray.sources.readers import read_parquet_clean
+        ds = read_parquet_clean(args.input)
         if args.from_documents:
             ds = ds.map_batches(derive_corpus_batch, batch_format="pyarrow")
         return ds
