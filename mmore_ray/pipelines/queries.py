@@ -1882,3 +1882,252 @@ ORACLES["q_topk_per_group"] = """
                ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
                         o_orderkey) AS rn
       FROM orders) WHERE rn <= 3"""
+
+
+def q_order_gaps(sf_dir: str):
+    """Ordered-window navigation (SQL ``lag() OVER (PARTITION BY ...
+    ORDER BY ...)``): days since the customer's previous order, -1 for
+    the first (sentinel, not NULL — a null int64 would float64-coerce
+    the column on both engines and break value-hash parity).
+
+    Scale shape: :func:`mmore_ray.stages.groupby.bucketed_window` —
+    one hash-bucket shuffle co-locates each customer's orders; the
+    shift is vectorized across ALL customers of a bucket at once
+    (``groupby().shift`` — no per-group Python)."""
+    from ..stages.groupby import bucketed_window
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df.o_custkey.to_numpy(dtype=np.int64),
+            "o_orderkey": df.o_orderkey.to_numpy(dtype=np.int64),
+            # day-integer; unit-normalized like the other ts paths
+            "_day": df.o_orderdate.to_numpy()
+                      .astype("datetime64[D]").astype(np.int64),
+        })
+
+    def window_fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "_day", "o_orderkey"],
+                            kind="stable")
+        prev = df.groupby("o_custkey", sort=False)["_day"].shift(1)
+        gap = np.where(prev.isna(), -1,
+                       df._day.to_numpy() - prev.to_numpy()).astype(np.int64)
+        return pd.DataFrame({
+            "o_custkey": df.o_custkey.to_numpy(),
+            "o_orderkey": df.o_orderkey.to_numpy(),
+            "gap_days": gap,
+        })
+
+    return bucketed_window(ds, ["o_custkey"], window_fn, prepare=prepare)
+
+
+QUERIES["q_order_gaps"] = q_order_gaps
+ORACLES["q_order_gaps"] = """
+    SELECT o_custkey, o_orderkey,
+           CAST(coalesce(date_diff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate), -1) AS BIGINT) AS gap_days
+    FROM orders"""
+
+
+def q_rollup_revenue(sf_dir: str):
+    """Hierarchical totals (SQL ``GROUP BY ROLLUP(year, month)``):
+    revenue at (year, month), (year), and grand-total levels, rolled
+    keys carrying -1 (see :func:`mmore_ray.stages.groupby.rollup_sum`
+    for why not NULL).  One input scan; coarser levels re-aggregate
+    the previous level's (small) output."""
+    from ..stages.groupby import rollup_sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "order_year": df.o_orderdate.dt.year.astype(np.int64),
+            "order_month": df.o_orderdate.dt.month.astype(np.int64),
+            "n_orders": np.ones(len(df), dtype=np.int64),
+            "revenue_cents": _int_scale(df.o_totalprice, 100),
+        })
+
+    return rollup_sum(ds, ["order_year", "order_month"],
+                      ["n_orders", "revenue_cents"], prepare=prepare,
+                      num_buckets=16)
+
+
+QUERIES["q_rollup_revenue"] = q_rollup_revenue
+ORACLES["q_rollup_revenue"] = """
+    SELECT CAST(coalesce(order_year, -1) AS BIGINT) AS order_year,
+           CAST(coalesce(order_month, -1) AS BIGINT) AS order_month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM (SELECT year(o_orderdate) AS order_year,
+                 month(o_orderdate) AS order_month,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders)
+    GROUP BY ROLLUP(order_year, order_month)"""
+
+
+def q_pivot_events(sf_dir: str):
+    """Pivot (long → wide): per hour-of-day, one count column per event
+    type plus the summed value.  One-pass shape: the prepare stage
+    emits indicator columns, so the pivot IS a grouped sum — one
+    combiner-led shuffle over 24 groups, never a second pass or a
+    driver-side reshape."""
+    from ..stages.groupby import bucketed_sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    types = ["click", "view", "purchase", "signup", "error"]
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"hour": df.ts.dt.hour.astype(np.int64)}
+        for t in types:
+            out[f"n_{t}"] = (df.event_type == t).to_numpy(dtype=np.int64)
+        out["sum_value_e2"] = _int_scale(df.value, 100)
+        return pd.DataFrame(out)
+
+    return bucketed_sum(ds, ["hour"],
+                        [f"n_{t}" for t in types] + ["sum_value_e2"],
+                        prepare=prepare, num_buckets=8)
+
+
+QUERIES["q_pivot_events"] = q_pivot_events
+ORACLES["q_pivot_events"] = """
+    SELECT CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                AS sum_value_e2
+    FROM events GROUP BY 1"""
+
+
+def q_above_avg(sf_dir: str):
+    """Correlated-subquery pattern: parts priced above their brand's
+    average retail price.  Two phases sharing one partitioning: a
+    combiner-led grouped (count, sum) — 25 brands, tiny — broadcast
+    back as a dict; the filter compares ``cents × n > sum`` in exact
+    int64 arithmetic (``price > avg`` without a float division, so the
+    boundary rows hash identically on both engines)."""
+    from ..stages.groupby import bucketed_sum
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_partkey": df.p_partkey.to_numpy(dtype=np.int64),
+            "p_brand": df.p_brand,
+            "retail_cents": _int_scale(df.p_retailprice, 100),
+            "_n": np.ones(len(df), dtype=np.int64),
+        })
+
+    prepped = ds.map_batches(
+        lambda df: pa.Table.from_pandas(prep(df), preserve_index=False),
+        batch_format="pandas")
+    stats = bucketed_sum(prepped.select_columns(["p_brand", "retail_cents",
+                                                 "_n"]),
+                         ["p_brand"], ["retail_cents", "_n"], num_buckets=8)
+    # grouped aggregate is brand-cardinality small — broadcast as a dict
+    sdf = stats.to_pandas()
+    by_brand = {b: (int(n), int(s)) for b, s, n in
+                zip(sdf.p_brand, sdf.retail_cents, sdf._n)}
+    ref = ray.put(by_brand)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        stats_map = ray.get(ref)
+        brands = batch.column("p_brand").to_pylist()
+        cents = batch.column("retail_cents").to_numpy()
+        n = np.array([stats_map[b][0] for b in brands], dtype=np.int64)
+        s = np.array([stats_map[b][1] for b in brands], dtype=np.int64)
+        keep = batch.filter(pa.array(cents * n > s))
+        return keep.select(["p_partkey", "p_brand", "retail_cents"])
+
+    return prepped.map_batches(flt, batch_format="pyarrow")
+
+
+QUERIES["q_above_avg"] = q_above_avg
+ORACLES["q_above_avg"] = """
+    WITH p AS (SELECT p_partkey, p_brand,
+                      CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                        AS retail_cents
+               FROM part),
+         s AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt,
+                      CAST(sum(retail_cents) AS BIGINT) AS total
+               FROM p GROUP BY 1)
+    SELECT p.p_partkey, p.p_brand, p.retail_cents
+    FROM p JOIN s USING (p_brand)
+    WHERE p.retail_cents * s.cnt > s.total"""
+
+
+def q_collect_modes(sf_dir: str):
+    """Grouped ordered collect (SQL ``string_agg(DISTINCT ... ORDER
+    BY ...)``): the sorted comma-joined set of source systems per
+    document language.  Scale shape: per-batch + per-bucket distinct
+    (a drop_duplicates combiner — survivors bounded by the value
+    domain, not row count), then the join runs per final group (a
+    handful of languages — low cardinality, native groupby is the
+    right plan)."""
+    from ..stages.groupby import bucketed_agg
+
+    keys = ["lang", "source"]
+    ds = _read(sf_dir, "documents", keys)
+    distinct = bucketed_agg(ds, keys,
+                            lambda df, k: df[k].drop_duplicates(),
+                            num_buckets=8)
+
+    def join_modes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": [df.lang.iloc[0]],
+            "sources": [",".join(sorted(df.source))],
+        })
+
+    return distinct.groupby(["lang"]).map_groups(join_modes,
+                                                 batch_format="pandas")
+
+
+QUERIES["q_collect_modes"] = q_collect_modes
+ORACLES["q_collect_modes"] = """
+    SELECT lang, string_agg(DISTINCT source, ',' ORDER BY source)
+             AS sources
+    FROM documents GROUP BY 1"""
+
+
+def q_sample_hash(sf_dir: str):
+    """Deterministic ~10% sample by multiplicative key hash
+    (Knuth 2654435761 mod 2^32) — reproducible across engines, runs
+    and cluster sizes, unlike ``Dataset.random_sample``.  Fully
+    vectorized (uint64 numpy arithmetic on the zero-copy key column);
+    the SQL side computes the identical hash in BIGINT, so the sample
+    sets match row-for-row."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                  "o_totalprice"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy().astype(np.uint64)
+        h = (k * np.uint64(2654435761)) % np.uint64(1 << 32)
+        keep = batch.filter(pa.array(h < np.uint64(429496730)))
+        cents = np.floor(keep.column("o_totalprice").to_numpy() * 100
+                         + 0.5).astype(np.int64)
+        return pa.table({
+            "o_orderkey": keep.column("o_orderkey"),
+            "o_custkey": keep.column("o_custkey"),
+            "totalprice_cents": pa.array(cents),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+QUERIES["q_sample_hash"] = q_sample_hash
+ORACLES["q_sample_hash"] = """
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             AS totalprice_cents
+    FROM orders
+    WHERE (o_orderkey * 2654435761) % 4294967296 < 429496730"""

@@ -354,3 +354,99 @@ def topk_per_group(ds, keys: list[str], sort_cols: list[str], k: int,
                            batch_size=batch_size)
             .groupby(_BUCKET)
             .map_groups(final, batch_format="pandas"))
+
+
+def bucketed_window(ds, keys: list[str], window_fn, prepare=None,
+                    num_buckets: int = 64, batch_size: int = 65536):
+    """Ordered window functions (lag/lead/rank/cumsum/...) over
+    high-cardinality partitions without the per-group Python cliff.
+
+    ``window_fn(df) -> pd.DataFrame`` receives every row of a hash
+    bucket of partitions (all rows of each partition co-located) and
+    must compute the window VECTORIZED across all partitions in the
+    bucket (``df.sort_values(...).groupby(keys).shift()/cumsum()/...``).
+
+    Scale shape: one shuffle keyed by ``hash(keys) % num_buckets`` —
+    the Ray ``groupby`` sees ``num_buckets`` groups regardless of
+    partition cardinality; each bucket holds ~1/num_buckets of the
+    rows, so size num_buckets to the worker heap.  Unlike aggregation
+    there is no combiner (windows need every row), so this is the
+    one bucketed pattern whose shuffle moves all rows — same volume
+    as the SQL window it replaces.
+    """
+
+    def add_bucket(df: pd.DataFrame) -> pa.Table:
+        if prepare is not None:
+            df = prepare(df)
+        df = df.copy()
+        df[_BUCKET] = _bucket_of(df, keys, num_buckets)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        out = window_fn(df.drop(columns=[_BUCKET]))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (ds.map_batches(add_bucket, batch_format="pandas",
+                           batch_size=batch_size)
+            .groupby(_BUCKET)
+            .map_groups(per_bucket, batch_format="pandas"))
+
+
+def rollup_sum(ds, hierarchy: list[str], sum_cols: list[str], prepare=None,
+               fill_value: int = -1, num_buckets: int = 64,
+               batch_size: int = 65536):
+    """``GROUP BY ROLLUP(hierarchy)``: sums at every prefix level of the
+    hierarchy plus the grand total, in one scan of the input.
+
+    Rolled-up key columns carry ``fill_value`` (not NULL: a null int64
+    key would coerce the whole column to float64 in pandas on both
+    engines — the SQL side mirrors with ``coalesce(key, fill)``).
+
+    Scale shape: the input is scanned ONCE, into the finest-level
+    aggregate (bucketed partial-combine shuffle).  Every coarser level
+    re-aggregates the PREVIOUS level's output — at most ``distinct
+    keys(level)`` rows, orders of magnitude smaller than the input —
+    so rollup costs one big shuffle plus len(hierarchy) tiny ones.
+    """
+    finest = bucketed_sum(ds, hierarchy, sum_cols, prepare=prepare,
+                          num_buckets=num_buckets, batch_size=batch_size)
+
+    def filled(level_ds, keep: list[str]):
+        rolled = [c for c in hierarchy if c not in keep]
+
+        def fill(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            for c in rolled:
+                t = t.append_column(
+                    c, pa.array(np.full(n, fill_value), pa.int64()))
+            return t.select(hierarchy + sum_cols)
+
+        return level_ds.map_batches(fill, batch_format="pyarrow")
+
+    levels = [filled(finest, hierarchy)]
+    prev = finest
+    for i in range(len(hierarchy) - 1, 0, -1):
+        keep = hierarchy[:i]
+        prev = bucketed_sum(prev, keep, sum_cols,
+                            num_buckets=min(num_buckets, 8))
+        levels.append(filled(prev, keep))
+
+    def grand(df: pd.DataFrame) -> pa.Table:
+        # sum of the last level's few rows; emitted from a single-group
+        # groupby so it stays inside the Dataset (no driver collect)
+        out = df[sum_cols].sum().to_frame().T
+        for c in hierarchy:
+            out[c] = np.int64(fill_value)
+        return pa.Table.from_pandas(out[hierarchy + sum_cols],
+                                    preserve_index=False)
+
+    g = prev.map_batches(
+        lambda df: df.assign(**{_BUCKET: np.int64(0)}),
+        batch_format="pandas").groupby(_BUCKET).map_groups(
+        lambda df: grand(df.drop(columns=[_BUCKET])), batch_format="pandas")
+    levels.append(g)
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

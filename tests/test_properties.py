@@ -73,3 +73,69 @@ def test_sortwrite_boundaries_cover_and_order(counts, parts):
         p = int(np.searchsorted(np.array(bounds), e, side="right"))
         assert p >= last
         last = p
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(st.tuples(st.integers(0, 40), st.integers(-10**6, 10**6)),
+                     min_size=1, max_size=300),
+       buckets=st.sampled_from([1, 4, 32]))
+def test_bucketed_window_cumsum_equals_pandas(ray_session, rows, buckets):
+    """bucketed_window must see every row of a partition in one bucket —
+    a cumulative sum per key is exactly wrong otherwise."""
+    ray = ray_session
+    from mmore_ray.stages.groupby import bucketed_window
+
+    df = pd.DataFrame(rows, columns=["k", "v"]).astype(np.int64)
+    df["rid"] = np.arange(len(df), dtype=np.int64)  # deterministic order
+
+    def window_fn(d):
+        d = d.sort_values(["k", "rid"], kind="stable")
+        return pd.DataFrame({
+            "rid": d.rid.to_numpy(),
+            "cum": d.groupby("k", sort=False)["v"].cumsum().to_numpy(),
+        })
+
+    got = (bucketed_window(ray.data.from_pandas(df), ["k"], window_fn,
+                           num_buckets=buckets)
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    want = df.sort_values(["k", "rid"], kind="stable")
+    want = pd.DataFrame({
+        "rid": want.rid.to_numpy(),
+        "cum": want.groupby("k", sort=False)["v"].cumsum().to_numpy(),
+    }).sort_values("rid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3),
+                               st.integers(-10**6, 10**6)),
+                     min_size=1, max_size=200))
+def test_rollup_sum_levels(ray_session, rows):
+    ray = ray_session
+    from mmore_ray.stages.groupby import rollup_sum
+
+    df = pd.DataFrame(rows, columns=["a", "b", "v"]).astype(np.int64)
+    got = (rollup_sum(ray.data.from_pandas(df), ["a", "b"], ["v"],
+                      num_buckets=4)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+
+    finest = df.groupby(["a", "b"], as_index=False)["v"].sum()
+    lvl1 = df.groupby(["a"], as_index=False)["v"].sum().assign(b=-1)
+    grand = pd.DataFrame({"a": [-1], "b": [-1], "v": [df.v.sum()]})
+    want = (pd.concat([finest, lvl1, grand], ignore_index=True)
+            [["a", "b", "v"]].sort_values(["a", "b"])
+            .reset_index(drop=True).astype(np.int64))
+    pd.testing.assert_frame_equal(got.astype(np.int64), want)
+
+
+def test_rollup_sum_single_level(ray_session):
+    ray = ray_session
+    from mmore_ray.stages.groupby import rollup_sum
+
+    df = pd.DataFrame({"a": [1, 1, 2], "v": [10, 20, 5]}).astype(np.int64)
+    got = (rollup_sum(ray.data.from_pandas(df), ["a"], ["v"], num_buckets=2)
+           .to_pandas().sort_values("a").reset_index(drop=True))
+    want = pd.DataFrame({"a": [-1, 1, 2], "v": [35, 30, 5]}).astype(np.int64)
+    pd.testing.assert_frame_equal(got.astype(np.int64), want)
