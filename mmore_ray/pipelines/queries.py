@@ -1150,7 +1150,11 @@ QUERIES = {
 #   q_rag           — hybrid rank fusion + extractive generation; no
 #                     SQL form.  Retrieval/LLM behavior pinned in
 #                     pytest (tests/test_rag.py).
-NO_ORACLE: set[str] = {"q_knn_ivf", "q_dedup_simhash", "q_rag"}
+#   q_distinct_approx — HyperLogLog estimate; approximate by design,
+#                     no SQL form.  Accuracy vs exact + merge
+#                     determinism asserted in pytest.
+NO_ORACLE: set[str] = {"q_knn_ivf", "q_dedup_simhash", "q_rag",
+                       "q_distinct_approx"}
 
 _SHINGLE_CTES = """
 WITH docs AS (
@@ -2131,3 +2135,58 @@ ORACLES["q_sample_hash"] = """
              AS totalprice_cents
     FROM orders
     WHERE (o_orderkey * 2654435761) % 4294967296 < 429496730"""
+
+
+def q_sample_per_group(sf_dir: str):
+    """Fixed-size deterministic sample PER GROUP (reservoir-sampling
+    semantics made reproducible): the 2 documents per language with
+    the smallest multiplicative key hash — uniform within each group,
+    identical across engines/runs/cluster sizes.  Rides
+    :func:`mmore_ray.stages.groupby.topk_per_group`, so each batch
+    forwards at most k survivors per group into one bucketed shuffle
+    (a distributed reservoir with a k-survivor combiner)."""
+    from ..stages.groupby import topk_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def prep(df: pd.DataFrame) -> pa.Table:
+        k = df.doc_id.to_numpy(dtype=np.uint64)
+        h = (k * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return pa.table({
+            "doc_id": pa.array(df.doc_id.to_numpy(dtype=np.int64)),
+            "lang": pa.array(df.lang),
+            "_h": pa.array(h.astype(np.int64)),
+        })
+
+    picked = topk_per_group(ds.map_batches(prep, batch_format="pandas"),
+                            ["lang"], ["_h", "doc_id"], k=2,
+                            descending=False, num_buckets=8)
+    return picked.select_columns(["doc_id", "lang"])
+
+
+QUERIES["q_sample_per_group"] = q_sample_per_group
+ORACLES["q_sample_per_group"] = """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+      FROM documents) WHERE rn <= 2"""
+
+
+def q_distinct_approx(sf_dir: str):
+    """Approximate distinct users per event type — HyperLogLog sketch
+    (:func:`mmore_ray.stages.groupby.grouped_count_distinct_approx`).
+    The scale path of q_distinct_per_group: register rows shuffled per
+    (batch, group) are constant-size, independent of the distinct
+    count (the exact op's shuffle grows with distinct pairs).  p=11 →
+    ~2.3% stderr; accuracy + layout-determinism pinned in
+    tests/test_properties.py."""
+    from ..stages.groupby import grouped_count_distinct_approx
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return grouped_count_distinct_approx(ds, ["event_type"], "user_id",
+                                         "approx_users", num_buckets=8)
+
+
+QUERIES["q_distinct_approx"] = q_distinct_approx

@@ -450,3 +450,97 @@ def rollup_sum(ds, hierarchy: list[str], sum_cols: list[str], prepare=None,
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mixer (SplitMix64) — vectorized, no Python
+    per row; the avalanche quality HLL needs."""
+    z = x.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def grouped_count_distinct_approx(ds, keys: list[str], col: str,
+                                  out_col: str, p: int = 11,
+                                  num_buckets: int = 16,
+                                  batch_size: int = 65536):
+    """Approximate distinct count per group — HyperLogLog registers as
+    a mergeable sketch (relative error ≈ 1.04/sqrt(2^p); p=11 → ~2.3%).
+
+    The exact path (:func:`grouped_count_distinct`) shuffles one row
+    per distinct (key, value) pair; at 100 TB a near-unique value
+    column makes that shuffle input-sized.  The sketch path shuffles
+    one 2^p-byte register row per (batch, group) instead — constant
+    per group, independent of distinct-value count.
+
+    Pipeline: per-batch vectorized register build (SplitMix64 hash →
+    bucket index = top p bits, rank = leading-zero count of the rest;
+    ``np.maximum.at`` per group) → bucketed max-merge of registers →
+    standard HLL estimate with the linear-counting small-range
+    correction.  Merging is max(), so re-aggregation is idempotent and
+    the result is deterministic regardless of block order.
+    """
+    m = np.uint64(1 << p)
+    alpha = 0.7213 / (1 + 1.079 / float(m))
+
+    def _hash_col(s: pd.Series) -> np.ndarray:
+        if s.dtype.kind in "iu":
+            return _splitmix64(s.to_numpy())
+        # deterministic across processes (fixed-key siphash)
+        return _splitmix64(
+            pd.util.hash_pandas_object(s, index=False).to_numpy())
+
+    def _registers(df: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_col(df[col])
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+        # rank = leading zeros of the remaining 64-p bits + 1
+        nbits = 64 - p
+        rank = np.zeros(len(h), dtype=np.uint8)
+        bits = rest
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = bits < np.uint64(1 << (64 - shift))
+            rank[mask] += shift
+            bits = np.where(mask, bits << np.uint64(shift), bits)
+        rank = np.minimum(rank, nbits).astype(np.uint8) + 1
+
+        gdf = df[keys].copy()
+        codes, uniq_idx = pd.factorize(
+            pd.util.hash_pandas_object(gdf, index=False), sort=False)
+        regs = np.zeros((len(uniq_idx), int(m)), dtype=np.uint8)
+        np.maximum.at(regs, (codes, idx), rank)
+        out = gdf.iloc[
+            pd.Series(np.arange(len(gdf))).groupby(codes).first().to_numpy()
+        ].reset_index(drop=True)
+        out["_regs"] = [r.tobytes() for r in regs]
+        return out
+
+    def agg_fn(df: pd.DataFrame, ks: list[str]) -> pd.DataFrame:
+        if "_regs" not in df.columns:
+            return _registers(df)
+
+        def merge(series: pd.Series) -> bytes:
+            stack = np.frombuffer(b"".join(series), dtype=np.uint8)
+            return stack.reshape(len(series), int(m)).max(axis=0).tobytes()
+
+        return df.groupby(ks, as_index=False).agg(_regs=("_regs", merge))
+
+    sketches = bucketed_agg(ds, keys, agg_fn, num_buckets=num_buckets,
+                            batch_size=batch_size)
+
+    def estimate(df: pd.DataFrame) -> pa.Table:
+        regs = np.frombuffer(b"".join(df["_regs"]), dtype=np.uint8)
+        regs = regs.reshape(len(df), int(m)).astype(np.float64)
+        est = alpha * float(m) ** 2 / np.power(2.0, -regs).sum(axis=1)
+        zeros = (regs == 0).sum(axis=1)
+        small = (est <= 2.5 * float(m)) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            linear = float(m) * np.log(float(m) / np.maximum(zeros, 1))
+        est = np.where(small, linear, est)
+        out = df[keys].copy()
+        out[out_col] = np.floor(est + 0.5).astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return sketches.map_batches(estimate, batch_format="pandas")

@@ -139,3 +139,39 @@ def test_rollup_sum_single_level(ray_session):
            .to_pandas().sort_values("a").reset_index(drop=True))
     want = pd.DataFrame({"a": [-1, 1, 2], "v": [35, 30, 5]}).astype(np.int64)
     pd.testing.assert_frame_equal(got.astype(np.int64), want)
+
+
+def test_hll_grouped_count_distinct_accuracy(ray_session):
+    """HLL estimate within the p=11 error band (~2.3% stddev; assert
+    5x that) and deterministic across bucketing layouts."""
+    ray = ray_session
+    import numpy as np
+    from mmore_ray.stages.groupby import grouped_count_distinct_approx
+
+    rng = np.random.default_rng(7)
+    rows = []
+    truth = {"a": 10, "b": 1000, "c": 40000}
+    for g, n in truth.items():
+        vals = rng.choice(n * 3, size=n, replace=False)  # n distinct
+        rows.append(pd.DataFrame({
+            "g": g,
+            # duplicates: each value appears 1-3 times
+            "v": np.repeat(vals, rng.integers(1, 4, size=n))[:2 * n],
+        }))
+    df = pd.concat(rows, ignore_index=True).sample(frac=1, random_state=1)
+    df["v"] = df["v"].astype(np.int64)
+
+    results = {}
+    for nb in (2, 16):
+        got = grouped_count_distinct_approx(
+            ray.data.from_pandas(df), ["g"], "v", "approx_n",
+            num_buckets=nb).to_pandas()
+        results[nb] = got.set_index("g")["approx_n"].to_dict()
+
+    # max-merge ⇒ identical result regardless of shuffle layout
+    assert results[2] == results[16]
+    for g, n in truth.items():
+        exact = df[df.g == g]["v"].nunique()
+        assert exact <= n * 2
+        err = abs(results[16][g] - exact) / exact
+        assert err < 0.12, (g, results[16][g], exact)
