@@ -337,13 +337,24 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
 
     Inverted-index blocking: explode each doc into its distinct word
     k-shingles, bucketed-groupby the shingle, emit candidate pairs per
-    posting list, distinct them, then exact-verify with
-    :func:`verify_pairs_jaccard`.  Unlike MinHash this has zero false
+    posting list WITH per-bucket co-occurrence counts, aggregate the
+    counts to ``c = |A∩B|`` in hash space, pre-filter on the hash-space
+    Jaccard ``c/(|A|+|B|-c)`` — an upper bound on the string Jaccard
+    (a hash collision can only merge shingles within a doc, shrinking
+    |A|, or equate shingles across docs, inflating c; both only raise
+    the bound) — and exact-verify the survivors with
+    :func:`verify_pairs_jaccard`.  The pre-filter is the PPJoin-style
+    step that keeps dup-heavy corpora from re-reading candidate texts:
+    without it every blocked pair (possibly a large fraction of n²)
+    re-gathers both texts; with it only true matches + astronomically
+    rare collision survivors do.  Unlike MinHash this has zero false
     negatives by construction — it is the verification-grade operator;
     at corpus scale a hot shingle's posting list generates O(df²)
     pairs, so either pass ``max_df`` to drop stopword-like shingles
     (standard blocking practice; makes the result a documented
-    under-approximation) or prefer :func:`near_dup_minhash`."""
+    under-approximation — and disables the count pre-filter, whose c
+    would undercount dropped shingles) or prefer
+    :func:`near_dup_minhash`."""
     from .groupby import _BUCKET, _bucket_of, bucketed_agg
 
     source = ds.select_columns([id_col, text_col])
@@ -385,8 +396,14 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
             uniq = pd.DataFrame({"d": doc_idx[: n - k + 1][valid],
                                  "g": g[valid].view(np.int64)}
                                 ).drop_duplicates()
-            out_id = ids[uniq["d"].to_numpy()]
+            ud = uniq["d"].to_numpy()
+            out_id = ids[ud]
             out_sh = uniq["g"].to_numpy()
+            # per-doc distinct-shingle-set size, repeated per row (docs
+            # never span batches, so the per-batch count is global)
+            out_sz = np.bincount(ud, minlength=len(batch))[ud]
+        else:
+            out_sz = np.empty(0, dtype=np.int64)
         # short docs (< k words): one shingle = the whole text
         short = counts < k
         if short.any():
@@ -395,13 +412,18 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
                 index=False).to_numpy()
             out_id = np.concatenate([out_id, ids[short]])
             out_sh = np.concatenate([out_sh, th[short].view(np.int64)])
+            out_sz = np.concatenate([out_sz,
+                                     np.ones(int(short.sum()), np.int64)])
         return pa.table({"id": pa.array(out_id, pa.int64()),
-                         "shingle": pa.array(out_sh, pa.int64())})
+                         "shingle": pa.array(out_sh, pa.int64()),
+                         "sz": pa.array(out_sz, pa.int64())})
 
     def add_bucket(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
         df[_BUCKET] = _bucket_of(df, ["shingle"], num_buckets)
         return pa.Table.from_pandas(df, preserve_index=False)
+
+    counted = max_df is None
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized posting-list pair generation: self-merge on the
@@ -413,8 +435,15 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
             d = d[d["shingle"].isin(vc[vc <= max_df].index)]
         m = d.merge(d, on="shingle")
         m = m[m["id_x"] < m["id_y"]]
-        return (m.rename(columns={"id_x": "id_a", "id_y": "id_b"})
-                [["id_a", "id_b"]].drop_duplicates())
+        m = m.rename(columns={"id_x": "id_a", "id_y": "id_b"})
+        if not counted:
+            return m[["id_a", "id_b"]].drop_duplicates()
+        # partial |A∩B|: this bucket holds a hash-disjoint slice of the
+        # shingle space, so per-pair row counts sum to the global c
+        return (m.groupby(["id_a", "id_b"], sort=False)
+                 .agg(c=("sz_x", "size"), sz_a=("sz_x", "first"),
+                      sz_b=("sz_y", "first"))
+                 .reset_index())
 
     pairs = (
         source.map_batches(explode_shingles, batch_format="pyarrow",
@@ -424,10 +453,49 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
         .map_groups(lambda df: pairs_in_bucket(df.drop(columns=[_BUCKET])),
                     batch_format="pandas")
     )
-    pairs = _distinct_pairs(pairs, num_buckets)
+    if counted:
+        thr = int(threshold * 10000)
+
+        def bound_filter(df: pd.DataFrame) -> pd.DataFrame:
+            # hash-space Jaccard upper bound: exact-verify only pairs
+            # whose bound clears the threshold (superset of the true
+            # matches); integer arithmetic, no float rounding
+            keep = df[(df["c"] * 10000)
+                      >= thr * (df["sz_a"] + df["sz_b"] - df["c"])]
+            return keep[["id_a", "id_b"]].reset_index(drop=True)
+
+        pairs = _sum_pair_counts(pairs, num_buckets)
+        if isinstance(pairs, pd.DataFrame):
+            pairs = bound_filter(pairs)
+        else:
+            pairs = pairs.map_batches(bound_filter, batch_format="pandas")
+    else:
+        pairs = _distinct_pairs(pairs, num_buckets)
     return verify_pairs_jaccard(pairs, source, id_col=id_col,
                                 text_col=text_col, k=k, threshold=threshold,
                                 num_buckets=num_buckets)
+
+
+def _sum_pair_counts(pairs, num_buckets: int, small_limit: int = 5_000_000):
+    """Aggregate per-bucket (id_a, id_b, c, sz_a, sz_b) partials to
+    global co-occurrence counts — driver-side pandas when small, a
+    bucketed groupby Dataset above the limit (same small-side rule as
+    :func:`_distinct_pairs`)."""
+    from .groupby import bucketed_agg
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["id_a", "id_b"], sort=False)
+                  .agg(c=("c", "sum"), sz_a=("sz_a", "first"),
+                       sz_b=("sz_b", "first"))
+                  .reset_index())
+
+    mat = pairs.materialize()
+    if mat.count() <= small_limit:
+        return combine(mat.to_pandas())
+    return bucketed_agg(
+        mat, ["id_a", "id_b"], lambda df, keys: combine(df),
+        num_buckets=num_buckets,
+    )
 
 
 # ---------------------------------------------------------------------------
