@@ -51,6 +51,54 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     )
 
 
+_WINDOW_C = tuple(np.uint64(c) for c in (
+    0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63))
+
+
+def _hashed_windows(texts, k: int):
+    """Vectorized k-word-window hashes for a batch of texts.
+
+    split → flat word array → per-word siphash (pandas C kernel, fixed
+    key ⇒ process-stable) → position-weighted uint64 combine over each
+    k-window that stays inside one doc.  Docs with < k words get one
+    window = the whole-text hash, so every doc has ≥ 1 window and
+    window order follows doc order.  Returns ``(g, doc_idx, n_short)``:
+    uint64 window hashes, the owning doc index per window
+    (nondecreasing), and how many short docs were appended (their
+    windows sort back in by the stable argsort below only when
+    present)."""
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern(texts, " ")
+    counts = pc.list_value_length(lists).to_numpy().astype(np.int64)
+    words = pd.Series(pc.list_flatten(lists).to_pandas(), copy=False)
+    wh = pd.util.hash_pandas_object(words, index=False).to_numpy()
+    doc_idx = np.repeat(np.arange(len(counts)), counts)
+    n = len(wh)
+    if n >= k:
+        g = wh[: n - k + 1] * _WINDOW_C[0]
+        for j in range(1, k):
+            g = g + wh[j: n - k + 1 + j] * _WINDOW_C[j % len(_WINDOW_C)]
+        valid = doc_idx[: n - k + 1] == doc_idx[k - 1:]
+        g = g[valid]
+        widx = doc_idx[: n - k + 1][valid]
+    else:
+        g = np.empty(0, np.uint64)
+        widx = np.empty(0, np.int64)
+    short = counts < k
+    n_short = int(short.sum())
+    if n_short:
+        th = pd.util.hash_pandas_object(
+            pd.Series(texts.to_pandas(), copy=False),
+            index=False).to_numpy()[short].astype(np.uint64)
+        g = np.concatenate([g, th])
+        widx = np.concatenate([widx, np.flatnonzero(short)])
+        order = np.argsort(widx, kind="stable")
+        g, widx = g[order], widx[order]
+    return g, widx, n_short
+
+
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 3) -> np.ndarray:
     """n_perm minhashes of the doc's shingle set (universal hashing
     modulo a Mersenne prime, vectorized over shingles × perms)."""
@@ -119,19 +167,42 @@ def near_dup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
     source = ds.select_columns([id_col, text_col])
 
     def sketch(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        out = {"id": [], "band": [], "band_hash": []}
-        for i, t in zip(ids, texts):
-            sig = minhash_signature(t, a, b, k)
-            for bd in range(bands):
-                out["id"].append(i)
-                out["band"].append(bd)
-                out["band_hash"].append(
-                    zlib.crc32(sig[bd * rows:(bd + 1) * rows].tobytes())
-                    & 0xFFFFFFFF
-                )
-        return pa.table({n: pa.array(v, pa.int64()) for n, v in out.items()})
+        # Fully vectorized batch sketch: shared window-hash kernel →
+        # one (a[j]*g + b[j]) % M pass per permutation with a
+        # np.minimum.reduceat over doc boundaries (min over the
+        # multiset == min over the set, so no per-doc dedup needed) →
+        # constant-weighted uint64 band combine.  The signature hash
+        # family differs from the per-row crc32 path but the LSH
+        # guarantee (miss rate (1-s^r)^b) is the same, and the exact
+        # string-Jaccard verification fixes the output set regardless.
+        if len(batch) == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int64()),
+                             "band_hash": pa.array([], pa.int64())})
+        texts = batch.column(text_col).cast(pa.string())
+        ids = batch.column(id_col).to_numpy()
+        g, widx, _ = _hashed_windows(texts, k)
+        starts = np.flatnonzero(np.r_[True, widx[1:] != widx[:-1]])
+        sig = np.empty((len(batch), n_perm), np.uint64)
+        for j in range(n_perm):
+            sig[:, j] = np.minimum.reduceat(
+                (g * a[j] + b[j]) % _MERSENNE, starts)
+        # band hash: position-weighted sum of the band's rows (uint64
+        # wraparound); only used as a grouping key, so any
+        # process-stable combine works
+        w = np.array([_WINDOW_C[i % len(_WINDOW_C)] for i in range(rows)],
+                     np.uint64)
+        bh = np.empty((len(batch), bands), np.uint64)
+        for bd in range(bands):
+            bh[:, bd] = (sig[:, bd * rows:(bd + 1) * rows] * w).sum(axis=1)
+        n_rows = len(batch) * bands
+        return pa.table({
+            "id": pa.array(np.repeat(ids, bands), pa.int64()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int64),
+                                     len(batch)), pa.int64()),
+            "band_hash": pa.array(bh.reshape(n_rows).view(np.int64),
+                                  pa.int64()),
+        })
 
     band_ds = source.map_batches(sketch, batch_format="pyarrow",
                                  batch_size=2048)
@@ -144,14 +215,13 @@ def near_dup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, g in df.groupby(["band", "band_hash"]):
-            ids = sorted(set(g["id"]))
-            for x in range(len(ids)):
-                for y in range(x + 1, len(ids)):
-                    out_a.append(ids[x])
-                    out_b.append(ids[y])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b}).drop_duplicates()
+        # vectorized pair generation per band bucket: self-merge on the
+        # band key (pandas hash join) + ordered filter
+        d = df.drop_duplicates(["band", "band_hash", "id"])
+        m = d.merge(d, on=["band", "band_hash"])
+        m = m[m["id_x"] < m["id_y"]]
+        return (m.rename(columns={"id_x": "id_a", "id_y": "id_b"})
+                [["id_a", "id_b"]].drop_duplicates())
 
     pairs = (
         band_ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
@@ -364,59 +434,23 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
         # a shingle always share its hash, so hash-blocked candidates
         # are a superset of string-blocked ones and the exact
         # verification makes the final output identical — while the
-        # shuffle moves int64s instead of n-gram strings.  Fully
-        # vectorized: split → flat word array → per-word siphash (C
-        # speed, fixed key ⇒ process-stable) → position-weighted uint64
-        # combine over each k-window that stays inside one doc →
-        # per-doc distinct via np.unique.  Hash collisions only ever
-        # ADD candidate pairs (removed by verify), never lose one.
-        import pyarrow.compute as pc
-
+        # shuffle moves int64s instead of n-gram strings.  Vectorized
+        # window hashes via the shared kernel; per-doc distinct via a
+        # hash-based dedup (np.unique(axis=) lexsorts structured rows —
+        # measured 5x slower).  Hash collisions only ever ADD candidate
+        # pairs (removed by verify), never lose one.
         texts = batch.column(text_col).cast(pa.string())
         ids = batch.column(id_col).to_numpy()
-        lists = pc.split_pattern(texts, " ")
-        counts = pc.list_value_length(lists).to_numpy().astype(np.int64)
-        words = pd.Series(pc.list_flatten(lists).to_pandas(), copy=False)
-        wh = pd.util.hash_pandas_object(words, index=False).to_numpy()
-        doc_idx = np.repeat(np.arange(len(batch)), counts)
-
-        C = [np.uint64(c) for c in
-             (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
-              0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63)]
-        n = len(wh)
-        out_id = np.empty(0, dtype=np.int64)
-        out_sh = np.empty(0, dtype=np.int64)
-        if n >= k:
-            g = wh[: n - k + 1] * C[0]
-            for j in range(1, k):
-                g = g + wh[j: n - k + 1 + j] * C[j % len(C)]
-            valid = doc_idx[: n - k + 1] == doc_idx[k - 1:]
-            # per-doc distinct via a hash-based dedup (np.unique(axis=)
-            # lexsorts structured rows — measured 5x slower)
-            uniq = pd.DataFrame({"d": doc_idx[: n - k + 1][valid],
-                                 "g": g[valid].view(np.int64)}
-                                ).drop_duplicates()
-            ud = uniq["d"].to_numpy()
-            out_id = ids[ud]
-            out_sh = uniq["g"].to_numpy()
-            # per-doc distinct-shingle-set size, repeated per row (docs
-            # never span batches, so the per-batch count is global)
-            out_sz = np.bincount(ud, minlength=len(batch))[ud]
-        else:
-            out_sz = np.empty(0, dtype=np.int64)
-        # short docs (< k words): one shingle = the whole text
-        short = counts < k
-        if short.any():
-            th = pd.util.hash_pandas_object(
-                pd.Series(texts.to_pandas(), copy=False),
-                index=False).to_numpy()
-            out_id = np.concatenate([out_id, ids[short]])
-            out_sh = np.concatenate([out_sh, th[short].view(np.int64)])
-            out_sz = np.concatenate([out_sz,
-                                     np.ones(int(short.sum()), np.int64)])
-        return pa.table({"id": pa.array(out_id, pa.int64()),
-                         "shingle": pa.array(out_sh, pa.int64()),
-                         "sz": pa.array(out_sz, pa.int64())})
+        g, widx, _ = _hashed_windows(texts, k)
+        uniq = pd.DataFrame({"d": widx, "g": g.view(np.int64)}
+                            ).drop_duplicates()
+        ud = uniq["d"].to_numpy()
+        # per-doc distinct-shingle-set size, repeated per row (docs
+        # never span batches, so the per-batch count is global)
+        sz = np.bincount(ud, minlength=len(batch))[ud]
+        return pa.table({"id": pa.array(ids[ud], pa.int64()),
+                         "shingle": pa.array(uniq["g"].to_numpy(), pa.int64()),
+                         "sz": pa.array(sz, pa.int64())})
 
     def add_bucket(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
