@@ -536,20 +536,36 @@ def _sum_pair_counts(pairs, num_buckets: int, small_limit: int = 5_000_000):
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
+def _simhash_batch(texts) -> np.ndarray:
+    """Vectorized 64-bit SimHash over word unigrams for a batch of
+    texts (pyarrow string array) — one bit-matrix unpack + one
+    ``np.add.reduceat`` over doc boundaries; no per-row Python.
+    Returns uint64 per doc.  Deterministic (pandas siphash, fixed
+    key)."""
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern(texts, " ")
+    counts = pc.list_value_length(lists).to_numpy().astype(np.int64)
+    words = pd.Series(pc.list_flatten(lists).to_pandas(), copy=False)
+    wh = pd.util.hash_pandas_object(words, index=False).to_numpy()
+    # per-bit segment sums as 64 1-D reduceats (a 2-D unpackbits +
+    # axis-0 reduceat measured 60x slower); every doc has ≥ 1 word
+    # ("" splits to [""]), so the boundaries are strictly increasing
+    starts = np.cumsum(np.concatenate([[0], counts[:-1]]))
+    bitsum = np.empty((len(counts), 64), np.int64)
+    one = np.uint64(1)
+    for j in range(64):
+        bitsum[:, j] = np.add.reduceat(
+            ((wh >> np.uint64(j)) & one).view(np.int64), starts)
+    acc = 2 * bitsum - counts[:, None]  # sum of ±1 per bit
+    return np.packbits(acc > 0, axis=1,
+                       bitorder="little").view(np.uint64).ravel()
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word unigrams (crc32-derived, deterministic)."""
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for w in text.split(" "):
-        h = np.uint64(zlib.crc32(w.encode())
-                      | (zlib.crc32(w[::-1].encode()) << 32))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    """64-bit SimHash of one text (the batch kernel applied to a
+    single row)."""
+    return int(_simhash_batch(pa.array([text], pa.string()))[0])
 
 
 def near_dup_simhash(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -563,18 +579,20 @@ def near_dup_simhash(ds, text_col: str = "text", id_col: str = "doc_id",
     from .groupby import _BUCKET, _bucket_of
 
     def sketch(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        rows = {"id": [], "chunk": [], "value": [], "sim": []}
-        for i, t in zip(ids, texts):
-            sh = simhash64(t)
-            sh_signed = sh - (1 << 64) if sh >= (1 << 63) else sh  # fit int64
-            for c in range(4):
-                rows["id"].append(i)
-                rows["chunk"].append(c)
-                rows["value"].append((sh >> (16 * c)) & 0xFFFF)
-                rows["sim"].append(sh_signed)
-        return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
+        if len(batch) == 0:
+            return pa.table({k: pa.array([], pa.int64())
+                             for k in ("id", "chunk", "value", "sim")})
+        ids = batch.column(id_col).to_numpy()
+        sh = _simhash_batch(batch.column(text_col).cast(pa.string()))
+        chunk = np.tile(np.arange(4, dtype=np.int64), len(sh))
+        value = ((np.repeat(sh, 4) >> (chunk.view(np.uint64) << np.uint64(4)))
+                 & np.uint64(0xFFFF)).view(np.int64)
+        return pa.table({
+            "id": pa.array(np.repeat(ids, 4), pa.int64()),
+            "chunk": pa.array(chunk, pa.int64()),
+            "value": pa.array(value, pa.int64()),
+            "sim": pa.array(np.repeat(sh.view(np.int64), 4), pa.int64()),
+        })
 
     bands = ds.select_columns([id_col, text_col]).map_batches(
         sketch, batch_format="pyarrow", batch_size=4096
@@ -586,19 +604,23 @@ def near_dup_simhash(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out = {"id_a": [], "id_b": [], "hamming": []}
-        for _, g in df.groupby(["chunk", "value"]):
-            recs = sorted(set(zip(g["id"], g["sim"])))
-            for x in range(len(recs)):
-                for y in range(x + 1, len(recs)):
-                    (ia, sa), (ib, sb) = recs[x], recs[y]
-                    # signed-stored 64-bit values: mask the xor back
-                    ham = int(bin((sa ^ sb) & ((1 << 64) - 1)).count("1"))
-                    if ham <= max_hamming:
-                        out["id_a"].append(ia)
-                        out["id_b"].append(ib)
-                        out["hamming"].append(ham)
-        return pd.DataFrame(out).drop_duplicates(subset=["id_a", "id_b"])
+        # self-merge on the chunk key + vectorized popcount hamming
+        d = df.drop_duplicates(["chunk", "value", "id"])
+        m = d.merge(d, on=["chunk", "value"])
+        m = m[m["id_x"] < m["id_y"]]
+        if not len(m):
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        x = (np.ascontiguousarray(m["sim_x"].to_numpy()).view(np.uint64)
+             ^ np.ascontiguousarray(m["sim_y"].to_numpy()).view(np.uint64))
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        m = m.assign(hamming=ham)
+        m = m[m["hamming"] <= max_hamming]
+        return (m.rename(columns={"id_x": "id_a", "id_y": "id_b"})
+                [["id_a", "id_b", "hamming"]]
+                .drop_duplicates(subset=["id_a", "id_b"]))
 
     cand = (
         bands.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
