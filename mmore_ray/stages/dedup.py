@@ -462,8 +462,11 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized posting-list pair generation: self-merge on the
         # shingle (pandas hash join) + ordered filter — no per-group
-        # Python loop
-        d = df.drop_duplicates(["shingle", "id"])
+        # Python loop.  sz never rides the merge: a per-doc constant on
+        # O(pairs) rows makes the groupby a multi-agg (measured 2.7x
+        # the single-column sum) — sizes are joined back after the
+        # global c-sum instead.
+        d = df[["shingle", "id"]].drop_duplicates()
         if max_df is not None:
             vc = d["shingle"].value_counts()
             d = d[d["shingle"].isin(vc[vc <= max_df].index)]
@@ -475,34 +478,23 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
         # partial |A∩B|: this bucket holds a hash-disjoint slice of the
         # shingle space, so per-pair row counts sum to the global c
         return (m.groupby(["id_a", "id_b"], sort=False)
-                 .agg(c=("sz_x", "size"), sz_a=("sz_x", "first"),
-                      sz_b=("sz_y", "first"))
-                 .reset_index())
+                 .size().rename("c").reset_index())
 
+    ex = source.map_batches(explode_shingles, batch_format="pyarrow",
+                            batch_size=2048)
+    if counted:
+        # consumed twice (pair-gen + candidate sizes): materialize so
+        # the explode runs once
+        ex = ex.materialize()
     pairs = (
-        source.map_batches(explode_shingles, batch_format="pyarrow",
-                           batch_size=2048)
-        .map_batches(add_bucket, batch_format="pandas", batch_size=65536)
+        ex.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
         .groupby(_BUCKET)
         .map_groups(lambda df: pairs_in_bucket(df.drop(columns=[_BUCKET])),
                     batch_format="pandas")
     )
     if counted:
-        thr = int(threshold * 10000)
-
-        def bound_filter(df: pd.DataFrame) -> pd.DataFrame:
-            # hash-space Jaccard upper bound: exact-verify only pairs
-            # whose bound clears the threshold (superset of the true
-            # matches); integer arithmetic, no float rounding
-            keep = df[(df["c"] * 10000)
-                      >= thr * (df["sz_a"] + df["sz_b"] - df["c"])]
-            return keep[["id_a", "id_b"]].reset_index(drop=True)
-
         pairs = _sum_pair_counts(pairs, num_buckets)
-        if isinstance(pairs, pd.DataFrame):
-            pairs = bound_filter(pairs)
-        else:
-            pairs = pairs.map_batches(bound_filter, batch_format="pandas")
+        pairs = _bound_filter_pairs(pairs, ex, threshold, num_buckets)
     else:
         pairs = _distinct_pairs(pairs, num_buckets)
     return verify_pairs_jaccard(pairs, source, id_col=id_col,
@@ -510,18 +502,82 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
                                 num_buckets=num_buckets)
 
 
+def _bound_filter_pairs(pairs, ex, threshold: float, num_buckets: int,
+                        broadcast_limit: int = 50_000):
+    """Filter counted candidate pairs on the hash-space Jaccard upper
+    bound ``c/(sz_a+sz_b-c) ≥ threshold`` — a superset of the true
+    matches (a hash collision can only merge shingles within a doc,
+    shrinking its set, or equate shingles across docs, inflating c;
+    both only raise the bound).  Integer arithmetic, no float rounding.
+
+    ``ex`` is the materialized (id, shingle, sz) explode table; sizes
+    for the candidate ids are fetched by a broadcast-set filter when
+    the candidate set is small, by hash joins when it is not (same
+    small-side rule as the text verification)."""
+    import pyarrow.compute as pc
+
+    from .groupby import bucketed_agg
+
+    thr = int(threshold * 10000)
+
+    def first_sizes(t: pa.Table) -> pa.Table:
+        d = pd.DataFrame({"id": t.column("id").to_numpy(),
+                          "sz": t.column("sz").to_numpy()}
+                         ).drop_duplicates("id")
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    if isinstance(pairs, pd.DataFrame):
+        cand = np.unique(np.concatenate([pairs["id_a"].to_numpy(),
+                                         pairs["id_b"].to_numpy()]))
+        cand_ref = ray.put(pa.array(cand, pa.int64()))
+
+        def pick(t: pa.Table) -> pa.Table:
+            want = ray.get(cand_ref)
+            return first_sizes(
+                t.filter(pc.is_in(t.column("id"), value_set=want)))
+
+        sz = (ex.map_batches(pick, batch_format="pyarrow")
+                .to_pandas().drop_duplicates("id").set_index("id")["sz"])
+        sz_a = pairs["id_a"].map(sz).to_numpy()
+        sz_b = pairs["id_b"].map(sz).to_numpy()
+        c = pairs["c"].to_numpy()
+        keep = (c * 10000) >= thr * (sz_a + sz_b - c)
+        return pairs.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
+
+    # large path: distributed sizes + two hash joins, then the filter
+    sizes = bucketed_agg(
+        ex.select_columns(["id", "sz"]),
+        ["id"], lambda df, keys: df.drop_duplicates("id"),
+        num_buckets=num_buckets,
+    ).materialize()
+    j = pairs.join(
+        sizes.rename_columns({"id": "_ia", "sz": "_sz_a"}),
+        join_type="inner", num_partitions=16,
+        on=("id_a",), right_on=("_ia",),
+    ).materialize().join(
+        sizes.rename_columns({"id": "_ib", "sz": "_sz_b"}),
+        join_type="inner", num_partitions=16,
+        on=("id_b",), right_on=("_ib",),
+    )
+
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[(df["c"] * 10000)
+                  >= thr * (df["_sz_a"] + df["_sz_b"] - df["c"])]
+        return keep[["id_a", "id_b"]].reset_index(drop=True)
+
+    return j.map_batches(flt, batch_format="pandas")
+
+
 def _sum_pair_counts(pairs, num_buckets: int, small_limit: int = 5_000_000):
-    """Aggregate per-bucket (id_a, id_b, c, sz_a, sz_b) partials to
-    global co-occurrence counts — driver-side pandas when small, a
-    bucketed groupby Dataset above the limit (same small-side rule as
+    """Aggregate per-bucket (id_a, id_b, c) partials to global
+    co-occurrence counts — driver-side pandas when small, a bucketed
+    groupby Dataset above the limit (same small-side rule as
     :func:`_distinct_pairs`)."""
     from .groupby import bucketed_agg
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return (df.groupby(["id_a", "id_b"], sort=False)
-                  .agg(c=("c", "sum"), sz_a=("sz_a", "first"),
-                       sz_b=("sz_b", "first"))
-                  .reset_index())
+        return df.groupby(["id_a", "id_b"], sort=False,
+                          as_index=False)["c"].sum()
 
     mat = pairs.materialize()
     if mat.count() <= small_limit:
