@@ -502,8 +502,7 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
                                 num_buckets=num_buckets)
 
 
-def _bound_filter_pairs(pairs, ex, threshold: float, num_buckets: int,
-                        broadcast_limit: int = 50_000):
+def _bound_filter_pairs(pairs, ex, threshold: float, num_buckets: int):
     """Filter counted candidate pairs on the hash-space Jaccard upper
     bound ``c/(sz_a+sz_b-c) ≥ threshold`` — a superset of the true
     matches (a hash collision can only merge shingles within a doc,

@@ -123,6 +123,40 @@ def test_verify_paths_agree_broadcast_vs_join(ray_session):
     pd.testing.assert_frame_equal(b, bc)
 
 
+def test_bound_filter_paths_agree_driver_vs_join(ray_session):
+    """_bound_filter_pairs' driver (pandas) and distributed (join)
+    plans must keep the same candidate pairs (one semantic, two
+    plans)."""
+    import pandas as pd
+    import ray as _ray
+
+    import mmore_ray.stages.dedup as dd
+
+    # ex: (id, shingle, sz) — doc 1 {10,11,12}, doc 2 {10,11,13},
+    # doc 3 {10,99,98}, doc 4 {11} (short doc)
+    ex = _ray.data.from_pandas(pd.DataFrame({
+        "id":      [1, 1, 1, 2, 2, 2, 3, 3, 3, 4],
+        "shingle": [10, 11, 12, 10, 11, 13, 10, 99, 98, 11],
+        "sz":      [3, 3, 3, 3, 3, 3, 3, 3, 3, 1],
+    })).materialize()
+    counts = pd.DataFrame({  # summed c per candidate pair
+        "id_a": [1, 1, 1, 2],
+        "id_b": [2, 3, 4, 3],
+        "c":    [2, 1, 1, 1],
+    })
+    # threshold 0.5: keep (1,2) J=2/4, (1,4) J=1/3→drop? 1/(3+1-1)=1/3
+    # <0.5 drop; (1,3) 1/5 drop; (2,3) 1/5 drop → only (1,2)
+    small = dd._bound_filter_pairs(counts.copy(), ex, 0.5, num_buckets=4)
+    big = dd._bound_filter_pairs(
+        _ray.data.from_pandas(counts.copy()), ex, 0.5, num_buckets=4
+    ).to_pandas()
+    want = pd.DataFrame({"id_a": [1], "id_b": [2]})
+    pd.testing.assert_frame_equal(
+        small.sort_values(["id_a", "id_b"]).reset_index(drop=True), want)
+    pd.testing.assert_frame_equal(
+        big.sort_values(["id_a", "id_b"]).reset_index(drop=True), want)
+
+
 def test_persisted_ivf_index_matches_in_session_ivf(ray_session):
     """build_ivf_index + knn_ivf_indexed ≡ knn_ivf (same centroids,
     same probes) and full-probe is exact vs brute force."""
