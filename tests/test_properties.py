@@ -175,3 +175,44 @@ def test_hll_grouped_count_distinct_accuracy(ray_session):
         assert exact <= n * 2
         err = abs(results[16][g] - exact) / exact
         assert err < 0.12, (g, results[16][g], exact)
+
+
+WORDS = st.sampled_from(["alpha", "beta", "gamma", "x", "yy", "zzz"])
+TEXTS = st.lists(
+    st.lists(WORDS, min_size=0, max_size=12).map(" ".join),
+    min_size=1, max_size=20)
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts=TEXTS, k=st.sampled_from([1, 2, 3, 5]))
+def test_hashed_windows_matches_shingle_set(texts, k):
+    """The vectorized window-hash kernel must agree with the per-row
+    shingle_set definition: same per-doc distinct count (collisions
+    aside — impossible over this tiny vocabulary), nondecreasing doc
+    order, ≥1 window per doc, and process-stable determinism."""
+    from mmore_ray.stages.dedup import _hashed_windows, shingle_set
+
+    arr = pa.array(texts, pa.string())
+    g1, idx1, _ = _hashed_windows(arr, k)
+    g2, idx2, _ = _hashed_windows(arr, k)
+    assert np.array_equal(g1, g2) and np.array_equal(idx1, idx2)
+    assert len(g1) == len(idx1)
+    assert (np.diff(idx1) >= 0).all()
+    # every doc owns at least one window
+    assert set(idx1.tolist()) == set(range(len(texts)))
+    for d, text in enumerate(texts):
+        distinct_hashes = len(set(g1[idx1 == d].tolist()))
+        assert distinct_hashes == len(set(shingle_set(text, k)))
+
+
+@settings(max_examples=25, deadline=None)
+@given(texts=TEXTS)
+def test_simhash_batch_matches_single(texts):
+    """_simhash_batch over a batch must equal simhash64 per row (one
+    hash family, two entry points)."""
+    from mmore_ray.stages.dedup import _simhash_batch, simhash64
+
+    batch = _simhash_batch(pa.array(texts, pa.string()))
+    assert len(batch) == len(texts)
+    for got, text in zip(batch.tolist(), texts):
+        assert got == simhash64(text)
