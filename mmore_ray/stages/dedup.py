@@ -6,8 +6,11 @@ ladder.  All operators follow the same scale shape: vectorized
 per-batch sketching → bucketed/banded groupby on low-cardinality keys →
 exact verification of the (small) candidate set.
 
-Hash discipline: every hash is deterministic across processes
-(crc32 / sha1-derived), never Python's salted ``hash``.
+Hash discipline: every hash is deterministic across processes — the
+batch sketch kernels share :func:`_word_hashes` (pandas siphash with
+its fixed default key) combined through :func:`_window_constants`;
+the remaining crc32/sha256 uses are per-row reference APIs.  Never
+Python's salted ``hash``.
 """
 
 from __future__ import annotations
@@ -56,30 +59,52 @@ _WINDOW_C = tuple(np.uint64(c) for c in (
     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63))
 
 
-def _hashed_windows(texts, k: int):
-    """Vectorized k-word-window hashes for a batch of texts.
+def _window_constants(k: int) -> np.ndarray:
+    """k DISTINCT per-position odd multipliers (seeded, process-stable).
 
-    split → flat word array → per-word siphash (pandas C kernel, fixed
-    key ⇒ process-stable) → position-weighted uint64 combine over each
-    k-window that stays inside one doc.  Docs with < k words get one
-    window = the whole-text hash, so every doc has ≥ 1 window and
-    window order follows doc order.  Returns ``(g, doc_idx, n_short)``:
-    uint64 window hashes, the owning doc index per window
-    (nondecreasing), and how many short docs were appended (their
-    windows sort back in by the stable argsort below only when
-    present)."""
+    Cycling a short constant table would make windows that swap words
+    at positions ``j`` and ``j+len(table)`` hash equal BY CONSTRUCTION
+    for k > table length — a structural collision class, not a random
+    one.  Distinct per-position constants leave only the generic
+    ~2⁻⁶⁴-per-pair accidental collisions."""
+    rng = np.random.default_rng(0x5EED_C0DE + k)
+    return (rng.integers(0, 1 << 63, size=k, dtype=np.uint64)
+            << np.uint64(1)) | np.uint64(1)
+
+
+def _word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Shared tokenize+hash preamble of every sketch kernel: Arrow
+    space-split → flat word array → per-word siphash (pandas C kernel,
+    fixed key ⇒ process-stable).  Returns (word_hashes uint64, words
+    per doc int64) — one hash family for all sketches."""
     import pyarrow.compute as pc
 
     lists = pc.split_pattern(texts, " ")
     counts = pc.list_value_length(lists).to_numpy().astype(np.int64)
     words = pd.Series(pc.list_flatten(lists).to_pandas(), copy=False)
     wh = pd.util.hash_pandas_object(words, index=False).to_numpy()
+    return wh, counts
+
+
+def _hashed_windows(texts, k: int):
+    """Vectorized k-word-window hashes for a batch of texts.
+
+    :func:`_word_hashes` → per-position-weighted uint64 combine over
+    each k-window that stays inside one doc.  Docs with < k words get
+    one window = the whole-text hash, so every doc has ≥ 1 window and
+    window order follows doc order.  Returns ``(g, doc_idx, n_short)``:
+    uint64 window hashes, the owning doc index per window
+    (nondecreasing), and how many short docs were appended (their
+    windows sort back in by the stable argsort below only when
+    present)."""
+    wh, counts = _word_hashes(texts)
     doc_idx = np.repeat(np.arange(len(counts)), counts)
     n = len(wh)
     if n >= k:
-        g = wh[: n - k + 1] * _WINDOW_C[0]
+        C = _window_constants(k)
+        g = wh[: n - k + 1] * C[0]
         for j in range(1, k):
-            g = g + wh[j: n - k + 1 + j] * _WINDOW_C[j % len(_WINDOW_C)]
+            g = g + wh[j: n - k + 1 + j] * C[j]
         valid = doc_idx[: n - k + 1] == doc_idx[k - 1:]
         g = g[valid]
         widx = doc_idx[: n - k + 1][valid]
@@ -89,9 +114,12 @@ def _hashed_windows(texts, k: int):
     short = counts < k
     n_short = int(short.sum())
     if n_short:
+        # hash only the short rows — a full-batch whole-text hash pass
+        # would touch every byte to produce n_short values
+        short_texts = texts.filter(pa.array(short))
         th = pd.util.hash_pandas_object(
-            pd.Series(texts.to_pandas(), copy=False),
-            index=False).to_numpy()[short].astype(np.uint64)
+            pd.Series(short_texts.to_pandas(), copy=False),
+            index=False).to_numpy().astype(np.uint64)
         g = np.concatenate([g, th])
         widx = np.concatenate([widx, np.flatnonzero(short)])
         order = np.argsort(widx, kind="stable")
@@ -100,8 +128,13 @@ def _hashed_windows(texts, k: int):
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 3) -> np.ndarray:
-    """n_perm minhashes of the doc's shingle set (universal hashing
-    modulo a Mersenne prime, vectorized over shingles × perms)."""
+    """n_perm minhashes of ONE doc's shingle set (universal hashing
+    modulo a Mersenne prime, vectorized over shingles × perms).
+
+    Reference per-row API over crc32 shingle hashes; the pipeline
+    (:func:`near_dup_minhash`) uses the batched kernel over
+    :func:`_hashed_windows` instead — a different (equally valid) hash
+    family with the same LSH guarantee."""
     h = _shingle_hashes(text, k)
     vals = (h[:, None] * a[None, :] + b[None, :]) % _MERSENNE
     return vals.min(axis=0)
@@ -190,8 +223,7 @@ def near_dup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
         # band hash: position-weighted sum of the band's rows (uint64
         # wraparound); only used as a grouping key, so any
         # process-stable combine works
-        w = np.array([_WINDOW_C[i % len(_WINDOW_C)] for i in range(rows)],
-                     np.uint64)
+        w = _window_constants(rows)
         bh = np.empty((len(batch), bands), np.uint64)
         for bd in range(bands):
             bh[:, bd] = (sig[:, bd * rows:(bd + 1) * rows] * w).sum(axis=1)
@@ -409,25 +441,27 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
     k-shingles, bucketed-groupby the shingle, emit candidate pairs per
     posting list WITH per-bucket co-occurrence counts, aggregate the
     counts to ``c = |A∩B|`` in hash space, pre-filter on the hash-space
-    Jaccard ``c/(|A|+|B|-c)`` — an upper bound on the string Jaccard
-    (a hash collision can only merge shingles within a doc, shrinking
-    |A|, or equate shingles across docs, inflating c; both only raise
-    the bound) — and exact-verify the survivors with
-    :func:`verify_pairs_jaccard`.  The pre-filter is the PPJoin-style
-    step that keeps dup-heavy corpora from re-reading candidate texts:
-    without it every blocked pair (possibly a large fraction of n²)
-    re-gathers both texts; with it only true matches + astronomically
-    rare collision survivors do.  Unlike MinHash this has zero false
-    negatives by construction — it is the verification-grade operator;
-    at corpus scale a hot shingle's posting list generates O(df²)
-    pairs, so either pass ``max_df`` to drop stopword-like shingles
-    (standard blocking practice; makes the result a documented
+    Jaccard ``c/(|A|+|B|-c)`` (rounded exactly as the verify stage
+    rounds — see :func:`_bound_filter_pairs`), and exact-verify the
+    survivors with :func:`verify_pairs_jaccard`.  The pre-filter is the
+    PPJoin-style step that keeps dup-heavy corpora from re-reading
+    candidate texts: without it every blocked pair (possibly a large
+    fraction of n²) re-gathers both texts; with it only true matches +
+    collision survivors do.  False negatives require an accidental
+    64-bit window-hash collision between two shingles of one doc that
+    are both shared with the partner (≲ m²/2⁶⁴ per pair — see
+    :func:`_bound_filter_pairs`); candidate generation itself is
+    collision-safe (docs sharing a shingle always share its hash).  At
+    corpus scale a hot shingle's posting list generates O(df²) pairs,
+    so either pass ``max_df`` to drop stopword-like shingles (standard
+    blocking practice; makes the result a documented
     under-approximation — and disables the count pre-filter, whose c
     would undercount dropped shingles) or prefer
     :func:`near_dup_minhash`."""
     from .groupby import _BUCKET, _bucket_of, bucketed_agg
 
     source = ds.select_columns([id_col, text_col])
+    counted = max_df is None
 
     def explode_shingles(batch: pa.Table) -> pa.Table:
         # Block on a HASH of the shingle, not the string: docs sharing
@@ -437,27 +471,27 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
         # shuffle moves int64s instead of n-gram strings.  Vectorized
         # window hashes via the shared kernel; per-doc distinct via a
         # hash-based dedup (np.unique(axis=) lexsorts structured rows —
-        # measured 5x slower).  Hash collisions only ever ADD candidate
-        # pairs (removed by verify), never lose one.
+        # measured 5x slower).
         texts = batch.column(text_col).cast(pa.string())
         ids = batch.column(id_col).to_numpy()
         g, widx, _ = _hashed_windows(texts, k)
         uniq = pd.DataFrame({"d": widx, "g": g.view(np.int64)}
                             ).drop_duplicates()
         ud = uniq["d"].to_numpy()
-        # per-doc distinct-shingle-set size, repeated per row (docs
-        # never span batches, so the per-batch count is global)
-        sz = np.bincount(ud, minlength=len(batch))[ud]
-        return pa.table({"id": pa.array(ids[ud], pa.int64()),
-                         "shingle": pa.array(uniq["g"].to_numpy(), pa.int64()),
-                         "sz": pa.array(sz, pa.int64())})
+        out = {"id": pa.array(ids[ud], pa.int64()),
+               "shingle": pa.array(uniq["g"].to_numpy(), pa.int64())}
+        if counted:
+            # per-doc distinct-shingle-set size, repeated per row (docs
+            # never span batches, so the per-batch count is global);
+            # only the counted path reads it — don't shuffle it otherwise
+            sz = np.bincount(ud, minlength=len(batch))[ud]
+            out["sz"] = pa.array(sz, pa.int64())
+        return pa.table(out)
 
     def add_bucket(df: pd.DataFrame) -> pa.Table:
         df = df.copy()
         df[_BUCKET] = _bucket_of(df, ["shingle"], num_buckets)
         return pa.Table.from_pandas(df, preserve_index=False)
-
-    counted = max_df is None
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized posting-list pair generation: self-merge on the
@@ -503,11 +537,21 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def _bound_filter_pairs(pairs, ex, threshold: float, num_buckets: int):
-    """Filter counted candidate pairs on the hash-space Jaccard upper
-    bound ``c/(sz_a+sz_b-c) ≥ threshold`` — a superset of the true
-    matches (a hash collision can only merge shingles within a doc,
-    shrinking its set, or equate shingles across docs, inflating c;
-    both only raise the bound).  Integer arithmetic, no float rounding.
+    """Filter counted candidate pairs on the hash-space Jaccard of the
+    pair, keeping every pair whose HALF-UP-ROUNDED hash Jaccard clears
+    the threshold — the same rounding the exact verification applies
+    (``floor(j·10⁴+0.5) ≥ thr``), so a pair the verify stage would emit
+    is never dropped by a rounding disagreement at the boundary.
+    Integer arithmetic: keep iff ``2·c·10⁴ ≥ (2·thr−1)·(sz_a+sz_b−c)``.
+
+    Collision honesty: with distinct per-position window constants
+    (:func:`_window_constants`) there is no structural collision class;
+    an ACCIDENTAL 64-bit collision between two shingles of one doc that
+    are both shared with the partner can still lower the hash Jaccard
+    below the string Jaccard ((c−1)/(D−1) < c/D), so the zero-false-
+    negative guarantee holds up to ~m²/2⁶⁴ per doc-pair — the same
+    residual class every hash-sketch operator carries.  Candidate
+    GENERATION is unaffected (collisions only add candidates).
 
     ``ex`` is the materialized (id, shingle, sz) explode table; sizes
     for the candidate ids are fetched by a broadcast-set filter when
@@ -540,7 +584,7 @@ def _bound_filter_pairs(pairs, ex, threshold: float, num_buckets: int):
         sz_a = pairs["id_a"].map(sz).to_numpy()
         sz_b = pairs["id_b"].map(sz).to_numpy()
         c = pairs["c"].to_numpy()
-        keep = (c * 10000) >= thr * (sz_a + sz_b - c)
+        keep = (2 * c * 10000) >= (2 * thr - 1) * (sz_a + sz_b - c)
         return pairs.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
 
     # large path: distributed sizes + two hash joins, then the filter
@@ -560,11 +604,14 @@ def _bound_filter_pairs(pairs, ex, threshold: float, num_buckets: int):
     )
 
     def flt(df: pd.DataFrame) -> pd.DataFrame:
-        keep = df[(df["c"] * 10000)
-                  >= thr * (df["_sz_a"] + df["_sz_b"] - df["c"])]
+        keep = df[(2 * df["c"] * 10000)
+                  >= (2 * thr - 1) * (df["_sz_a"] + df["_sz_b"] - df["c"])]
         return keep[["id_a", "id_b"]].reset_index(drop=True)
 
-    return j.map_batches(flt, batch_format="pandas")
+    # materialized: the pending joins must not share one plan with the
+    # verify stage's JoinOperators (CPU-slot starvation; same rule as
+    # _verify_join), and verify consumes the pair list twice
+    return j.map_batches(flt, batch_format="pandas").materialize()
 
 
 def _sum_pair_counts(pairs, num_buckets: int, small_limit: int = 5_000_000):
@@ -581,10 +628,13 @@ def _sum_pair_counts(pairs, num_buckets: int, small_limit: int = 5_000_000):
     mat = pairs.materialize()
     if mat.count() <= small_limit:
         return combine(mat.to_pandas())
+    # materialized: the groupby's pending all-to-all must not share an
+    # execution plan with downstream JoinOperators (_bound_filter_pairs
+    # large path) — same starvation rule as _verify_join
     return bucketed_agg(
         mat, ["id_a", "id_b"], lambda df, keys: combine(df),
         num_buckets=num_buckets,
-    )
+    ).materialize()
 
 
 # ---------------------------------------------------------------------------
@@ -597,12 +647,7 @@ def _simhash_batch(texts) -> np.ndarray:
     ``np.add.reduceat`` over doc boundaries; no per-row Python.
     Returns uint64 per doc.  Deterministic (pandas siphash, fixed
     key)."""
-    import pyarrow.compute as pc
-
-    lists = pc.split_pattern(texts, " ")
-    counts = pc.list_value_length(lists).to_numpy().astype(np.int64)
-    words = pd.Series(pc.list_flatten(lists).to_pandas(), copy=False)
-    wh = pd.util.hash_pandas_object(words, index=False).to_numpy()
+    wh, counts = _word_hashes(texts)
     # per-bit segment sums as 64 1-D reduceats (a 2-D unpackbits +
     # axis-0 reduceat measured 60x slower); every doc has ≥ 1 word
     # ("" splits to [""]), so the boundaries are strictly increasing

@@ -123,6 +123,33 @@ def test_verify_paths_agree_broadcast_vs_join(ray_session):
     pd.testing.assert_frame_equal(b, bc)
 
 
+def test_jaccard_prefilter_keeps_rounding_boundary_pair(ray_session):
+    """A pair whose true Jaccard rounds half-up to the threshold
+    (J·10⁴ ∈ [thr−0.5, thr)) is emitted by the exact verification, so
+    the count pre-filter must not drop it — it must apply the same
+    rounding, not the raw inequality."""
+    import numpy as np
+    import pandas as pd
+    import ray as _ray
+
+    from mmore_ray.stages.dedup import near_dup_jaccard
+
+    # k=1 ⇒ shingles are words.  |A∩B| = 9999, |A∪B| = 19999:
+    # J = 0.4999749…, J·10⁴ rounds to 5000 = thr exactly.
+    common = [f"c{i}" for i in range(9999)]
+    a_only = [f"a{i}" for i in range(5000)]
+    b_only = [f"b{i}" for i in range(5000)]
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": [" ".join(common + a_only), " ".join(common + b_only)],
+    })
+    out = near_dup_jaccard(_ray.data.from_pandas(df), k=1,
+                           threshold=0.5).to_pandas()
+    assert len(out) == 1
+    assert (int(out.id_a.iloc[0]), int(out.id_b.iloc[0])) == (1, 2)
+    assert int(out.jaccard_e4.iloc[0]) == 5000
+
+
 def test_bound_filter_paths_agree_driver_vs_join(ray_session):
     """_bound_filter_pairs' driver (pandas) and distributed (join)
     plans must keep the same candidate pairs (one semantic, two

@@ -184,7 +184,7 @@ TEXTS = st.lists(
 
 
 @settings(max_examples=50, deadline=None)
-@given(texts=TEXTS, k=st.sampled_from([1, 2, 3, 5]))
+@given(texts=TEXTS, k=st.sampled_from([1, 2, 3, 5, 6, 8]))
 def test_hashed_windows_matches_shingle_set(texts, k):
     """The vectorized window-hash kernel must agree with the per-row
     shingle_set definition: same per-doc distinct count (collisions
@@ -203,6 +203,21 @@ def test_hashed_windows_matches_shingle_set(texts, k):
     for d, text in enumerate(texts):
         distinct_hashes = len(set(g1[idx1 == d].tolist()))
         assert distinct_hashes == len(set(shingle_set(text, k)))
+
+
+def test_window_constants_no_positional_cycling():
+    """Swapping words at positions j and j+5 must NOT collide for
+    k ≥ 6 — a cycled 5-constant table made such windows hash equal by
+    construction, which broke the Jaccard pre-filter's no-false-
+    negative property (the count c undercounted shared shingles)."""
+    from mmore_ray.stages.dedup import _hashed_windows, _window_constants
+
+    for k in (6, 8, 11):
+        c = _window_constants(k)
+        assert len(set(c.tolist())) == k  # all distinct, no cycle
+    g1, _, _ = _hashed_windows(pa.array(["a b c d e f"], pa.string()), 6)
+    g2, _, _ = _hashed_windows(pa.array(["f b c d e a"], pa.string()), 6)
+    assert g1[0] != g2[0]
 
 
 @settings(max_examples=25, deadline=None)
