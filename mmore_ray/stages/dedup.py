@@ -518,7 +518,10 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
                             batch_size=2048)
     if counted:
         # consumed twice (pair-gen + candidate sizes): materialize so
-        # the explode runs once
+        # the explode runs once.  The exploded table is ~16 B per
+        # distinct (doc, shingle) — object-store-resident, spilling to
+        # disk beyond memory, which beats re-running the explode's
+        # string pass over the full corpus
         ex = ex.materialize()
     pairs = (
         ex.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
