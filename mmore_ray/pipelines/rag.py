@@ -48,11 +48,19 @@ class FakeChatLLM:
     actor when used in a pool; swap a real model via the ``llm`` hook
     of :func:`rag_answer`."""
 
+    _RANK_TAG = None  # compiled lazily; class-level cache
+
     def generate(self, prompt: str, question: str) -> str:
+        import re
+
+        if FakeChatLLM._RANK_TAG is None:
+            FakeChatLLM._RANK_TAG = re.compile(r"^\[\d+\] ")
         q = set(question.lower().split())
         best, best_score = DONT_KNOW, 0
         for line in prompt.splitlines():
-            line = line.strip()
+            # strip the format_docs rank tag so it never leaks into the
+            # extracted answer
+            line = FakeChatLLM._RANK_TAG.sub("", line.strip())
             if not line or line.startswith(("Context:", "Use the following")):
                 continue
             for sent in line.split(". "):
@@ -83,6 +91,12 @@ def rag_answer(collection_dir: str, queries: dict[str, str], k: int = 3,
     q_ref = ray.put((Q, SQ))
 
     def score(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # an empty block would make D 1-D and
+            return pa.table({   # crash the matmul
+                "qi": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "score": pa.array([], pa.float64()),
+            })
         Qm, SQm = ray.get(q_ref)
         D = np.array(batch.column("dense_embedding").to_pylist())
         d_cos = Qm @ D.T  # (nq, nb)

@@ -127,10 +127,20 @@ def maxsim_retrieve(pages_ds, queries: dict[int, list[list[float]]],
 def index_pages(pages_ds, out_dir, n_patches: int = 4,
                 concurrency: tuple[int, int] = (1, 8)):
     """Embed + persist a page collection: actor-pool encode → parquet
-    (nested patch layout; one row per page)."""
+    (nested patch layout; one row per page).
+
+    The raw ``payload`` bytes are dropped before the write — the index
+    stores vectors, not the corpus — and the return value reads the
+    PERSISTED parquet, so consuming it never re-runs the encoder pool
+    (returning the lazy embed dataset would re-encode every page on
+    first use)."""
     embedded = pages_ds.map_batches(
         FakePatchEmbedder,
         fn_constructor_kwargs={"n_patches": n_patches},
-        batch_format="pyarrow", concurrency=concurrency, batch_size=64)
+        batch_format="pyarrow", concurrency=concurrency, batch_size=64
+    ).map_batches(lambda t: t.drop_columns(["payload"]),
+                  batch_format="pyarrow")
     embedded.write_parquet(str(out_dir))
-    return embedded
+    import ray.data
+
+    return ray.data.read_parquet(str(out_dir))

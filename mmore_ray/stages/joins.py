@@ -32,8 +32,11 @@ def lookup_join(left_ds, right_ds, left_key: str, right_key: str,
     LEFT name) + right's non-key columns — the same shape for both
     physical plans.
 
-    ``right_ds.count()`` on a pure parquet read is metadata-only, so
-    the plan choice costs no data pass."""
+    ``right_ds.count()`` on a pure parquet read is metadata-only; a
+    computed right side is materialized first so the count for the
+    plan choice and the join consume ONE execution instead of running
+    the upstream pipeline twice."""
+    right_ds = right_ds.materialize()
     if right_ds.count() <= broadcast_limit:
         tbl = right_ds.to_pandas().set_index(right_key)
         ref = ray.put(tbl)
@@ -205,7 +208,10 @@ def interval_agg_join(points_ds, intervals_ds, *, point_on: str,
         ids = df[interval_id].to_numpy(dtype=np.int64)
         tb0 = start // bucket_width
         tb1 = (end - 1) // bucket_width
-        span = (tb1 - tb0 + 1).astype(np.int64)
+        # malformed intervals (end < start ⇒ negative span) contain no
+        # points by definition: replicate them zero times instead of
+        # crashing np.repeat with a negative count
+        span = np.maximum(tb1 - tb0 + 1, 0).astype(np.int64)
         idx = np.repeat(np.arange(len(df)), span)
         pos = np.arange(span.sum()) - np.repeat(np.cumsum(span) - span, span)
         out = pd.DataFrame({"_tb": tb0[idx] + pos, interval_id: ids[idx],

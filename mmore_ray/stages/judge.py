@@ -75,8 +75,12 @@ def evaluate_metrics(hits: list[dict],
         lines.append(f"- {key}: {metrics[key]:.4f} "
                      f"(need {tkey}={thresholds[tkey]}) -> "
                      f"{'PASS' if ok else 'FAIL'}")
-    return metrics, all_pass, ("\n".join(lines)
-                               if lines else "No applicable threshold keys.")
+    if not lines:
+        # thresholds configured but none applicable (e.g. a misspelled
+        # min_<metric> key): failing open would silently disable the
+        # judge — fail closed like the no-thresholds case instead
+        return metrics, False, "No applicable threshold keys."
+    return metrics, all_pass, "\n".join(lines)
 
 
 def coerce_decision(raw: str, allowed: list[str]) -> tuple[str, bool]:
@@ -98,10 +102,13 @@ def coerce_decision(raw: str, allowed: list[str]) -> tuple[str, bool]:
 def merge_hits(existing: list[dict], new: list[dict]) -> list[dict]:
     """≙ metrics.py:148-167: concat, dedupe by id (falling back to
     text), reassign 1-based ranks in merged order."""
-    seen: set[str] = set()
+    seen: set[tuple[str, str]] = set()
     merged: list[dict] = []
     for h in list(existing) + list(new):
-        key = str(h["id"]) if h.get("id") is not None else h.get("text", "")
+        # type-tagged key: an id-less hit whose text equals another
+        # hit's id must not collide into the same dedupe slot
+        key = (("id", str(h["id"])) if h.get("id") is not None
+               else ("text", h.get("text", "")))
         if key in seen:
             continue
         seen.add(key)
@@ -114,12 +121,18 @@ def merge_hits(existing: list[dict], new: list[dict]) -> list[dict]:
 def effective_retrieve_params(params: dict | None, query: str,
                               k: int) -> dict:
     """≙ parsing.py:179-191: judge-supplied input/k with the doubled-k
-    default (``max(2k, k+3)``)."""
+    default (``max(2k, k+3)``).  ``k`` comes from untrusted judge
+    output — non-numeric / non-positive values fall back to the
+    default instead of crashing the loop (same tolerance the JSON
+    layer applies)."""
     params = params or {}
+    try:
+        kk = int(params.get("k"))
+    except (TypeError, ValueError):
+        kk = 0
     return {
         "input": params.get("input") or query,
-        "k": int(params["k"]) if params.get("k") is not None
-             else max(k * 2, k + 3),
+        "k": kk if kk > 0 else max(k * 2, k + 3),
     }
 
 
@@ -153,7 +166,11 @@ def hits_from_table(table) -> list[dict]:
         df = table.to_pandas()
     else:
         df = table
-    df = df.sort_values("score", ascending=False).reset_index(drop=True)
+    # the reranker's ordering outranks the raw retrieval score — a
+    # score-only sort would silently undo retrieve(..., rerank=True)
+    by = [c for c in ("rerank_score", "score") if c in df.columns]
+    df = df.sort_values(by, ascending=False,
+                        na_position="last").reset_index(drop=True)
     out = []
     for i, row in enumerate(df.itertuples(index=False)):
         d = row._asdict() if hasattr(row, "_asdict") else dict(row)
@@ -248,6 +265,15 @@ def retrieve_with_judge(
             break
         if step >= max_corrective_steps:
             exit_reason = "max_corrective_steps"
+            break
+
+        if decision == ADD_QUESTIONS \
+                and not (parsed.get("extra_questions") or []):
+            # a coerced (or question-less) ADD_QUESTIONS performs zero
+            # retrievals — looping on it would burn every corrective
+            # step as a no-op while the telemetry claimed corrections
+            exit_reason = "no_extra_questions"
+            steps[-1]["exit_reason"] = exit_reason
             break
 
         actions.append(decision)

@@ -216,3 +216,20 @@ def test_grouped_quantiles_sketch_multi_key(ray_session):
     for _, row in out.iterrows():
         exact = np.quantile(df[(df.a == row.a) & (df.b == row.b)].x, 0.5)
         assert abs(row.q05 - exact) <= 0.5 + 1e-9
+
+
+def test_interval_join_malformed_interval_dropped(ray_session):
+    """end < start (negative span) must not crash the replication —
+    the interval contains no points by definition and is dropped."""
+    import pandas as pd
+    import ray as _ray
+
+    from mmore_ray.stages.joins import interval_agg_join
+
+    pts = pd.DataFrame({"ts": [5, 15], "v": [1, 2]})
+    ivs = pd.DataFrame({"iid": [1, 2], "s": [0, 20], "e": [10, 10]})
+    out = interval_agg_join(
+        _ray.data.from_pandas(pts), _ray.data.from_pandas(ivs),
+        point_on="ts", sum_cols=["v"], interval_id="iid",
+        interval_start="s", interval_end="e", bucket_width=8).to_pandas()
+    assert out.iid.tolist() == [1]  # the malformed interval 2 is gone

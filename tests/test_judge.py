@@ -211,3 +211,62 @@ def test_judge_over_real_retrieval(ray_session, tmp_path):
     assert out["retrieval_metrics"]["num_docs"] >= 4
     assert out["judge_actions"] == [RE_RETRIEVE]
     assert out["retrieval_metrics"]["thresholds_met"] == 1.0
+
+
+def test_review_fixes_judge_machinery():
+    """Regression bundle for review findings: misspelled thresholds
+    fail closed, bad judge k falls back, merge keys are type-tagged,
+    question-less ADD_QUESTIONS exits instead of burning steps."""
+    from mmore_ray.stages.judge import (
+        effective_retrieve_params,
+        evaluate_metrics,
+        merge_hits,
+    )
+
+    # misspelled threshold key: gate must FAIL, not pass silently
+    _, passed, status = evaluate_metrics(
+        [_hit(0.1)], {"min_similarity": 0.9})  # typo for min_mean_…
+    assert not passed and "No applicable" in status
+
+    # untrusted judge k: non-numeric and non-positive fall back
+    assert effective_retrieve_params({"k": "many"}, "q", 5)["k"] == 10
+    assert effective_retrieve_params({"k": -3}, "q", 5)["k"] == 10
+    assert effective_retrieve_params({"k": 7}, "q", 5)["k"] == 7
+
+    # id-less hit whose text equals another hit's id must survive
+    merged = merge_hits([{"id": "x", "text": "A"}],
+                        [{"id": None, "text": "x"}])
+    assert len(merged) == 2
+
+    # coerced ADD_QUESTIONS with no questions: zero retrievals, one
+    # no-op exit — not max_corrective_steps of fake corrections
+    calls = []
+
+    def retrieve_fn(q, k):
+        calls.append(q)
+        return [_hit(0.1)]
+
+    out = retrieve_with_judge(
+        retrieve_fn, "q", k=2, thresholds={"min_num_docs": 99},
+        judge_fn=lambda q, m, h: {"decision": RE_RETRIEVE},
+        allow_re_retrieve=False, allow_add_questions=True,
+        max_corrective_steps=2)
+    assert out["judge_reason"] == "no_extra_questions"
+    assert out["judge_actions"] == []
+    assert calls == ["q"]  # only the initial retrieval ran
+
+
+def test_hits_from_table_preserves_rerank_order():
+    import pandas as pd
+
+    from mmore_ray.stages.judge import hits_from_table
+
+    df = pd.DataFrame({
+        "sample_id": ["a", "b"],
+        "text": ["ta", "tb"],
+        "score": [0.9, 0.1],
+        "rerank_score": [0.1, 0.9],
+    })
+    hits = hits_from_table(df)
+    assert [h["id"] for h in hits] == ["b", "a"]  # cross-encoder wins
+    assert hits[0]["rank"] == 1

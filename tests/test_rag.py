@@ -52,3 +52,30 @@ def test_rag_answer_end_to_end(ray_session, tmp_path):
     # determinism: same inputs, same answers
     out2 = rag_answer(coll, {"q_moon": "what orbits the earth"}, k=2)
     assert out2.iloc[0]["answer"] == out.loc["q_moon", "answer"]
+
+
+def test_fake_llm_strips_rank_tag_and_empty_collection_block(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from mmore_ray.pipelines.rag import FakeChatLLM, rag_answer
+    from mmore_ray.stages.embed import index_documents
+
+    # the extracted answer must not carry the "[N] " context tag
+    ans = FakeChatLLM().generate(
+        "Context:\n[1] the moon orbits the earth", "what orbits the earth")
+    assert ans == "the moon orbits the earth"
+
+    # a zero-row parquet file in the collection must not crash score()
+    docs = pd.DataFrame({
+        "sample_id": ["d1", "d2"],
+        "text": ["the moon orbits the earth", "apples are red"],
+    })
+    coll = tmp_path / "coll"
+    index_documents(_ray.data.from_pandas(docs), str(coll))
+    schema = pq.read_schema(next(coll.glob("*.parquet")))
+    pq.write_table(schema.empty_table(), coll / "empty.parquet")
+    out = rag_answer(str(coll), {"q1": "what orbits the earth"}, k=1)
+    assert out.answer.iloc[0] == "the moon orbits the earth"
