@@ -17,6 +17,8 @@ the same observable contract runs Ray-native:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -48,19 +50,15 @@ class FakeChatLLM:
     actor when used in a pool; swap a real model via the ``llm`` hook
     of :func:`rag_answer`."""
 
-    _RANK_TAG = None  # compiled lazily; class-level cache
+    _RANK_TAG = re.compile(r"^\[\d+\] ")
 
     def generate(self, prompt: str, question: str) -> str:
-        import re
-
-        if FakeChatLLM._RANK_TAG is None:
-            FakeChatLLM._RANK_TAG = re.compile(r"^\[\d+\] ")
         q = set(question.lower().split())
         best, best_score = DONT_KNOW, 0
         for line in prompt.splitlines():
             # strip the format_docs rank tag so it never leaks into the
             # extracted answer
-            line = FakeChatLLM._RANK_TAG.sub("", line.strip())
+            line = self._RANK_TAG.sub("", line.strip())
             if not line or line.startswith(("Context:", "Use the following")):
                 continue
             for sent in line.split(". "):

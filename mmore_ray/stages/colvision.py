@@ -133,7 +133,12 @@ def index_pages(pages_ds, out_dir, n_patches: int = 4,
     stores vectors, not the corpus — and the return value reads the
     PERSISTED parquet, so consuming it never re-runs the encoder pool
     (returning the lazy embed dataset would re-encode every page on
-    first use)."""
+    first use).  ``out_dir`` is cleared first: ``write_parquet``
+    appends uniquely-named files, so re-indexing into a dir holding a
+    previous index would silently merge stale and new pages."""
+    import shutil
+
+    shutil.rmtree(str(out_dir), ignore_errors=True)
     embedded = pages_ds.map_batches(
         FakePatchEmbedder,
         fn_constructor_kwargs={"n_patches": n_patches},

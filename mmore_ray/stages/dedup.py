@@ -54,9 +54,16 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     )
 
 
-_WINDOW_C = tuple(np.uint64(c) for c in (
-    0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
-    0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63))
+def _self_pairs(d: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+    """Shared bucket-local candidate-pair generation for every sketch:
+    self hash-join of the (pre-deduplicated) posting frame on ``keys``
+    + ordered ``id_x < id_y`` filter, renamed to ``id_a``/``id_b``.
+    Non-key payload columns survive as ``<col>_x``/``<col>_y``.  The
+    caller must drop duplicate (keys, id) rows first — duplicates here
+    multiply pair rows."""
+    m = d.merge(d, on=keys)
+    m = m[m["id_x"] < m["id_y"]]
+    return m.rename(columns={"id_x": "id_a", "id_y": "id_b"})
 
 
 def _window_constants(k: int) -> np.ndarray:
@@ -247,13 +254,9 @@ def near_dup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # vectorized pair generation per band bucket: self-merge on the
-        # band key (pandas hash join) + ordered filter
-        d = df.drop_duplicates(["band", "band_hash", "id"])
-        m = d.merge(d, on=["band", "band_hash"])
-        m = m[m["id_x"] < m["id_y"]]
-        return (m.rename(columns={"id_x": "id_a", "id_y": "id_b"})
-                [["id_a", "id_b"]].drop_duplicates())
+        m = _self_pairs(df.drop_duplicates(["band", "band_hash", "id"]),
+                        ["band", "band_hash"])
+        return m[["id_a", "id_b"]].drop_duplicates()
 
     pairs = (
         band_ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536)
@@ -504,9 +507,7 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
         if max_df is not None:
             vc = d["shingle"].value_counts()
             d = d[d["shingle"].isin(vc[vc <= max_df].index)]
-        m = d.merge(d, on="shingle")
-        m = m[m["id_x"] < m["id_y"]]
-        m = m.rename(columns={"id_x": "id_a", "id_y": "id_b"})
+        m = _self_pairs(d, ["shingle"])
         if not counted:
             return m[["id_a", "id_b"]].drop_duplicates()
         # partial |A∩B|: this bucket holds a hash-disjoint slice of the
@@ -707,10 +708,10 @@ def near_dup_simhash(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # self-merge on the chunk key + vectorized popcount hamming
-        d = df.drop_duplicates(["chunk", "value", "id"])
-        m = d.merge(d, on=["chunk", "value"])
-        m = m[m["id_x"] < m["id_y"]]
+        # shared pair-gen + vectorized popcount hamming on the surviving
+        # sim_x/sim_y payload columns
+        m = _self_pairs(df.drop_duplicates(["chunk", "value", "id"]),
+                        ["chunk", "value"])
         if not len(m):
             return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                                  "id_b": pd.Series([], dtype=np.int64),
@@ -721,8 +722,7 @@ def near_dup_simhash(ds, text_col: str = "text", id_col: str = "doc_id",
                             axis=1).sum(axis=1).astype(np.int64)
         m = m.assign(hamming=ham)
         m = m[m["hamming"] <= max_hamming]
-        return (m.rename(columns={"id_x": "id_a", "id_y": "id_b"})
-                [["id_a", "id_b", "hamming"]]
+        return (m[["id_a", "id_b", "hamming"]]
                 .drop_duplicates(subset=["id_a", "id_b"]))
 
     cand = (

@@ -25,6 +25,16 @@ except ImportError:  # pragma: no cover
     ray = None
 
 
+def _is_source_plan(ds) -> bool:
+    """True when the dataset is a bare source (parquet read, in-memory
+    blocks) with no compute stages — its ``count()`` is metadata-only
+    and consuming it never re-runs upstream work."""
+    try:
+        return not ds._logical_plan.dag.input_dependencies
+    except Exception:  # private API moved — conservative: materialize
+        return False
+
+
 def lookup_join(left_ds, right_ds, left_key: str, right_key: str,
                 broadcast_limit: int = 2_000_000, num_partitions: int = 16):
     """Inner equi-join ``left ⋈ right``; the right side contributes its
@@ -32,11 +42,14 @@ def lookup_join(left_ds, right_ds, left_key: str, right_key: str,
     LEFT name) + right's non-key columns — the same shape for both
     physical plans.
 
-    ``right_ds.count()`` on a pure parquet read is metadata-only; a
-    computed right side is materialized first so the count for the
-    plan choice and the join consume ONE execution instead of running
-    the upstream pipeline twice."""
-    right_ds = right_ds.materialize()
+    ``right_ds.count()`` on a bare source is metadata-only and the
+    chosen plan streams straight from the scan, so a fact-scale
+    parquet right side is never copied into the object store.  A right
+    side WITH compute stages is materialized first so the count for
+    the plan choice and the join consume ONE execution instead of
+    running the upstream pipeline twice."""
+    if not _is_source_plan(right_ds):
+        right_ds = right_ds.materialize()
     if right_ds.count() <= broadcast_limit:
         tbl = right_ds.to_pandas().set_index(right_key)
         ref = ray.put(tbl)

@@ -263,17 +263,18 @@ def retrieve_with_judge(
                       "llm_invoked": llm_invoked})
         if decision == PROCEED:
             break
-        if step >= max_corrective_steps:
-            exit_reason = "max_corrective_steps"
-            break
-
         if decision == ADD_QUESTIONS \
                 and not (parsed.get("extra_questions") or []):
             # a coerced (or question-less) ADD_QUESTIONS performs zero
             # retrievals — looping on it would burn every corrective
-            # step as a no-op while the telemetry claimed corrections
+            # step as a no-op while the telemetry claimed corrections.
+            # Checked BEFORE the step limit so the boundary step still
+            # reports the true cause instead of "max_corrective_steps".
             exit_reason = "no_extra_questions"
             steps[-1]["exit_reason"] = exit_reason
+            break
+        if step >= max_corrective_steps:
+            exit_reason = "max_corrective_steps"
             break
 
         actions.append(decision)

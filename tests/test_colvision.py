@@ -70,3 +70,9 @@ def test_index_pages_roundtrip(ray_session, tmp_path):
     q = {0: FakePatchEmbedder().embed_page(b"beta page")}
     res = maxsim_retrieve(coll, q, k=2).to_pandas()
     assert res[res.rnk == 1].page_id.iloc[0] == 1
+
+    # re-index into the same dir must REPLACE the index, not merge
+    # stale rows with new ones (write_parquet appends unique files)
+    pages_v2 = pd.DataFrame({"page_id": [7], "payload": [b"delta page"]})
+    reindexed = index_pages(_ray.data.from_pandas(pages_v2), out_dir)
+    assert set(reindexed.to_pandas().page_id) == {7}

@@ -32,6 +32,22 @@ def test_lookup_join_plans_identical(ray_session):
     assert set(b.k) == {1, 2, 3, 4}
 
 
+def test_source_plan_detection(ray_session):
+    """A bare parquet read / in-memory source must NOT be materialized
+    by lookup_join (its count is metadata-only and the join streams
+    from the scan); any plan with compute stages must be."""
+    import ray as _ray
+
+    from mmore_ray.stages.joins import _is_source_plan
+
+    src = _ray.data.read_parquet("/root/testdata/sf0.001/nation.parquet")
+    assert _is_source_plan(src)
+    assert _is_source_plan(_ray.data.from_items([{"a": 1}]))
+    mapped = src.map_batches(lambda t: t, batch_format="pyarrow")
+    assert not _is_source_plan(mapped)
+    assert _is_source_plan(mapped.materialize())
+
+
 def test_lookup_join_queries_still_green(ray_session):
     """q3 / q_nation_revenue run through lookup_join and must still
     match their DuckDB oracles (both plans: forced-hash variant via a

@@ -255,6 +255,17 @@ def test_review_fixes_judge_machinery():
     assert out["judge_actions"] == []
     assert calls == ["q"]  # only the initial retrieval ran
 
+    # boundary step: the question-less guard must win over the step
+    # limit — zero corrective retrievals must never be reported as
+    # "max_corrective_steps"
+    out = retrieve_with_judge(
+        retrieve_fn, "q", k=2, thresholds={"min_num_docs": 99},
+        judge_fn=lambda q, m, h: {"decision": RE_RETRIEVE},
+        allow_re_retrieve=False, allow_add_questions=True,
+        max_corrective_steps=0)
+    assert out["judge_reason"] == "no_extra_questions"
+    assert out["hit_max_corrective_steps"] == 0.0
+
 
 def test_hits_from_table_preserves_rerank_order():
     import pandas as pd
