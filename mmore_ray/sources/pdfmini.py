@@ -27,6 +27,7 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?=\s*[/>])")
 _PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 
 # content-stream tokens: literal string, text-position ops, show ops
@@ -52,13 +53,24 @@ def _unescape(raw: bytes) -> str:
                 out += _ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal \ddd (1-3 digits)
+            if nxt in b"01234567":  # octal \ooo (1-3 OCTAL digits; \8
+                # and \9 are NOT octal — they fall to the default below)
                 j = i + 1
-                while j < len(raw) and j < i + 4 and raw[j:j + 1].isdigit():
+                while (j < len(raw) and j < i + 4
+                       and raw[j:j + 1] in b"01234567"):
                     j += 1
                 out.append(int(raw[i + 1:j], 8) & 0xFF)
                 i = j
                 continue
+            if nxt in b"\r\n":  # \<EOL> line continuation: both dropped
+                i += 2
+                if nxt == b"\r" and raw[i:i + 1] == b"\n":
+                    i += 1
+                continue
+            # backslash before any other char is ignored (PDF 7.3.4.2)
+            out += nxt
+            i += 2
+            continue
         out += c
         i += 1
     return out.decode("latin-1")
@@ -74,7 +86,15 @@ def _stream_text(data: bytes) -> str:
         tok = m.group(0)
         if tok.startswith(b"("):
             cur.append(_unescape(tok[1:-1]))
-        elif tok in (b"Td", b"TD", b"T*", b"'", b"ET") and cur:
+        elif tok == b"'":
+            # ' = move-to-next-line THEN show: its string operand (the
+            # token just appended) belongs to the NEW line, not the one
+            # being closed
+            operand = cur.pop() if cur else None
+            if cur:
+                lines.append("".join(cur))
+            cur = [operand] if operand is not None else []
+        elif tok in (b"Td", b"TD", b"T*", b"ET") and cur:
             lines.append("".join(cur))
             cur = []
     if cur:
@@ -91,12 +111,22 @@ def extract_pages(data: bytes) -> list[str]:
         sm = _STREAM_RE.search(body)
         if sm is None:
             return b""
-        raw = sm.group(1)
-        # stream data may end with \r\n/\n before `endstream`
-        if raw.endswith(b"\n"):
-            raw = raw[:-1]
-            if raw.endswith(b"\r"):
+        # exact byte count from a direct /Length when present (the
+        # EOL-strip heuristic below corrupts compressed streams whose
+        # data happens to end in 0x0d); `(?=\s*[/>])` rejects indirect
+        # `/Length n 0 R` references
+        # (bounded by the OBJECT body, not the regex end: Length also
+        # rescues compressed data containing a literal `endstream`)
+        lm = _LENGTH_RE.search(body[:sm.start()])
+        if lm and sm.start(1) + int(lm.group(1)) <= len(body):
+            raw = body[sm.start(1):sm.start(1) + int(lm.group(1))]
+        else:
+            raw = sm.group(1)
+            # stream data may end with \r\n/\n before `endstream`
+            if raw.endswith(b"\n"):
                 raw = raw[:-1]
+                if raw.endswith(b"\r"):
+                    raw = raw[:-1]
         if b"/FlateDecode" in body[:sm.start()]:
             raw = zlib.decompress(raw)
         return raw

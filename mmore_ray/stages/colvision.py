@@ -32,7 +32,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 try:
@@ -110,18 +109,13 @@ def maxsim_retrieve(pages_ds, queries: dict[int, list[list[float]]],
     local = pages_ds.map_batches(block, batch_format="pyarrow",
                                  batch_size=4096)
 
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for qid, g in df.groupby("query_id"):
-            g = g.sort_values(["score_e4", "page_id"],
-                              ascending=[False, True]).head(k).copy()
-            g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-            frames.append(g)
-        return pd.concat(frames) if frames else df.assign(rnk=[])
+    # same global merge as the knn operators — one rounding/tie-break
+    # contract for every retrieval surface
+    from .similarity import final_topk_fn
 
-    return local.repartition(1).map_batches(final_topk,
-                                            batch_format="pandas",
-                                            batch_size=None)
+    return local.repartition(1).map_batches(
+        final_topk_fn(k, score_col="score_e4", id_col="page_id"),
+        batch_format="pandas", batch_size=None)
 
 
 def index_pages(pages_ds, out_dir, n_patches: int = 4,

@@ -7,13 +7,20 @@ cluster).  Scale path: an IVF index — k-means-style centroids
 (deterministic seeded init + a few Lloyd iterations over a sample),
 vectors bucketed by nearest centroid, queries probe only ``nprobe``
 buckets.  With ``nprobe == n_centroids`` IVF is exhaustive and must
-equal brute force (tested)."""
+equal brute force (tested).
+
+All three entry points share ONE scoring kernel (:func:`_make_block`)
+and ONE final merge (:func:`final_topk_fn`), so the rounding/tie-break
+contract — ``floor(cos·1e4 + 0.5)``, lexsort on (-score, id), head(k)
+— lives in exactly one place and cannot drift from the SQL oracle.
+"""
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 try:
     import ray
@@ -25,6 +32,92 @@ def _normalize(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
 
 
+def _ids_and_vectors(batch: pa.Table, id_col: str,
+                     vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow-native batch extraction: int64 ids + the NORMALIZED
+    (n, d) vector matrix.  ``list_flatten`` → numpy → reshape stays in
+    C the whole way; ``to_pylist`` here would allocate a Python float
+    per vector element on the per-batch hot path."""
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    col = batch.column(vec_col)
+    try:
+        flat = pc.list_flatten(col) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        V = flat.reshape(len(ids), -1) if len(ids) else flat.reshape(0, 1)
+    except pa.lib.ArrowNotImplementedError:
+        # Ray tensor-extension column (e.g. from_pandas of ndarray
+        # cells) — no list_flatten kernel; stack the row tensors
+        V = np.stack(col.to_pylist()).astype(np.float64) if len(ids) \
+            else np.zeros((0, 1))
+    return ids, _normalize(V)
+
+
+def _make_block(ref, k: int, id_col: str, vec_col: str):
+    """The shared per-batch scoring kernel.  ``ref`` is a ``ray.put``
+    of ``(q_ids, Q, C, probes)``; ``C``/``probes`` are None for brute
+    force (score every row) and set for IVF (score only rows whose
+    nearest-centroid bucket is probed by the query).  Emits local
+    top-k candidate rows (query_id, neighbor_id, cos_e4)."""
+
+    def block(batch: pa.Table) -> pa.Table:
+        qids, Qn, Cn, prob = ray.get(ref)
+        ids, V = _ids_and_vectors(batch, id_col, vec_col)
+        bucket = np.argmax(V @ Cn.T, axis=1) if Cn is not None else None
+        out = {"query_id": [], "neighbor_id": [], "cos_e4": []}
+        for qi in range(len(qids)):
+            mask = ids != qids[qi]  # exclude self-matches
+            if bucket is not None:
+                mask &= np.isin(bucket, prob[qi])
+            if not mask.any():
+                continue
+            row_e4 = np.floor((V[mask] @ Qn[qi]) * 10000
+                              + 0.5).astype(np.int64)
+            sub_ids = ids[mask]
+            # rank on the ROUNDED score + id — the same total order the
+            # oracle uses, so top-k boundary ties resolve identically
+            order = np.lexsort((sub_ids, -row_e4))[:k]
+            out["query_id"].extend([int(qids[qi])] * len(order))
+            out["neighbor_id"].extend(int(i) for i in sub_ids[order])
+            out["cos_e4"].extend(int(s) for s in row_e4[order])
+        return pa.table({n: pa.array(v, pa.int64()) for n, v in out.items()})
+
+    return block
+
+
+def final_topk_fn(k: int, score_col: str = "cos_e4",
+                  id_col: str = "neighbor_id"):
+    """Single-partition merge of per-block top-k survivors: global
+    top-k per query with (score desc, id asc) tie-break + 1-based
+    rank.  Survivors are ≤ k × num_blocks × nq — tiny."""
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, g in df.groupby("query_id"):
+            g = g.sort_values([score_col, id_col],
+                              ascending=[False, True]).head(k).copy()
+            g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            frames.append(g)
+        return pd.concat(frames) if frames else df.assign(rnk=[])
+
+    return final_topk
+
+
+def _query_refs(queries: dict[int, list[float]], C=None, nprobe: int = 0):
+    q_ids = sorted(queries)
+    Q = _normalize(np.array([queries[i] for i in q_ids], dtype=np.float64))
+    probes = None
+    if C is not None:
+        probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    return np.array(q_ids, dtype=np.int64), Q, probes
+
+
+def _topk_pipeline(ds, ref, k: int, id_col: str, vec_col: str):
+    local = ds.map_batches(_make_block(ref, k, id_col, vec_col),
+                           batch_format="pyarrow", batch_size=4096)
+    return local.repartition(1).map_batches(
+        final_topk_fn(k), batch_format="pandas", batch_size=None)
+
+
 def knn_brute_force(ds, queries: dict[int, list[float]], k: int = 10,
                     vec_col: str = "embedding", id_col: str = "vec_id"):
     """Exact top-k neighbors for each query vector.
@@ -33,55 +126,37 @@ def knn_brute_force(ds, queries: dict[int, list[float]], k: int = 10,
     (neighbor_id == query_id) are excluded.  Per-batch local top-k then
     a single final top-k merge — same shape as stages.groupby.topk.
     """
-    q_ids = sorted(queries)
-    Q = _normalize(np.array([queries[i] for i in q_ids], dtype=np.float64))
-    ref = ray.put((np.array(q_ids, dtype=np.int64), Q))
-
-    def block(batch: pa.Table) -> pa.Table:
-        qids, Qn = ray.get(ref)
-        ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
-        V = _normalize(np.array(batch.column(vec_col).to_pylist(),
-                                dtype=np.float64))
-        S = Qn @ V.T  # (nq, nb)
-        out = {"query_id": [], "neighbor_id": [], "cos_e4": []}
-        for qi in range(len(qids)):
-            mask = ids != qids[qi]
-            row_e4 = np.floor(S[qi][mask] * 10000 + 0.5).astype(np.int64)
-            sub_ids = ids[mask]
-            # rank on the ROUNDED score + id — the same total order the
-            # oracle uses, so top-k boundary ties resolve identically
-            order = np.lexsort((sub_ids, -row_e4))[:k]
-            for c in order:
-                out["query_id"].append(int(qids[qi]))
-                out["neighbor_id"].append(int(sub_ids[c]))
-                out["cos_e4"].append(int(row_e4[c]))
-        return pa.table({n: pa.array(v, pa.int64()) for n, v in out.items()})
-
-    local = ds.map_batches(block, batch_format="pyarrow", batch_size=4096)
-
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for qid, g in df.groupby("query_id"):
-            g = g.sort_values(["cos_e4", "neighbor_id"],
-                              ascending=[False, True]).head(k)
-            g = g.copy()
-            g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-            frames.append(g)
-        return pd.concat(frames) if frames else df.assign(rnk=[])
-
-    # survivors ≤ k × num_blocks × nq — tiny; single-partition merge
-    return local.repartition(1).map_batches(final_topk, batch_format="pandas",
-                                            batch_size=None)
+    qids, Q, _ = _query_refs(queries)
+    ref = ray.put((qids, Q, None, None))
+    return _topk_pipeline(ds, ref, k, id_col, vec_col)
 
 
 def _trained_centroids(ds, n_centroids: int, vec_col: str, id_col: str,
                        train_sample: int) -> np.ndarray:
-    """Centroids from a bounded, ORDER-STABLE sample: Ray block order
-    is nondeterministic across executions, so the sample is sorted by
-    id before training — the same data must always yield the same
-    centroids (rebuilt indexes and repeated queries stay consistent)."""
-    sample = (ds.select_columns([id_col, vec_col]).limit(train_sample)
-              .to_pandas().sort_values(id_col))
+    """Centroids from a bounded, ORDER-STABLE sample.  Ray block order
+    is nondeterministic across executions AND ``limit()`` picks
+    whichever blocks arrive first, so when the dataset exceeds
+    ``train_sample`` the sample is chosen by a deterministic
+    multiplicative hash of the id (block-order-independent), then
+    sorted and cut on the driver — the same data must always yield the
+    same centroids (rebuilt indexes and repeated queries stay
+    consistent)."""
+    src = ds.select_columns([id_col, vec_col])
+    n = src.count()
+    rate = 1.5 * train_sample / max(n, 1)
+    if rate < 1.0:
+        # expected ~1.5 × train_sample hash-selected rows reach the
+        # driver; the sorted head(train_sample) cut is deterministic
+        thr = np.uint64(int(rate * 0xFFFFFFFFFFFFFFFF))
+        K = np.uint64(0x9E3779B97F4A7C15)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col) \
+                .to_numpy(zero_copy_only=False).astype(np.uint64)
+            return batch.filter(pa.array(ids * K <= thr))
+
+        src = src.map_batches(keep, batch_format="pyarrow")
+    sample = src.to_pandas().sort_values(id_col).head(train_sample)
     V = np.array(sample[vec_col].tolist(), dtype=np.float64)
     return train_centroids(V, n_centroids)
 
@@ -89,9 +164,12 @@ def _trained_centroids(ds, n_centroids: int, vec_col: str, id_col: str,
 def train_centroids(V: np.ndarray, n_centroids: int, iters: int = 5,
                     seed: int = 42) -> np.ndarray:
     """Deterministic mini k-means on normalized vectors (cosine ≙
-    dot-product on the unit sphere)."""
+    dot-product on the unit sphere).  ``n_centroids`` is clamped to the
+    sample size so tiny datasets degrade to exhaustive search instead
+    of crashing the seeded init."""
     rng = np.random.default_rng(seed)
     Vn = _normalize(V)
+    n_centroids = min(n_centroids, len(Vn))
     C = Vn[rng.choice(len(Vn), size=n_centroids, replace=False)]
     for _ in range(iters):
         assign = np.argmax(Vn @ C.T, axis=1)
@@ -116,48 +194,9 @@ def knn_ivf(ds, queries: dict[int, list[float]], k: int = 10,
     :func:`knn_brute_force`; with nprobe == n_centroids results are
     exact."""
     C = _trained_centroids(ds, n_centroids, vec_col, id_col, train_sample)
-
-    q_ids = sorted(queries)
-    Q = _normalize(np.array([queries[i] for i in q_ids], dtype=np.float64))
-    probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    ref = ray.put((np.array(q_ids, dtype=np.int64), Q, C, probes))
-
-    def block(batch: pa.Table) -> pa.Table:
-        qids, Qn, Cn, prob = ray.get(ref)
-        ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
-        V = _normalize(np.array(batch.column(vec_col).to_pylist(),
-                                dtype=np.float64))
-        bucket = np.argmax(V @ Cn.T, axis=1)
-        out = {"query_id": [], "neighbor_id": [], "cos_e4": []}
-        for qi in range(len(qids)):
-            probe_mask = np.isin(bucket, prob[qi])
-            probe_mask &= ids != qids[qi]
-            if not probe_mask.any():
-                continue
-            row_e4 = np.floor((V[probe_mask] @ Qn[qi]) * 10000
-                              + 0.5).astype(np.int64)
-            sub_ids = ids[probe_mask]
-            order = np.lexsort((sub_ids, -row_e4))[:k]
-            for c in order:
-                out["query_id"].append(int(qids[qi]))
-                out["neighbor_id"].append(int(sub_ids[c]))
-                out["cos_e4"].append(int(row_e4[c]))
-        return pa.table({n: pa.array(v, pa.int64()) for n, v in out.items()})
-
-    local = ds.map_batches(block, batch_format="pyarrow", batch_size=4096)
-
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for qid, g in df.groupby("query_id"):
-            g = g.sort_values(["cos_e4", "neighbor_id"],
-                              ascending=[False, True]).head(k)
-            g = g.copy()
-            g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-            frames.append(g)
-        return pd.concat(frames) if frames else df.assign(rnk=[])
-
-    return local.repartition(1).map_batches(final_topk, batch_format="pandas",
-                                            batch_size=None)
+    qids, Q, probes = _query_refs(queries, C, nprobe)
+    ref = ray.put((qids, Q, C, probes))
+    return _topk_pipeline(ds, ref, k, id_col, vec_col)
 
 
 # ---------------------------------------------------------------------------
@@ -197,9 +236,7 @@ def build_ivf_index(ds, index_dir, n_centroids: int = 16,
         import hashlib
 
         Cn = ray.get(c_ref)
-        ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
-        V = _normalize(np.array(batch.column(vec_col).to_pylist(),
-                                dtype=np.float64))
+        ids, V = _ids_and_vectors(batch, id_col, vec_col)
         bucket = np.argmax(V @ Cn.T, axis=1)
         tag = hashlib.sha1(ids.tobytes()).hexdigest()[:16]
         for b in np.unique(bucket):
@@ -227,9 +264,7 @@ def knn_ivf_indexed(index_dir, queries: dict[int, list[float]], k: int = 10,
     index_dir = Path(index_dir)
     C = np.array(json.loads((index_dir / "centroids.json").read_text()),
                  dtype=np.float64)
-    q_ids = sorted(queries)
-    Q = _normalize(np.array([queries[i] for i in q_ids], dtype=np.float64))
-    probes = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    qids, Q, probes = _query_refs(queries, C, nprobe)
     needed = sorted({int(b) for row in probes for b in row})
     paths = [str(f) for b in needed
              for f in sorted((index_dir / f"bucket={b:03d}").glob("*.parquet"))
@@ -239,41 +274,8 @@ def knn_ivf_indexed(index_dir, queries: dict[int, list[float]], k: int = 10,
     from mmore_ray.sources.readers import read_parquet_clean
     sub = read_parquet_clean(paths)
 
-    ref = ray.put((np.array(q_ids, dtype=np.int64), Q, C, probes))
-
-    def block(batch: pa.Table) -> pa.Table:
-        qids, Qn, Cn, prob = ray.get(ref)
-        ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
-        V = _normalize(np.array(batch.column(vec_col).to_pylist(),
-                                dtype=np.float64))
-        bucket = np.argmax(V @ Cn.T, axis=1)
-        out = {"query_id": [], "neighbor_id": [], "cos_e4": []}
-        for qi in range(len(qids)):
-            probe_mask = np.isin(bucket, prob[qi])
-            probe_mask &= ids != qids[qi]
-            if not probe_mask.any():
-                continue
-            row_e4 = np.floor((V[probe_mask] @ Qn[qi]) * 10000
-                              + 0.5).astype(np.int64)
-            sub_ids = ids[probe_mask]
-            order = np.lexsort((sub_ids, -row_e4))[:k]
-            for c in order:
-                out["query_id"].append(int(qids[qi]))
-                out["neighbor_id"].append(int(sub_ids[c]))
-                out["cos_e4"].append(int(row_e4[c]))
-        return pa.table({n: pa.array(v, pa.int64()) for n, v in out.items()})
-
-    local = sub.map_batches(block, batch_format="pyarrow", batch_size=4096)
-
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for qid, g in df.groupby("query_id"):
-            g = g.sort_values(["cos_e4", "neighbor_id"],
-                              ascending=[False, True]).head(k)
-            g = g.copy()
-            g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-            frames.append(g)
-        return pd.concat(frames) if frames else df.assign(rnk=[])
-
-    return local.repartition(1).map_batches(final_topk, batch_format="pandas",
-                                            batch_size=None)
+    # the bucket re-check inside the kernel is a no-op filter for rows
+    # of probed buckets but keeps per-query probe sets exact when
+    # buckets are shared across queries
+    ref = ray.put((qids, Q, C, probes))
+    return _topk_pipeline(sub, ref, k, id_col, vec_col)

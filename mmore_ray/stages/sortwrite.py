@@ -26,7 +26,6 @@ from __future__ import annotations
 from pathlib import Path
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 SEP = "\x00"
@@ -35,13 +34,22 @@ HI = "￿"  # sorts after any sha hex char
 SORT_COLS = ["subj", "pred", "obj", "content_sha256"]
 
 
-def _encode(df: pd.DataFrame) -> pd.Series:
-    # NOTE: pandas scalar-concat (`series + "\x00"`) routes the scalar
-    # through a numpy U-dtype, which strips trailing NULs — the
-    # separator silently vanishes.  Join at the Python level.
-    cols = [df[c].to_numpy() for c in ("subj", "pred", "obj",
-                                       "content_sha256")]
-    return pd.Series([SEP.join(t) for t in zip(*cols)], index=df.index)
+def _batch_tag(batch: pa.Table) -> str:
+    """Collision-proof, retry-stable spill-file tag: sha1 of the FULL
+    batch content (Arrow IPC bytes — every column, not just the sort
+    keys, so key-identical batches differing in payload, or aligned
+    runs of duplicate keys, still get distinct files).  A retried task
+    re-derives the same tag and overwrites its own file.  Residual
+    assumption: two batches byte-identical in EVERY column collide —
+    that needs ≥ 2×batch_size exact full-row duplicates aligned on
+    batch boundaries."""
+    import hashlib
+    import io
+
+    buf = io.BytesIO()
+    with pa.ipc.new_stream(buf, batch.schema) as w:
+        w.write_table(batch)
+    return hashlib.sha1(buf.getvalue()).hexdigest()[:16]
 
 
 def compute_boundaries(key_counts: list[tuple[tuple[str, str, str], float]],
@@ -70,6 +78,11 @@ def compute_boundaries(key_counts: list[tuple[tuple[str, str, str], float]],
         for i in range(n_cuts):
             frac = (first + i * budget) / cnt
             if frac >= 1.0:
+                # remainder is an exact multiple of the budget: the
+                # promised cut falls ON the end of the key — emit it as
+                # the HI cut (skipping it would hand the next partition
+                # a double budget and leave an empty trailing one)
+                bounds.append(prefix + HI)
                 break
             hexcut = format(min(int(frac * 16**8), 16**8 - 1), "08x")
             bounds.append(prefix + hexcut)
@@ -156,7 +169,7 @@ def write_sorted(triples_ds, key_counts, out_dir: str | Path,
       * **spill** — each map task splits its batch by partition id and
         appends per-(task, partition) parquet spill files;
       * **merge** — one plain Ray task per partition concatenates its
-        spill files, sorts in pandas, writes the final part file.
+        spill files, Arrow-sorts, writes the final part file.
 
     Both phases are embarrassingly parallel; the exchange medium is the
     filesystem (single-node sandbox ≙ a cluster's shared store; on a
@@ -176,29 +189,23 @@ def write_sorted(triples_ds, key_counts, out_dir: str | Path,
     bounds = np.array(compute_boundaries(key_counts, num_partitions))
     n_parts = len(bounds) + 1
 
-    def spill(batch: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
+    def spill(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
 
-        keys = _encode(batch)
-        part = np.searchsorted(bounds, keys.to_numpy(), side="right")
-        # digest of ALL sort-key values + row count: collision-proof
-        # across batches (one hot doc's rows spanning two batches share
-        # every content_sha256 — the spo columns differ) yet stable on
-        # retry, so a re-executed task overwrites its own spill file
-        tag = hashlib.sha1(
-            f"{len(batch)}\x00".encode() + "\x00".join(keys).encode()
-        ).hexdigest()[:16]
+        part = np.searchsorted(bounds, encode_table_keys(batch),
+                               side="right")
+        tag = _batch_tag(batch)
         counts = []
         for p in np.unique(part):
-            sub = batch[part == p]
+            sub = batch.filter(pa.array(part == p))
             d = spill_dir / f"p={int(p):05d}"
             d.mkdir(parents=True, exist_ok=True)
-            sub.to_parquet(d / f"{tag}.parquet", index=False)
-            counts.append((int(p), len(sub)))
-        return pd.DataFrame({"part": [c[0] for c in counts],
-                             "rows": [c[1] for c in counts]})
+            pq.write_table(sub, d / f"{tag}.parquet")
+            counts.append((int(p), sub.num_rows))
+        return pa.table({"part": pa.array([c[0] for c in counts], pa.int64()),
+                         "rows": pa.array([c[1] for c in counts], pa.int64())})
 
-    triples_ds.map_batches(spill, batch_format="pandas",
+    triples_ds.map_batches(spill, batch_format="pyarrow",
                            batch_size=65536).count()
 
     @ray.remote

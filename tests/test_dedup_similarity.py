@@ -79,6 +79,49 @@ def test_ivf_recall_vs_brute_force(ray_session):
                                   f[["query_id", "neighbor_id", "rnk"]])
 
 
+def test_ivf_tiny_dataset_and_stable_sample(ray_session):
+    """Review regressions: fewer vectors than n_centroids must degrade
+    to exhaustive search (not crash the seeded init), and the training
+    sample must be block-order independent (hash-selected + sorted, not
+    limit() of whichever blocks arrive first)."""
+    ray = ray_session
+    from mmore_ray.stages.similarity import (
+        _trained_centroids,
+        knn_brute_force,
+        knn_ivf,
+        train_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    C = train_centroids(rng.standard_normal((10, 4)), 16)
+    assert len(C) == 10  # clamped
+
+    small = pd.DataFrame({
+        "vec_id": np.arange(5, dtype=np.int64),
+        "embedding": list(rng.standard_normal((5, 8))),
+    })
+    qs = {99: rng.standard_normal(8).tolist()}
+    ds = ray.data.from_pandas(small)
+    approx = knn_ivf(ds, qs, k=3, n_centroids=16, nprobe=16).to_pandas()
+    brute = knn_brute_force(ds, qs, k=3).to_pandas()
+    pd.testing.assert_frame_equal(
+        approx.sort_values("rnk").reset_index(drop=True),
+        brute.sort_values("rnk").reset_index(drop=True))
+
+    # sample path: same data in shuffled block layouts → same centroids
+    big = pd.DataFrame({
+        "vec_id": np.arange(600, dtype=np.int64),
+        "embedding": list(rng.standard_normal((600, 8))),
+    })
+    c1 = _trained_centroids(ray.data.from_pandas(big), 8,
+                            "embedding", "vec_id", train_sample=100)
+    shuffled = big.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    c2 = _trained_centroids(
+        ray.data.from_pandas(shuffled).repartition(7), 8,
+        "embedding", "vec_id", train_sample=100)
+    np.testing.assert_allclose(c1, c2)
+
+
 def test_fingerprint_deterministic_and_discriminative():
     from mmore_ray.stages.text_analysis import fingerprint_rolling
 

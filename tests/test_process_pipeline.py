@@ -95,6 +95,42 @@ def test_pdfmini_roundtrip_and_fast_path():
     assert [p[1] for p in r2["metadata"]["paragraph_starts"][:-1]] == [0, 2]
 
 
+def test_pdfmini_spec_edge_cases():
+    """Escapes, the ' show-operator, and /Length-exact stream slicing
+    (review findings: \\8/\\9 crashed, ' merged two lines, and the
+    EOL-strip heuristic corrupted compressed data ending in 0x0d)."""
+    import zlib
+
+    from mmore_ray.sources.pdfmini import (
+        _stream_text,
+        _unescape,
+        extract_pages,
+        make_pdf,
+    )
+
+    # \8 and \9 are NOT octal: the backslash is ignored (PDF 7.3.4.2)
+    assert _unescape(rb"a\9b") == "a9b"
+    assert _unescape(rb"a\8") == "a8"
+    assert _unescape(rb"a\101b") == "aAb"      # 3-digit octal
+    assert _unescape(rb"\0538") == "+8"        # octal stops at 3 digits
+    assert _unescape(b"a\\\nb") == "ab"        # \<EOL> line continuation
+    assert _unescape(rb"a\zb") == "azb"        # unknown escape: \ dropped
+
+    # ' = move-to-next-line THEN show: operand starts the NEW line
+    assert _stream_text(b"BT (a) Tj (b) ' ET") == "a\nb\n"
+
+    # a compressed stream whose bytes end in 0x0d must survive — the
+    # direct /Length in make_pdf's dict slices the exact byte count
+    page = None
+    for i in range(50000):
+        stream = f"BT /F1 12 Tf 72 720 Td (line {i}) Tj ET".encode()
+        if zlib.compress(stream).endswith(b"\r"):
+            page = f"line {i}"
+            break
+    assert page is not None
+    assert extract_pages(make_pdf([page], compress=True)) == [page + "\n"]
+
+
 def _make_docx(paragraphs, images=None) -> bytes:
     """Minimal .docx: document.xml paragraphs (+optional Heading style
     as ('H2', text) tuples), a:blip image refs resolved via rels."""

@@ -75,6 +75,27 @@ def test_sortwrite_boundaries_cover_and_order(counts, parts):
         last = p
 
 
+def test_sortwrite_boundaries_hot_key_exact_multiple():
+    """Review regression: a hot key whose remainder is an exact
+    multiple of the budget must still emit its end-of-key cut —
+    otherwise the next partition absorbs a double budget and a trailing
+    partition comes out empty (8/4 with budget 4 must cut 4/4/4, not
+    4/8/0)."""
+    from mmore_ray.stages.sortwrite import HI, SEP, compute_boundaries
+
+    bounds = compute_boundaries(
+        [(("a", "p", "o"), 8.0), (("z", "p", "o"), 4.0)], 3)
+    pa_ = "a" + SEP + "p" + SEP + "o" + SEP
+    assert bounds[0] == pa_ + "80000000"   # mid-key sha cut at 1/2
+    assert bounds[1] == pa_ + HI           # the previously-missing cut
+    # loads: 4 rows of 'a' below the sha cut, 4 above, 4 of 'z'
+    rows = [pa_ + format(int(i / 8 * 16**8), "08x") for i in range(8)]
+    rows += ["z" + SEP + "p" + SEP + "o" + SEP + "00000000"] * 4
+    parts = np.searchsorted(np.array(bounds), np.array(rows), side="right")
+    loads = np.bincount(parts, minlength=len(bounds) + 1)
+    assert loads.max() == 4, loads.tolist()
+
+
 @settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(rows=st.lists(st.tuples(st.integers(0, 40), st.integers(-10**6, 10**6)),
