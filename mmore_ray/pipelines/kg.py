@@ -30,6 +30,7 @@ global rollup+sort runs over the per-shard triple parquet.
 
 from __future__ import annotations
 
+import os
 import shutil
 import time
 from pathlib import Path
@@ -132,8 +133,9 @@ def _doc_triples_fn(batch: pa.Table, canon_ref) -> pa.Table:
     batch = explode_edges(batch)
     for col, out in (("src", "src_canonical"), ("dst", "dst_canonical")):
         s = batch.column(col).to_pandas()
-        mapped = s.map(canon).where(s.map(canon).notna(), s)
-        batch = batch.append_column(out, pa.array(mapped, pa.string()))
+        m = s.map(canon)  # one dict-map pass; identity fallback below
+        batch = batch.append_column(
+            out, pa.array(m.where(m.notna(), s), pa.string()))
     return doc_triples(batch)
 
 
@@ -273,11 +275,25 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
     def _key_counts_kernel(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["subj", "pred", "obj"]).aggregate(
             [("weight", "count")])
-        return g.rename_columns(["subj", "pred", "obj", "n"])
+        # select by NAME — pyarrow versions disagree on whether group
+        # keys or aggregates come first in the output column order
+        return pa.table({"subj": g.column("subj"), "pred": g.column("pred"),
+                         "obj": g.column("obj"),
+                         "n": g.column("weight_count")})
 
     bounds_file = out_dir / mf.MANIFEST_DIR / "sort_bounds.json"
     if bounds_file.exists():
-        bounds = np.array(json.loads(bounds_file.read_text()), dtype=object)
+        saved = json.loads(bounds_file.read_text())
+        # resuming with a different shard count would re-partition the
+        # corpus by a different hash modulus: docs already in completed
+        # shards would be extracted AGAIN into new shards and finalize
+        # would merge them twice — refuse instead
+        if saved["num_shards"] != num_shards:
+            raise ValueError(
+                f"resume with num_shards={num_shards} but this output dir "
+                f"was started with num_shards={saved['num_shards']}; reuse "
+                "the original value or start a fresh out_dir")
+        bounds = np.array(saved["bounds"], dtype=object)
     else:
         warm = extract_docs(shard_corpus(0).limit(warm_docs), gazetteer,
                             concurrency)
@@ -294,7 +310,12 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
             compute_boundaries(list(agg.items()), num_sorted_partitions),
             dtype=object)
         bounds_file.parent.mkdir(parents=True, exist_ok=True)
-        bounds_file.write_text(json.dumps(list(bounds)))
+        # atomic publish (tmp + replace, like mf.publish): a crash
+        # mid-write must not leave truncated JSON that bricks resume
+        tmp = bounds_file.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(
+            {"num_shards": num_shards, "bounds": list(bounds)}))
+        os.replace(tmp, bounds_file)
     n_sorted_parts = len(bounds) + 1
 
     def run_shard(shard: int) -> None:
@@ -320,18 +341,16 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
 
         def tee(batch: pa.Table, alias_ref=alias_ref, canon_ref=canon_ref,
                 paths=paths) -> pa.Table:
-            import hashlib
-
             import pyarrow.parquet as pq
 
-            # Collision-proof, retry-idempotent file tag: digest of EVERY
-            # row key (repo, path, sha) plus the row count — a retried
-            # task rewrites its own file; two distinct batches (even ones
-            # sharing duplicate-content prefixes) can never collide.
-            h = hashlib.sha1(f"{batch.num_rows}\x00".encode())
-            for col in ("repo", "path", "content_sha256"):
-                h.update("\x00".join(batch.column(col).to_pylist()).encode())
-            tag = h.hexdigest()[:16]
+            from ..stages.sortwrite import _batch_tag
+
+            # Collision-proof, retry-idempotent file tag: digest of the
+            # FULL batch content (every column — two checkouts of the
+            # same unchanged file differ only in `commit`, which a
+            # key-column digest would miss) — a retried task rewrites
+            # its own file; two distinct batches can never collide.
+            tag = _batch_tag(batch)
             pq.write_table(batch, f"{paths['docs']}/part-{tag}.parquet")
             mentions = _link_mentions_fn(batch, alias_ref, canon_ref)
             pq.write_table(mentions, f"{paths['mentions']}/part-{tag}.parquet")
@@ -379,16 +398,22 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
         # shard and the rmtree at the top clears half-consolidated
         # state; the combine is vocabulary-bounded, hence tiny.)
         partial_files = sorted(Path(paths["_rollup"]).rglob("*.parquet"))
-        combined = (
-            pa.concat_tables([pq.read_table(f) for f in partial_files])
-            .group_by(["subj", "pred", "obj"])
-            .aggregate([("weight", "sum"), ("n_rows", "sum")])
-            .rename_columns(["subj", "pred", "obj", "weight", "n_rows"])
-        )
-        pq.write_table(combined,
-                       Path(paths["_rollup"]) / "_combined.parquet")
-        for f in partial_files:
-            f.unlink()
+        if partial_files:  # an empty shard has no partials — still
+            # publishes its (zero-count) manifest below
+            g = (
+                pa.concat_tables([pq.read_table(f) for f in partial_files])
+                .group_by(["subj", "pred", "obj"])
+                .aggregate([("weight", "sum"), ("n_rows", "sum")])
+            )
+            combined = pa.table({
+                "subj": g.column("subj"), "pred": g.column("pred"),
+                "obj": g.column("obj"), "weight": g.column("weight_sum"),
+                "n_rows": g.column("n_rows_sum"),
+            })
+            pq.write_table(combined,
+                           Path(paths["_rollup"]) / "_combined.parquet")
+            for f in partial_files:
+                f.unlink()
         mf.publish(out_dir, "extract", shard, {
             "n_docs": n_docs,
             "n_mentions": n_mentions,
@@ -430,21 +455,28 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
 
         partials = [_pq.read_table(f)
                     for f in sorted((out_dir / "_rollup").rglob("*.parquet"))]
-        rolled = (
-            pa.concat_tables(partials)
-            .group_by(["subj", "pred", "obj"])
-            .aggregate([("weight", "sum"), ("n_rows", "sum")])
-        )
-        graph_dir = out_dir / "graph"
-        graph_dir.mkdir(parents=True, exist_ok=True)
-        _pq.write_table(
-            pa.table({
+        if partials:
+            rolled = (
+                pa.concat_tables(partials)
+                .group_by(["subj", "pred", "obj"])
+                .aggregate([("weight", "sum"), ("n_rows", "sum")])
+            )
+            graph = pa.table({
                 "subj": rolled.column("subj"),
                 "pred": rolled.column("pred"),
                 "obj": rolled.column("obj"),
                 "weight": rolled.column("weight_sum"),
-            }),
-            graph_dir / "part-00000.parquet")
+            })
+        else:  # every shard was empty: a schema-correct empty graph
+            graph = pa.table({
+                "subj": pa.array([], pa.string()),
+                "pred": pa.array([], pa.string()),
+                "obj": pa.array([], pa.string()),
+                "weight": pa.array([], pa.float64()),
+            })
+        graph_dir = out_dir / "graph"
+        graph_dir.mkdir(parents=True, exist_ok=True)
+        _pq.write_table(graph, graph_dir / "part-00000.parquet")
         spill_roots = sorted((out_dir / "triples").glob("shard=*"))
         merge_sorted_spills(spill_roots, n_sorted_parts,
                             out_dir / "triples_sorted")
@@ -454,10 +486,3 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
 
     stats["manifest"] = mf.all_entries(out_dir)
     return stats
-
-
-def _parquet_files(d: Path):
-    import pyarrow.parquet as pq
-
-    for f in sorted(Path(d).rglob("*.parquet")):
-        yield pq.ParquetFile(f)

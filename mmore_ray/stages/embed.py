@@ -171,7 +171,9 @@ def retrieve(collection_dir: str, query_text: str, k: int = 5,
     scored = ds.map_batches(score, batch_format="pyarrow")
     from .groupby import topk
 
-    hits = topk(scored, ["score"], k, descending=True)
+    # sample_id tie-break: equal scores must not survive or die by
+    # nondeterministic block order (topk's documented contract)
+    hits = topk(scored, ["score", "sample_id"], k, descending=[True, False])
     if not rerank:
         return hits
     # rerank the k survivors with the cross-encoder pool and re-sort
@@ -180,4 +182,5 @@ def retrieve(collection_dir: str, query_text: str, k: int = 5,
         batch_format="pyarrow", batch_size=FakeReranker.BATCH,
         concurrency=(1, 2),
     )
-    return topk(reranked, ["rerank_score", "score"], k, descending=True)
+    return topk(reranked, ["rerank_score", "score", "sample_id"], k,
+                descending=[True, True, False])

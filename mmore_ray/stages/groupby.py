@@ -36,6 +36,22 @@ def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarra
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
+def _restore_key_dtypes(out: pd.DataFrame, src: pd.DataFrame,
+                        keys: list[str]) -> pd.DataFrame:
+    """pandas groupby(dropna=False) re-infers key dtypes: a block whose
+    only group is the NULL group turns an object (string) key into
+    float64 NaN, which Arrow types ``double`` — un-unifiable with the
+    ``string`` blocks of other buckets.  Restoring the source dtype
+    keeps an all-null key object → Arrow ``null``, which unifies.
+    (Nullable INT keys remain unsupported: Arrow int64-with-null
+    becomes pandas float64 on INPUT already — coalesce upstream, same
+    rule as rollup_sum's fill_value.)"""
+    for k in keys:
+        if k in out.columns and out[k].dtype != src[k].dtype:
+            out[k] = out[k].astype(src[k].dtype)
+    return out
+
+
 def bucketed_sum(
     ds,
     keys: list[str],
@@ -54,14 +70,19 @@ def bucketed_sum(
     def partial(df: pd.DataFrame) -> pa.Table:
         if prepare is not None:
             df = prepare(df)
-        g = df.groupby(keys, as_index=False)[sum_cols].sum()
+        # dropna=False: SQL GROUP BY keeps the NULL group — pandas'
+        # default would silently drop those rows from every total
+        g = df.groupby(keys, as_index=False, dropna=False)[sum_cols].sum()
+        g = _restore_key_dtypes(g, df, keys)
         g[_BUCKET] = _bucket_of(g, keys, num_buckets)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def final(df: pd.DataFrame) -> pa.Table:
         # emit Arrow blocks: pandas blocks break downstream
         # rename_columns/Project ops and trip Ray's schema-dedup hashing
-        out = df.drop(columns=[_BUCKET]).groupby(keys, as_index=False)[sum_cols].sum()
+        out = df.drop(columns=[_BUCKET]).groupby(
+            keys, as_index=False, dropna=False)[sum_cols].sum()
+        out = _restore_key_dtypes(out, df, keys)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
@@ -81,7 +102,9 @@ def bucketed_agg(
 ):
     """General mergeable aggregate: ``agg_fn(df, keys) -> df`` must be
     idempotent under re-aggregation (applied per batch AND per bucket),
-    e.g. sum/min/max/any-combine of pre-combined rows."""
+    e.g. sum/min/max/any-combine of pre-combined rows.  If rows with
+    null keys must survive (SQL NULL-group semantics), ``agg_fn``'s own
+    groupby must pass ``dropna=False`` — pandas drops them by default."""
 
     def partial(df: pd.DataFrame) -> pa.Table:
         if prepare is not None:
@@ -103,13 +126,19 @@ def bucketed_agg(
 
 def topk(ds, sort_cols: list[str], k: int, descending: list[bool] | bool = True):
     """Global top-k without a full sort shuffle: per-batch local top-k,
-    then one final top-k over the ≤ k×num_blocks survivors."""
+    then one final top-k over the ≤ k×num_blocks survivors.
+
+    Determinism: ``sort_cols`` should end in a unique tie-breaking
+    column (same contract as :func:`topk_per_group`) — equal-valued
+    rows at the k boundary otherwise survive or die by nondeterministic
+    block order."""
     if isinstance(descending, bool):
         descending = [descending] * len(sort_cols)
     ascending = [not d for d in descending]
 
     def local(df: pd.DataFrame) -> pa.Table:
-        out = df.sort_values(sort_cols, ascending=ascending).head(k)
+        out = df.sort_values(sort_cols, ascending=ascending,
+                             kind="stable").head(k)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     reduced = ds.map_batches(local, batch_format="pandas", batch_size=65536)
@@ -141,8 +170,9 @@ def grouped_count_distinct(ds, keys: list[str], col: str, out_col: str,
 
     def per_bucket(df: pd.DataFrame) -> pa.Table:
         d = df.drop(columns=[_BUCKET]).drop_duplicates(subset=pair)
-        out = (d.groupby(keys, as_index=False)
+        out = (d.groupby(keys, as_index=False, dropna=False)
                .size().rename(columns={"size": out_col}))
+        out = _restore_key_dtypes(out, df, keys)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     partials = (
@@ -187,7 +217,8 @@ def grouped_median(ds, keys: list[str], col: str, out_col: str,
 
     def per_key_bucket(df: pd.DataFrame) -> pa.Table:
         rows = []
-        for kv, g in df.drop(columns=[_BUCKET]).groupby(keys, sort=False):
+        for kv, g in df.drop(columns=[_BUCKET]).groupby(keys, sort=False,
+                                                        dropna=False):
             g = g.sort_values(col)
             v = g[col].to_numpy(dtype=np.float64)
             cum = np.cumsum(g[n_col].to_numpy(dtype=np.int64))
@@ -202,7 +233,8 @@ def grouped_median(ds, keys: list[str], col: str, out_col: str,
             row = dict(zip(keys, kv if isinstance(kv, tuple) else (kv,)))
             row[out_col] = np.int64(np.floor(med * scale + 0.5))
             rows.append(row)
-        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+        out = _restore_key_dtypes(pd.DataFrame(rows), df, keys)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return (rolled.map_batches(add_key_bucket, batch_format="pandas")
             .groupby(_BUCKET)
@@ -278,6 +310,13 @@ def grouped_quantiles_sketch(ds, keys: list[str], col: str,
 
     def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
         v = df[col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        if not ok.all():
+            # NaN → int64 casts to INT64_MIN, which clip would count in
+            # the lowest bin, skewing every quantile toward lo; SQL
+            # quantiles ignore NULLs — drop them
+            df = df[ok]
+            v = v[ok]
         b = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
         codes, uniq = pd.factorize(
             pd.MultiIndex.from_frame(df[keys]) if len(keys) > 1
@@ -338,7 +377,7 @@ def topk_per_group(ds, keys: list[str], sort_cols: list[str], k: int,
 
     def local(df: pd.DataFrame) -> pa.Table:
         out = (df.sort_values(sort_cols, ascending=ascending, kind="stable")
-               .groupby(keys, sort=False).head(k))
+               .groupby(keys, sort=False, dropna=False).head(k))
         return pa.Table.from_pandas(out, preserve_index=False)
 
     def partial(df: pd.DataFrame) -> pa.Table:
@@ -525,7 +564,9 @@ def grouped_count_distinct_approx(ds, keys: list[str], col: str,
             stack = np.frombuffer(b"".join(series), dtype=np.uint8)
             return stack.reshape(len(series), int(m)).max(axis=0).tobytes()
 
-        return df.groupby(ks, as_index=False).agg(_regs=("_regs", merge))
+        out = df.groupby(ks, as_index=False,
+                         dropna=False).agg(_regs=("_regs", merge))
+        return _restore_key_dtypes(out, df, ks)
 
     sketches = bucketed_agg(ds, keys, agg_fn, num_buckets=num_buckets,
                             batch_size=batch_size)

@@ -218,6 +218,36 @@ def test_grouped_quantiles_sketch_multi_key(ray_session):
         assert abs(row.q05 - exact) <= 0.5 + 1e-9
 
 
+def test_grouped_quantiles_sketch_ignores_nan(ray_session):
+    """NaN values must be ignored (SQL quantile NULL semantics), not
+    counted in the lowest bin where they'd drag every quantile to lo."""
+    from mmore_ray.stages.groupby import grouped_quantiles_sketch
+
+    vals = np.concatenate([np.full(50, np.nan),
+                           np.linspace(40.0, 60.0, 100)])
+    df = pd.DataFrame({"g": [1] * 150, "x": vals})
+    out = grouped_quantiles_sketch(
+        ray.data.from_pandas(df).repartition(3), ["g"], "x", [0.5],
+        lo=0.0, hi=100.0, bins=200).to_pandas()
+    assert abs(out.q05.iloc[0] - 50.0) <= 0.5 + 1e-9, out.q05.iloc[0]
+
+
+def test_bucketed_ops_keep_null_key_group(ray_session):
+    """SQL GROUP BY keeps the NULL group; pandas' default dropna would
+    silently delete those rows from every bucketed aggregate."""
+    from mmore_ray.stages.groupby import bucketed_sum, grouped_count_distinct
+
+    df = pd.DataFrame({"k": ["a", None, None, "b"],
+                       "v": np.array([1, 2, 3, 4], dtype=np.int64)})
+    ds = ray.data.from_pandas(df).repartition(2)
+    got = bucketed_sum(ds, ["k"], ["v"]).to_pandas()
+    null_rows = got[got.k.isna()]
+    assert len(null_rows) == 1 and null_rows.v.iloc[0] == 5, got
+
+    cd = grouped_count_distinct(ds, ["k"], "v", "n").to_pandas()
+    assert cd[cd.k.isna()].n.iloc[0] == 2, cd
+
+
 def test_interval_join_malformed_interval_dropped(ray_session):
     """end < start (negative span) must not crash the replication —
     the interval contains no points by definition and is dropped."""

@@ -57,6 +57,42 @@ def test_partial_resume_is_idempotent(read_corpus, tmp_path):
     assert gold.equals(redo)
 
 
+def test_resume_with_different_num_shards_refuses(read_corpus, tmp_path):
+    """Changing num_shards re-partitions by a different hash modulus:
+    docs in completed shards would be re-extracted into new shards and
+    finalize would merge them twice — run_kg must refuse instead."""
+    out = tmp_path / "kg"
+    run_kg(read_corpus, out, num_shards=3)
+    (out / "_manifest" / "extract_00001.json").unlink()
+    with pytest.raises(ValueError, match="num_shards=5"):
+        run_kg(read_corpus, out, num_shards=5)
+    # the original shard count still resumes cleanly
+    run_kg(read_corpus, out, num_shards=3)
+    assert _lineage_rows(out) == 200
+
+
+def test_empty_shard_publishes_manifest(ray_session, tmp_path):
+    """A shard with zero input docs must publish its (zero-count)
+    manifest instead of crashing on an empty rollup concat."""
+    ray = ray_session
+    table = synthesize_corpus(30, seed=9)
+
+    def read_corpus(shard: int, num_shards: int):
+        if shard == 2:  # sharded factory with one empty file-group
+            return ray.data.from_arrow(table.slice(0, 0))
+        return ray.data.from_arrow(
+            table.filter([i % 2 == shard % 2 for i in range(30)]))
+
+    out = tmp_path / "kg"
+    stats = run_kg(read_corpus, out, num_shards=3)
+    done = {m["shard"] for m in stats["manifest"] if m["step"] == "extract"}
+    assert done == {0, 1, 2}
+    empty = [m for m in stats["manifest"]
+             if m["step"] == "extract" and m["shard"] == 2][0]
+    assert empty["n_docs"] == 0
+    assert _lineage_rows(out) == 30
+
+
 def test_sorted_shards_globally_ordered(read_corpus, tmp_path):
     out = tmp_path / "kg"
     run_kg(read_corpus, out, num_shards=2)
