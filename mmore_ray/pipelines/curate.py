@@ -18,20 +18,17 @@ Scale shape per stage:
   hash join when not);
 * near-dup — EXACT n-gram Jaccard (stages/dedup.near_dup_jaccard,
   zero false negatives) with the drop-higher-id policy: any doc that
-  appears as ``id_b`` of a verified pair is dropped.  Single-linkage
-  clustering is available separately (stages/canonicalize) when the
-  transitive policy is wanted.
+  appears as ``id_b`` of a verified pair is dropped via the adaptive
+  distributed anti-join (stages/joins.anti_join — a dup-heavy corpus's
+  pair ids never gather on the driver).  Single-linkage clustering is
+  available separately (stages/canonicalize) when the transitive
+  policy is wanted.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-
-try:
-    import ray
-except ImportError:  # pragma: no cover
-    ray = None
 
 
 def curate(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -43,7 +40,7 @@ def curate(ds, text_col: str = "text", id_col: str = "doc_id",
     ``n_dupes`` counts the exact-duplicate group size the surviving doc
     represents (provenance for loss-weighting / dedup accounting)."""
     from ..stages.dedup import exact_dedup, near_dup_jaccard
-    from ..stages.joins import lookup_join
+    from ..stages.joins import anti_join, lookup_join
     from ..stages.text_analysis import detect_lang_batch, quality_stats
 
     def annotate(df: pd.DataFrame) -> pd.DataFrame:
@@ -70,15 +67,13 @@ def curate(ds, text_col: str = "text", id_col: str = "doc_id",
         kept, groups.select_columns(["keep_id", "n_dupes"]),
         "doc_id", "keep_id").materialize()
 
-    # near-dup: exact Jaccard pairs; drop every id_b (id_a < id_b)
+    # near-dup: exact Jaccard pairs; drop every id_b (id_a < id_b).
+    # anti_join keeps the drop set distributed (broadcast only when
+    # small; a dup-heavy corpus's pair ids never gather on the driver)
     pairs = near_dup_jaccard(survivors, text_col="text", id_col="doc_id",
                              threshold=jaccard, num_buckets=num_buckets)
-    drop = {r["id_b"] for r in pairs.select_columns(["id_b"]).take_all()}
-    drop_ref = ray.put(drop)
-
-    def not_dropped(df: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(drop_ref)
-        out = df[~df["doc_id"].isin(d)]
-        return out.drop(columns=["text"]).reset_index(drop=True)
-
-    return survivors.map_batches(not_dropped, batch_format="pandas")
+    kept_cols = anti_join(survivors, pairs.select_columns(["id_b"]),
+                          "doc_id", "id_b")
+    return kept_cols.map_batches(
+        lambda df: df.drop(columns=["text"]).reset_index(drop=True),
+        batch_format="pandas")

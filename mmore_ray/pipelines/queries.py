@@ -36,9 +36,11 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None):
     return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
-def _int_scale(x, scale: int):
-    """floor(x*scale + 0.5) as int64 — same expression as the SQL side."""
-    return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5).astype(np.int64)
+# the shared cross-engine parity kernels (functions/numeric.py holds
+# the ONE copy of the rounding / epoch-µs expressions the oracles
+# mirror; an inline re-implementation here is a parity drift risk)
+from ..functions.numeric import int_scale as _int_scale  # noqa: E402
+from ..functions.numeric import to_us as _to_us  # noqa: E402
 
 
 def _sql_scale(expr: str, scale: int) -> str:
@@ -301,7 +303,7 @@ def q_events_window(sf_dir: str):
     def prepare(df: pd.DataFrame) -> pd.DataFrame:
         # normalize to µs regardless of the block's datetime64 unit (a
         # ns-coercing pandas/pyarrow would shift windows by 1000x)
-        us = df.ts.to_numpy().astype("datetime64[us]").astype(np.int64)
+        us = _to_us(df.ts)
         return pd.DataFrame({
             "event_type": df.event_type,
             "window_id": us // 3_600_000_000,
@@ -377,52 +379,52 @@ def q_topk_brand(sf_dir: str):
 # Deduplication / similarity / text-analysis queries
 # ---------------------------------------------------------------------------
 
+def _mod_eq(col, m: int):
+    """``col % m == 0`` as Arrow kernels — the dup-injection selector
+    shared by every dedup/curate variants builder (ONE copy: its
+    constants and expression mirror the SQL oracles verbatim)."""
+    import pyarrow.compute as pc
+
+    return pc.equal(pc.subtract(col, pc.multiply(pc.divide(col, m), m)), 0)
+
+
+def _exact_copy_rows(t: pa.Table) -> pa.Table:
+    """Exact copies (doc_id+500000) of every 7th doc."""
+    import pyarrow.compute as pc
+
+    keep = t.filter(_mod_eq(t.column("doc_id"), 7))
+    return pa.table({
+        "doc_id": pc.add(keep.column("doc_id"), 500000),
+        "text": keep.column("text"),
+    })
+
+
+def _near_copy_rows(t: pa.Table) -> pa.Table:
+    """Perturbed copies (doc_id+1000000, text + ' extradup') of every
+    5th doc.  The separator/suffix args are SCALARS: a list built with
+    ``* num_rows`` is null-typed for an empty batch and
+    binary_join_element_wise has no (string, null, string) kernel."""
+    import pyarrow.compute as pc
+
+    keep = t.filter(_mod_eq(t.column("doc_id"), 5))
+    return pa.table({
+        "doc_id": pc.add(keep.column("doc_id"), 1000000),
+        "text": pc.binary_join_element_wise(
+            keep.column("text").cast(pa.string()), " extradup", ""),
+    })
+
+
 def _docs_with_exact_copies(sf_dir: str):
-    """documents ∪ exact copies (doc_id+500000) of every 7th doc —
-    deterministic dup injection, same construction as the oracle SQL."""
+    """documents ∪ exact copies — deterministic dup injection, same
+    construction as the oracle SQL."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def copies(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = t.filter(
-            pc.equal(
-                pc.subtract(t.column("doc_id"),
-                            pc.multiply(pc.divide(t.column("doc_id"), 7), 7)),
-                0,
-            )
-        )
-        return pa.table({
-            "doc_id": pc.add(keep.column("doc_id"), 500000),
-            "text": keep.column("text"),
-        })
-
-    return ds.union(ds.map_batches(copies, batch_format="pyarrow"))
+    return ds.union(ds.map_batches(_exact_copy_rows, batch_format="pyarrow"))
 
 
 def _docs_with_near_copies(sf_dir: str):
-    """documents ∪ perturbed copies (doc_id+1000000, text + ' extradup')
-    of every 5th doc."""
+    """documents ∪ perturbed near copies."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def perturbed(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = t.filter(
-            pc.equal(
-                pc.subtract(t.column("doc_id"),
-                            pc.multiply(pc.divide(t.column("doc_id"), 5), 5)),
-                0,
-            )
-        )
-        return pa.table({
-            "doc_id": pc.add(keep.column("doc_id"), 1000000),
-            "text": pc.binary_join_element_wise(
-                keep.column("text").cast(pa.string()),
-                pa.array([" extradup"] * keep.num_rows), ""),
-        })
-
-    return ds.union(ds.map_batches(perturbed, batch_format="pyarrow"))
+    return ds.union(ds.map_batches(_near_copy_rows, batch_format="pyarrow"))
 
 
 def q_dedup_exact(sf_dir: str):
@@ -455,24 +457,8 @@ def _docs_curate_input(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def variants(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        def mod_eq(col, m):
-            return pc.equal(
-                pc.subtract(col, pc.multiply(pc.divide(col, m), m)), 0)
-
-        ex = t.filter(mod_eq(t.column("doc_id"), 7))
-        ex = pa.table({
-            "doc_id": pc.add(ex.column("doc_id"), 500000),
-            "text": ex.column("text"),
-        })
-        nr = t.filter(mod_eq(t.column("doc_id"), 5))
-        nr = pa.table({
-            "doc_id": pc.add(nr.column("doc_id"), 1000000),
-            "text": pc.binary_join_element_wise(
-                nr.column("text").cast(pa.string()), " extradup", ""),
-        })
-        return pa.concat_tables([t.select(["doc_id", "text"]), ex, nr])
+        return pa.concat_tables([t.select(["doc_id", "text"]),
+                                 _exact_copy_rows(t), _near_copy_rows(t)])
 
     return ds.map_batches(variants, batch_format="pyarrow")
 
@@ -497,13 +483,7 @@ def q_dedup_embedding(sf_dir: str):
     def scaled(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        keep = t.filter(
-            pc.equal(
-                pc.subtract(t.column("vec_id"),
-                            pc.multiply(pc.divide(t.column("vec_id"), 5), 5)),
-                0,
-            )
-        )
+        keep = t.filter(_mod_eq(t.column("vec_id"), 5))
         vecs = [[x * 1.01 for x in v]
                 for v in keep.column("embedding").to_pylist()]
         return pa.table({
@@ -518,14 +498,13 @@ def q_dedup_embedding(sf_dir: str):
 def _query_vectors(sf_dir: str, n: int = 5) -> dict[int, list[float]]:
     import pyarrow.parquet as pq
 
+    # predicate pushdown: only the n query rows reach the driver
+    # (row-group pruning — unfiltered, the whole vector table would)
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    out = {}
-    for vid, vec in zip(t.column("vec_id").to_pylist(),
-                        t.column("embedding").to_pylist()):
-        if vid < n:
-            out[vid] = vec
-    return out
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n)])
+    return dict(zip(t.column("vec_id").to_pylist(),
+                    t.column("embedding").to_pylist()))
 
 
 def q_knn(sf_dir: str):
@@ -557,11 +536,21 @@ def q_knn_ivf_indexed(sf_dir: str):
 
     from ..stages.similarity import build_ivf_index, knn_ivf_indexed
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    # cache key includes the source file's identity (mtime+size), and
+    # the skip guard is a _SUCCESS sentinel written AFTER the bucket
+    # spill — centroids.json lands first during the build, so checking
+    # it would treat an interrupted build as complete and silently
+    # serve neighbors from a partial vector set
+    src = os.stat(f"{sf_dir}/embeddings.parquet")
+    tag = hashlib.sha1(
+        f"{sf_dir}:{src.st_mtime_ns}:{src.st_size}".encode()).hexdigest()[:10]
     idx = f"/tmp/ivf_index_{tag}"
-    if not os.path.exists(f"{idx}/centroids.json"):
+    sentinel = f"{idx}/_SUCCESS"
+    if not os.path.exists(sentinel):
         build_ivf_index(_read(sf_dir, "embeddings", ["vec_id", "embedding"]),
                         idx, n_centroids=16)
+        with open(sentinel, "w") as f:
+            f.write("")
     return knn_ivf_indexed(idx, _query_vectors(sf_dir), k=10, nprobe=16)
 
 
@@ -570,15 +559,14 @@ def q_colvision(sf_dir: str):
     embedding vectors (vec_id // 4) in nested multi-vector rows,
     queries = the first 3 pages' vector sets, exact MaxSim top-5
     (stages/colvision.py; score spec milvuscolvision.py:230)."""
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from ..stages.colvision import maxsim_retrieve
     from ..stages.groupby import _BUCKET
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    qt = t.filter(pc.less(t.column("vec_id"), 12)).to_pandas() \
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 12)]).to_pandas() \
         .sort_values("vec_id")
     queries = {
         int(pid): [list(v) for v in g.sort_values("vec_id").embedding]
@@ -694,8 +682,8 @@ def q_sessionize(sf_dir: str):
     (user, ts), session breaks from shifted comparisons, per-user break
     cumsum, one pandas groupby-agg.  No per-user Python work."""
     from ..stages.groupby import _bucket_of
+    from ..stages.streaming import GAP_US  # single source of the gap
 
-    GAP_US = 30 * 60 * 1_000_000
     NB = 32
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
@@ -705,7 +693,7 @@ def q_sessionize(sf_dir: str):
             "user_id": df.user_id.astype(np.int64),
             # µs regardless of the block's datetime64 unit (ns-coercing
             # pandas would change the gap semantics by 1000x)
-            "us": df.ts.to_numpy().astype("datetime64[us]").astype(np.int64),
+            "us": _to_us(df.ts),
             "value_e2": _int_scale(df.value, 100),
         })
         out["_bucket"] = _bucket_of(out, ["user_id"], NB)
@@ -1689,16 +1677,14 @@ def q_asof_join(sf_dir: str):
     def prep_ev(df: pd.DataFrame) -> pa.Table:
         return pa.table({
             "key": pa.array(df.user_id.to_numpy(dtype=np.int64)),
-            "us": pa.array(df.ts.to_numpy().astype("datetime64[us]")
-                           .astype(np.int64)),
+            "us": pa.array(_to_us(df.ts)),
             "event_id": pa.array(df.event_id.to_numpy(dtype=np.int64)),
         })
 
     def prep_ord(df: pd.DataFrame) -> pa.Table:
         return pa.table({
             "key": pa.array(df.o_custkey.to_numpy(dtype=np.int64)),
-            "us": pa.array(df.o_orderdate.to_numpy()
-                           .astype("datetime64[us]").astype(np.int64)),
+            "us": pa.array(_to_us(df.o_orderdate)),
             "last_orderkey": pa.array(df.o_orderkey.to_numpy(dtype=np.int64)),
             "last_total_cents": pa.array(_int_scale(df.o_totalprice, 100)),
         })
@@ -1730,14 +1716,13 @@ def q_range_join(sf_dir: str):
 
     def prep_points(df: pd.DataFrame) -> pa.Table:
         return pa.table({
-            "us": pa.array(df.ts.to_numpy().astype("datetime64[us]")
-                           .astype(np.int64)),
+            "us": pa.array(_to_us(df.ts)),
             "sum_value_e2": pa.array(_int_scale(df.value, 100)),
         })
 
     def prep_intervals(df: pd.DataFrame) -> pa.Table:
         d = df[df.event_type == "purchase"]
-        us = d.ts.to_numpy().astype("datetime64[us]").astype(np.int64)
+        us = _to_us(d.ts)
         return pa.table({
             "window_id": pa.array(d.event_id.to_numpy(dtype=np.int64)),
             "start": pa.array(us),
@@ -1824,7 +1809,7 @@ def q_sliding_window(sf_dir: str):
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "us": df.ts.to_numpy().astype("datetime64[us]").astype(np.int64),
+            "us": _to_us(df.ts),
             "event_type": df.event_type.to_numpy(),
             "sum_value_e2": _int_scale(df.value, 100),
         })

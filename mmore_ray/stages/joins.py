@@ -69,6 +69,67 @@ def lookup_join(left_ds, right_ds, left_key: str, right_key: str,
     return joined
 
 
+def anti_join(left_ds, right_ds, left_key: str, right_key: str,
+              broadcast_limit: int = 2_000_000, num_partitions: int = 16):
+    """Left anti-join: left rows whose ``left_key`` does NOT appear in
+    the right side's ``right_key`` column.  Null keys are assumed
+    absent (engine convention: ids are non-null int64/string).
+
+    Same adaptive split as :func:`lookup_join` — ONE semantic, two
+    physical plans (tested identical):
+
+    * small right → the key set is collected once and broadcast
+      (``ray.put``), each task filters locally — no shuffle;
+    * large right → the keys are globally deduplicated with one
+      bounded bucket shuffle (so duplicates cannot multiply left
+      rows), then a distributed ``left_outer`` hash join against a
+      marker column keeps exactly the unmatched rows — the drop set
+      never touches the driver."""
+    import pyarrow.compute as pc
+
+    if not _is_source_plan(right_ds):
+        right_ds = right_ds.materialize()
+    keys_ds = right_ds.select_columns([right_key])
+    if right_ds.count() <= broadcast_limit:
+        keys: set = set()
+        for b in keys_ds.iter_batches(batch_format="pyarrow"):
+            keys.update(b.column(right_key).to_pylist())
+        ref = ray.put(keys)
+
+        def drop(df: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(ref)
+            return df[~df[left_key].isin(ks)].reset_index(drop=True)
+
+        return left_ds.map_batches(drop, batch_format="pandas")
+
+    from .groupby import _BUCKET, _bucket_of
+
+    marker = "_aj_marker"
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        out = df[[right_key]].drop_duplicates()
+        out = out.copy()
+        out[_BUCKET] = _bucket_of(out, [right_key], num_partitions * 4)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        out = df.drop(columns=[_BUCKET]).drop_duplicates()
+        out = out.copy()
+        out[marker] = np.int64(1)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    distinct = (keys_ds.map_batches(partial, batch_format="pandas")
+                .groupby(_BUCKET).map_groups(final, batch_format="pandas"))
+    joined = left_ds.join(distinct, join_type="left_outer",
+                          num_partitions=num_partitions,
+                          on=(left_key,), right_on=(right_key,))
+
+    def unmatched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column(marker))).drop_columns([marker])
+
+    return joined.map_batches(unmatched, batch_format="pyarrow")
+
+
 def _int64_relation(df: pd.DataFrame, live: list[str], dead: list[str],
                     side: int, bucket: np.ndarray) -> pa.Table:
     """One side of a two-sided co-grouped operator as a typed Arrow

@@ -36,6 +36,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+# the shared cross-engine parity kernels (ONE copy repo-wide)
+from ..functions.numeric import int_scale as _int_scale
+from ..functions.numeric import to_us as _to_us
+
 try:
     import ray
 except ImportError:  # pragma: no cover
@@ -45,13 +49,6 @@ GAP_US = 30 * 60 * 1_000_000
 
 _OUT_COLS = ["user_id", "session_idx", "n_events", "start_us", "end_us",
              "sum_value_e2"]
-
-
-def _to_us(ts: pd.Series) -> np.ndarray:
-    """Epoch-µs regardless of the input's datetime64 unit (a pandas /
-    pyarrow version that coerces to ns would otherwise silently change
-    gap semantics by 1000x)."""
-    return ts.to_numpy().astype("datetime64[us]").astype(np.int64)
 
 
 class SessionState:
@@ -123,8 +120,7 @@ def streaming_sessionize_ds(events_ds, num_buckets: int = 8,
         out = pd.DataFrame({
             "user_id": df["user_id"].astype(np.int64),
             "ts_us": _to_us(df["ts"]),
-            "value_e2": np.floor(
-                df["value"].to_numpy() * 100 + 0.5).astype(np.int64),
+            "value_e2": _int_scale(df["value"], 100),
         })
         out["_bucket"] = (
             out["user_id"].to_numpy() % num_buckets).astype(np.int64)
@@ -162,22 +158,25 @@ def streaming_sessionize(events: pd.DataFrame, num_buckets: int = 4,
     df = pd.DataFrame({
         "user_id": ev["user_id"].astype(np.int64).to_numpy(),
         "ts_us": _to_us(ev["ts"]),
-        "value_e2": np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(np.int64),
+        "value_e2": _int_scale(ev["value"], 100),
     })
     actors = [SessionActor.remote(gap_us) for _ in range(num_buckets)]
-    pending = []
-    for start in range(0, len(df), micro_batch):
-        chunk = df.iloc[start:start + micro_batch]
-        bucket = (chunk["user_id"].to_numpy() % num_buckets)
-        for b in range(num_buckets):
-            sub = chunk[bucket == b]
-            if len(sub):
-                pending.append(actors[b].process.remote(sub))
-    pending.extend(a.flush.remote() for a in actors)
-    frames = [f for f in ray.get(pending) if len(f)]
-    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
-        columns=_OUT_COLS)
-    out = _number_sessions(out)
-    for a in actors:
-        ray.kill(a)
-    return out
+    try:
+        pending = []
+        for start in range(0, len(df), micro_batch):
+            chunk = df.iloc[start:start + micro_batch]
+            bucket = (chunk["user_id"].to_numpy() % num_buckets)
+            for b in range(num_buckets):
+                sub = chunk[bucket == b]
+                if len(sub):
+                    pending.append(actors[b].process.remote(sub))
+        pending.extend(a.flush.remote() for a in actors)
+        frames = [f for f in ray.get(pending) if len(f)]
+        out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            columns=_OUT_COLS)
+        return _number_sessions(out)
+    finally:
+        # a worker-side error must not leak num_buckets long-lived
+        # actors (and their open-session state) into the Ray session
+        for a in actors:
+            ray.kill(a)

@@ -48,6 +48,28 @@ def test_source_plan_detection(ray_session):
     assert _is_source_plan(mapped.materialize())
 
 
+def test_anti_join_plans_identical(ray_session):
+    """anti_join: broadcast and distributed left_outer plans must be
+    row- and column-identical, and right-side duplicates must not
+    multiply (or resurrect) left rows."""
+    import ray as _ray
+
+    from mmore_ray.stages.joins import anti_join
+
+    left_df = pd.DataFrame({"k": [1, 2, 3, 4, 5], "v": list("abcde")})
+    right_df = pd.DataFrame({"rk": [2, 2, 4, 4, 4, 9]})  # dup-heavy
+
+    bcast = anti_join(_ray.data.from_pandas(left_df),
+                      _ray.data.from_pandas(right_df), "k", "rk").to_pandas()
+    hashp = anti_join(_ray.data.from_pandas(left_df),
+                      _ray.data.from_pandas(right_df), "k", "rk",
+                      broadcast_limit=0).to_pandas()
+    b, h = _canon(bcast), _canon(hashp)
+    assert set(b.k) == {1, 3, 5}
+    pd.testing.assert_frame_equal(b, h, check_dtype=False)
+    assert sorted(b.columns) == ["k", "v"]  # no marker leakage
+
+
 def test_lookup_join_queries_still_green(ray_session):
     """q3 / q_nation_revenue run through lookup_join and must still
     match their DuckDB oracles (both plans: forced-hash variant via a

@@ -45,6 +45,58 @@ def test_query_matches_oracle(name, ray_session):
     pd.testing.assert_frame_equal(got_c, want_c, check_dtype=False, check_exact=True)
 
 
+def test_variant_builders_survive_empty_batches():
+    """A tail block with no doc_id % 5 == 0 rows used to crash the
+    near-copy builder: pa.array([' extradup'] * 0) is null-typed and
+    binary_join_element_wise has no (string, null, string) kernel —
+    the suffix must be a scalar."""
+    import pyarrow as pa
+
+    from mmore_ray.pipelines.queries import _exact_copy_rows, _near_copy_rows
+
+    t = pa.table({"doc_id": pa.array([3071, 3072, 3074], pa.int64()),
+                  "text": pa.array(["a", "b", "c"])})  # none % 5 or % 7
+    assert _near_copy_rows(t).num_rows == 0  # empty keep: no crash
+    assert _exact_copy_rows(t).num_rows == 0
+    full = pa.table({"doc_id": pa.array([5, 7], pa.int64()),
+                     "text": pa.array(["x", "y"])})
+    nr = _near_copy_rows(full)
+    assert nr.column("text").to_pylist() == ["x extradup"]
+    assert nr.column("doc_id").to_pylist() == [1000005]
+
+
+def test_ivf_index_interrupted_build_rebuilds(ray_session, tmp_path,
+                                              monkeypatch):
+    """The q_knn_ivf_indexed skip guard is a _SUCCESS sentinel written
+    AFTER the bucket spill: a dir holding only centroids.json (an
+    interrupted build) must be rebuilt, not served."""
+    import os
+
+    from mmore_ray.pipelines.queries import QUERIES
+
+    # first run builds and marks success
+    out1 = QUERIES["q_knn_ivf_indexed"](SF_DIR)
+    if not isinstance(out1, pd.DataFrame):
+        out1 = out1.to_pandas()
+    import glob
+    import hashlib
+
+    src = os.stat(f"{SF_DIR}/embeddings.parquet")
+    tag = hashlib.sha1(
+        f"{SF_DIR}:{src.st_mtime_ns}:{src.st_size}".encode()).hexdigest()[:10]
+    idx = f"/tmp/ivf_index_{tag}"
+    assert os.path.exists(f"{idx}/_SUCCESS")
+    # simulate the interrupt: buckets gone, centroids present, no sentinel
+    os.unlink(f"{idx}/_SUCCESS")
+    for f in glob.glob(f"{idx}/bucket=*/*.parquet"):
+        os.unlink(f)
+    out2 = QUERIES["q_knn_ivf_indexed"](SF_DIR)
+    if not isinstance(out2, pd.DataFrame):
+        out2 = out2.to_pandas()
+    assert os.path.exists(f"{idx}/_SUCCESS")
+    pd.testing.assert_frame_equal(_canon(out1), _canon(out2))
+
+
 def test_every_query_has_oracle_or_is_flagged():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may be oracle-free, but must be explicit
