@@ -30,15 +30,20 @@ PROCESSED_AT_COL = "processed_at"
 
 
 def load_previous(path: str | Path) -> pa.Table | None:
-    """Latest-wins dedup of previous results by file_path
+    """Latest-RUN-wins dedup of previous results by file_path
     (≙ incremental.py:24-48).  ``path`` may be a parquet file or a
-    directory of them."""
+    directory of them.
+
+    A file may own SEVERAL rows in one run (chunked output) — keep
+    every row carrying the file's newest ``processed_at``, not one
+    arbitrary row (``drop_duplicates`` there silently lost all but one
+    chunk on reuse)."""
     path = Path(path)
     if not path.exists():
         return None
     prev = pq.read_table(path).to_pandas()
-    prev = (prev.sort_values(PROCESSED_AT_COL)
-            .drop_duplicates("file_path", keep="last"))
+    latest = prev.groupby("file_path")[PROCESSED_AT_COL].transform("max")
+    prev = prev[prev[PROCESSED_AT_COL] == latest]
     return pa.Table.from_pandas(prev, preserve_index=False)
 
 
@@ -73,13 +78,23 @@ def run_process(root_dirs: list[str], out_dir: str | Path,
                 postprocessors: list[Callable] | None = None,
                 previous_results: str | Path | None = None,
                 extensions: list[str] | None = None,
-                stamp: str = "2026-01-01T00:00:00") -> dict:
+                stamp: str | None = None) -> dict:
     """End-to-end process run; returns counters (≙ run_process.py logs).
 
     ``postprocessors``: ordered batch callables (taggers / filters /
     chunker) applied as chained map_batches — the PPPipeline analogue
     with streaming between stages instead of full-list barriers
-    (pipeline.py:99-120)."""
+    (pipeline.py:99-120).
+
+    ``stamp`` defaults to NOW (local ISO, matching the crawl's
+    ``modified_at`` convention): the reuse invariant is
+    ``mtime ≤ processed_at``, so a fixed past stamp defeats reuse for
+    newer files and a forward-dated one reuses stale content; override
+    only in tests that need determinism."""
+    if stamp is None:
+        import datetime as _dt
+
+        stamp = _dt.datetime.now().isoformat(timespec="seconds")
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -138,6 +153,7 @@ def samples_to_jsonl(table: pa.Table, path: str | Path) -> None:
                 "modalities": row.get("modalities") or [],
                 "metadata": {
                     "file_path": row.get("file_path"),
+                    "file_name": row.get("file_name"),
                     "processed_at": row.get(PROCESSED_AT_COL),
                     "processor_type": row.get("processor_type"),
                     **extra,
@@ -153,15 +169,21 @@ def jsonl_to_table(path: str | Path) -> pa.Table:
     from ..stages.processors import MODALITY_STRUCT
 
     rows = {k: [] for k in ("sample_id", "document_id", "text", "modalities",
-                            "file_path", "processor_type")}
+                            "file_path", "file_name", "processor_type")}
     for line in Path(path).read_text().splitlines():
         d = json.loads(line)
         meta = d.get("metadata") or {}
+        fp = meta.get("file_path") or ""
         rows["sample_id"].append(str(d.get("id", "")))
         rows["document_id"].append(str(d.get("document_id", "")))
         rows["text"].append(d.get("text") or "")
         rows["modalities"].append(d.get("modalities") or [])
-        rows["file_path"].append(meta.get("file_path") or "")
+        rows["file_path"].append(fp)
+        # file_name: from metadata when present (our writer), else
+        # re-derived from file_path (reference JSONL lacks it) — the
+        # SAMPLE_SCHEMA consumers (chunk_batch etc.) require the column
+        rows["file_name"].append(meta.get("file_name")
+                                 or fp.rsplit("/", 1)[-1])
         rows["processor_type"].append(meta.get("processor_type") or "")
     return pa.table({
         "sample_id": pa.array(rows["sample_id"], pa.string()),
@@ -169,5 +191,6 @@ def jsonl_to_table(path: str | Path) -> pa.Table:
         "text": pa.array(rows["text"], pa.string()),
         "modalities": pa.array(rows["modalities"], pa.list_(MODALITY_STRUCT)),
         "file_path": pa.array(rows["file_path"], pa.string()),
+        "file_name": pa.array(rows["file_name"], pa.string()),
         "processor_type": pa.array(rows["processor_type"], pa.string()),
     })

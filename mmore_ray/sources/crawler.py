@@ -54,13 +54,24 @@ def crawl_table(root_dirs: list[str | Path],
 
 
 def read_contents(batch: pa.Table) -> pa.Table:
-    """map_batches stage: descriptor rows → + utf-8 content column
-    (binary formats would use read_binary_files; text formats here)."""
+    """map_batches stage: descriptor rows → + content column.
+
+    Text formats decode utf-8 (errors='replace'); binary formats
+    (pdf/docx/pptx/xlsx/media) decode latin-1 so every byte maps 1:1
+    into the string column and the processor's ``encode('latin-1')``
+    recovers the exact bytes — utf-8/replace would turn any byte
+    ≥ 0x80 into U+FFFD and break every binary parser downstream."""
+    from ..stages.processors import BINARY_EXTENSIONS
+
     contents = []
     for p in batch.column("file_path").to_pylist():
         try:
-            contents.append(Path(p).read_text(encoding="utf-8",
-                                              errors="replace"))
+            raw = Path(p).read_bytes()
         except OSError:
             contents.append("")
+            continue
+        if p.lower().endswith(BINARY_EXTENSIONS):
+            contents.append(raw.decode("latin-1"))
+        else:
+            contents.append(raw.decode("utf-8", errors="replace"))
     return batch.append_column("content", pa.array(contents, pa.string()))

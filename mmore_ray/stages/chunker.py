@@ -78,9 +78,20 @@ def chunk_prose(text: str, chunk_size: int = 2, unit: str = "sentence") -> list[
     if unit == "token":
         from .text_analysis import _TOKEN_RE
 
-        spans = [m.span() for m in _TOKEN_RE.finditer(text)]
-        return [text[spans[i][0]:spans[min(i + chunk_size, len(spans)) - 1][1]]
-                for i in range(0, len(spans), chunk_size)]
+        # the attachment tag is ATOMIC here: the plain pre-tokenizer
+        # would split it into '<', 'attachment', '>' and a chunk
+        # boundary inside the literal would drop its modality binding
+        tag_re = re.compile(re.escape(ATTACHMENT_TAG) + "|"
+                            + _TOKEN_RE.pattern)
+        spans = [m.span() for m in tag_re.finditer(text)]
+        out = []
+        for i in range(0, len(spans), chunk_size):
+            j = min(i + chunk_size, len(spans))
+            # contiguous slices: each chunk runs to the NEXT group's
+            # start, so inter-token text is never silently elided
+            end = spans[j][0] if j < len(spans) else spans[-1][1]
+            out.append(text[spans[i][0]:end].rstrip())
+        return out
     if unit == "semantic":
         return chunk_semantic(text, max_sentences=max(chunk_size, 1))
     parts = split_sentences(text) if unit == "sentence" else text.split()
@@ -134,43 +145,57 @@ def chunk_semantic(text: str, threshold: float = 0.3,
 
 
 def chunk_table(lines: list[str], mode: str = "single_row",
-                max_rows: int = 8) -> list[tuple[str, bool, str]]:
-    """Chunk one table block → [(chunk_text, is_table_chunk, header)].
+                max_rows: int = 8) -> list[tuple[str, bool, str, int]]:
+    """Chunk one table block → [(chunk_text, is_table_chunk, header,
+    dup_tags)].
 
-    ``lines`` = header, separator, data rows."""
+    ``lines`` = header, separator, data rows.  ``dup_tags`` counts the
+    ``<attachment>`` occurrences that are REPLICATED header/separator
+    text (every chunk after the first): the reference binds modalities
+    by tag offsets in the ORIGINAL document (multimodal.py:68-84), so a
+    replicated header must not re-consume the modality cursor —
+    without this, a header tag steals the next chunk's modality."""
     header, sep = lines[0].strip(), lines[1].strip()
     data = [ln.strip() for ln in lines[2:]]
+    hdr_tags = (header + sep).count(ATTACHMENT_TAG)
     if mode == "keep_whole":
-        return [("\n".join([header, sep, *data]), True, header)]
+        return [("\n".join([header, sep, *data]), True, header, 0)]
     if mode == "single_row":
         if not data:
-            return [("\n".join([header, sep]), True, header)]
-        return [("\n".join([header, sep, row]), True, header) for row in data]
+            return [("\n".join([header, sep]), True, header, 0)]
+        return [("\n".join([header, sep, row]), True, header,
+                 0 if i == 0 else hdr_tags)
+                for i, row in enumerate(data)]
     if mode == "multi_rows":
         out = []
         for i in range(0, max(len(data), 1), max_rows):
             rows = data[i:i + max_rows]
-            out.append(("\n".join([header, sep, *rows]), True, header))
+            out.append(("\n".join([header, sep, *rows]), True, header,
+                        0 if i == 0 else hdr_tags))
         return out
-    # mode == "none": the caller flows the text as prose
-    return [("\n".join([header, sep, *data]), False, "")]
+    # table_mode == "none" never reaches here (chunk_document detects
+    # no tables then) — any other value is a config error
+    raise ValueError(f"unknown table_mode: {mode!r}")
 
 
 def chunk_document(text: str, chunk_size: int = 2, unit: str = "sentence",
                    table_mode: str = "single_row",
-                   max_rows: int = 8) -> list[tuple[str, bool, str]]:
-    """Full document → ordered [(chunk_text, is_table_chunk, header)]."""
+                   max_rows: int = 8) -> list[tuple[str, bool, str, int]]:
+    """Full document → ordered [(chunk_text, is_table_chunk, header,
+    dup_tags)] — see :func:`chunk_table` for dup_tags."""
     lines = text.splitlines()
     blocks = detect_markdown_tables(text) if table_mode != "none" else []
-    chunks: list[tuple[str, bool, str]] = []
+    chunks: list[tuple[str, bool, str, int]] = []
     cursor = 0
     for start, end in blocks:
         prose = "\n".join(lines[cursor:start])
-        chunks.extend((c, False, "") for c in chunk_prose(prose, chunk_size, unit))
+        chunks.extend((c, False, "", 0)
+                      for c in chunk_prose(prose, chunk_size, unit))
         chunks.extend(chunk_table(lines[start:end], table_mode, max_rows))
         cursor = end
     tail = "\n".join(lines[cursor:])
-    chunks.extend((c, False, "") for c in chunk_prose(tail, chunk_size, unit))
+    chunks.extend((c, False, "", 0)
+                  for c in chunk_prose(tail, chunk_size, unit))
     return chunks
 
 
@@ -196,8 +221,10 @@ def chunk_batch(batch: pa.Table, chunk_size: int = 2, unit: str = "sentence",
         mod_cursor = 0
         pieces = chunk_document(cols["text"][r], chunk_size, unit,
                                 table_mode, max_rows)
-        for i, (ctext, is_table, header) in enumerate(pieces):
-            n_tags = ctext.count(ATTACHMENT_TAG)
+        for i, (ctext, is_table, header, dup_tags) in enumerate(pieces):
+            # tags minus the replicated-header copies: only tags from
+            # the chunk's ORIGINAL text span consume modalities
+            n_tags = max(ctext.count(ATTACHMENT_TAG) - dup_tags, 0)
             mods = modalities[mod_cursor:mod_cursor + n_tags]
             mod_cursor += n_tags
             out["sample_id"].append(f"{sample_id}+{i}")

@@ -51,7 +51,18 @@ SAMPLE_SCHEMA = pa.schema([
     ("file_path", pa.string()),
     ("file_name", pa.string()),
     ("processor_type", pa.string()),
+    # processor-specific metadata (e.g. PDF paragraph_starts) as JSON —
+    # a typed column per processor would fracture the unified schema
+    ("metadata_json", pa.string()),
 ])
+
+# formats whose processors decode `content` back to bytes via
+# latin-1 (1:1 byte↔char): the reader MUST transport them latin-1 —
+# utf-8/errors='replace' mangles any byte ≥ 0x80 into U+FFFD and the
+# round-trip encode raises
+BINARY_EXTENSIONS = (".pdf", ".xlsx", ".xls", ".docx", ".pptx",
+                     ".mp4", ".avi", ".mov", ".mkv", ".mp3", ".flac",
+                     ".wav")
 
 _MD_IMAGE_RE = re.compile(r"!\[[^\]]*\]\(([^)\s]+)[^)]*\)")
 _HTML_IMG_RE = re.compile(r"<img[^>]*\bsrc=[\"']([^\"']+)[\"'][^>]*>",
@@ -115,28 +126,37 @@ class HTMLProcessor(ProcessorBase):
     EXTENSIONS = (".html", ".htm")
     NAME = "HTMLProcessor"
 
+    # tag placeholder that survives the final <...> strip (the literal
+    # ATTACHMENT_TAG would match _HTML_TAG_RE and vanish, orphaning
+    # every HTML image modality); no '<'/'>' so no regex can eat it
+    _SENTINEL = "\x00attachment\x00"
+
     @classmethod
     def parse(cls, file_name: str, payload: str) -> dict:
         modalities: list[dict] = []
+        # non-rendered content FIRST: an <img> inside <script>/<style>
+        # must not become a phantom modality that shifts every later
+        # tag→modality binding
+        text = re.sub(r"<(script|style)[^>]*>.*?</\1>", "", payload,
+                      flags=re.IGNORECASE | re.DOTALL)
 
         def img(m: re.Match) -> str:
             modalities.append({"type": "image", "value": m.group(1)})
-            return ATTACHMENT_TAG
+            return cls._SENTINEL
 
-        text = _HTML_IMG_RE.sub(img, payload)
+        text = _HTML_IMG_RE.sub(img, text)
         text = _HTML_HEADER_RE.sub(
             lambda m: "\n" + "#" * int(m.group(1)) + " "
             + _HTML_TAG_RE.sub("", m.group(2)).strip() + "\n",
             text,
         )
-        text = re.sub(r"<(script|style)[^>]*>.*?</\1>", "", text,
-                      flags=re.IGNORECASE | re.DOTALL)
         text = re.sub(r"</(p|div|li|tr|table|ul|ol|br)[^>]*>", "\n", text,
                       flags=re.IGNORECASE)
         text = _HTML_TAG_RE.sub("", text)
         text = "\n".join(_WS_RE.sub(" ", ln).strip()
                          for ln in text.splitlines())
         text = re.sub(r"\n{3,}", "\n\n", text).strip()
+        text = text.replace(cls._SENTINEL, ATTACHMENT_TAG)
         return {"text": clean_text(text), "modalities": modalities}
 
 
@@ -599,10 +619,13 @@ def process_batch(batch: pa.Table, on_error: str = "skip") -> pa.Table:
         can be counted/filtered downstream;
       * ``'raise'``   — propagate.
     """
+    import json
+
     paths = batch.column("file_path").to_pylist()
     contents = batch.column("content").to_pylist()
     out = {k: [] for k in ("sample_id", "document_id", "text", "modalities",
-                           "file_path", "file_name", "processor_type")}
+                           "file_path", "file_name", "processor_type",
+                           "metadata_json")}
 
     def error_row(path: str, name: str, msg: str) -> None:
         sid = sha256_hex(f"{path}:{msg}")
@@ -613,6 +636,7 @@ def process_batch(batch: pa.Table, on_error: str = "skip") -> pa.Table:
         out["file_path"].append(path)
         out["file_name"].append(name)
         out["processor_type"].append(ERROR_PROCESSOR)
+        out["metadata_json"].append("{}")
 
     for path, content in zip(paths, contents):
         name = path.rsplit("/", 1)[-1]
@@ -639,6 +663,10 @@ def process_batch(batch: pa.Table, on_error: str = "skip") -> pa.Table:
         out["file_path"].append(path)
         out["file_name"].append(name)
         out["processor_type"].append(proc.NAME)
+        # processors may return offsets/lineage (PDF paragraph_starts
+        # etc.) — dropping it here would lose it with no error
+        out["metadata_json"].append(
+            json.dumps(parsed.get("metadata", {}), sort_keys=True))
     return pa.table({
         "sample_id": pa.array(out["sample_id"], pa.string()),
         "document_id": pa.array(out["document_id"], pa.string()),
@@ -647,4 +675,5 @@ def process_batch(batch: pa.Table, on_error: str = "skip") -> pa.Table:
         "file_path": pa.array(out["file_path"], pa.string()),
         "file_name": pa.array(out["file_name"], pa.string()),
         "processor_type": pa.array(out["processor_type"], pa.string()),
+        "metadata_json": pa.array(out["metadata_json"], pa.string()),
     })

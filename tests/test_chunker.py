@@ -61,7 +61,7 @@ def test_single_row_mode_prepends_header():
     lines = TABLE.splitlines()
     chunks = chunk_table(lines, mode="single_row")
     assert len(chunks) == 3
-    for text, is_table, header in chunks:
+    for text, is_table, header, _dup in chunks:
         assert is_table and header == "| Name | Age | City |"
         assert text.startswith("| Name | Age | City |\n|------|-----|------|\n| ")
 
@@ -95,13 +95,13 @@ def test_two_sentence_split():
 def test_mixed_document_order_preserved():
     text = "Lead paragraph. Second sentence.\n" + TABLE + "\nTail words."
     chunks = chunk_document(text, chunk_size=2, table_mode="single_row")
-    kinds = [is_table for _, is_table, _ in chunks]
+    kinds = [is_table for _, is_table, _, _ in chunks]
     assert kinds == [False, True, True, True, False]
 
 
 def test_table_mode_none_flows_as_prose():
     chunks = chunk_document(TABLE, table_mode="none")
-    assert all(not is_table for _, is_table, _ in chunks)
+    assert all(not is_table for _, is_table, _, _ in chunks)
 
 
 def test_token_unit_chunks_are_raw_slices():
@@ -139,3 +139,44 @@ def test_semantic_respects_max_sentences():
     text = " ".join(["the same exact words here."] * 10)
     chunks = chunk_semantic(text, threshold=0.1, max_sentences=4)
     assert len(chunks) == 3  # 4 + 4 + 2
+
+
+def test_replicated_table_header_tag_does_not_steal_modalities():
+    """Reference binds modalities by tag offsets in the ORIGINAL text
+    (multimodal.py:68-84): a header tag replicated into every
+    single_row chunk must not re-consume the modality cursor."""
+    import pyarrow as pa
+
+    from mmore_ray.stages.chunker import chunk_batch
+    from mmore_ray.stages.processors import ATTACHMENT_TAG, MODALITY_STRUCT
+
+    text = (f"| Logo {ATTACHMENT_TAG} | Age |\n|------|-----|\n"
+            "| r1 | 1 |\n| r2 | 2 |\n"
+            f"Prose with image {ATTACHMENT_TAG} here.")
+    mods = [{"type": "image", "value": "logo.png"},
+            {"type": "image", "value": "prose.png"}]
+    batch = pa.table({
+        "sample_id": pa.array(["s"]), "document_id": pa.array(["s"]),
+        "text": pa.array([text]),
+        "modalities": pa.array([mods], pa.list_(MODALITY_STRUCT)),
+        "file_path": pa.array(["f.md"]), "file_name": pa.array(["f.md"]),
+        "processor_type": pa.array(["MarkdownProcessor"]),
+    })
+    out = chunk_batch(batch, table_mode="single_row")
+    got = out.column("modalities").to_pylist()
+    # chunk 0 (header+r1) owns the logo; chunk 1's replicated header
+    # binds nothing; the prose chunk keeps ITS image
+    assert got[0] == [mods[0]]
+    assert got[1] == []
+    assert got[2] == [mods[1]]
+
+
+def test_token_unit_keeps_attachment_tag_atomic():
+    from mmore_ray.stages.chunker import chunk_prose
+    from mmore_ray.stages.processors import ATTACHMENT_TAG
+
+    text = f"{ATTACHMENT_TAG} hello world and more words"
+    chunks = chunk_prose(text, chunk_size=2, unit="token")
+    # the tag literal survives inside exactly one chunk
+    assert sum(c.count(ATTACHMENT_TAG) for c in chunks) == 1
+    assert chunks[0].startswith(ATTACHMENT_TAG)

@@ -53,6 +53,18 @@ def test_html_processor_headers_imgs_scripts():
     assert "Body text." in out["text"]
     assert "x=1" not in out["text"]
     assert out["modalities"] == [{"type": "image", "value": "pic.png"}]
+    # the tag must SURVIVE the final <...> strip — without it every
+    # HTML image modality is orphaned downstream (chunker binds by tag)
+    assert out["text"].count(ATTACHMENT_TAG) == 1
+
+
+def test_html_img_inside_script_is_not_a_modality():
+    html = ("<body><script>var t = '<img src=\"ghost.png\">';</script>"
+            "<p>Real.</p><img src='real.png'></body>")
+    out = HTMLProcessor.parse("x.html", html)
+    assert out["modalities"] == [{"type": "image", "value": "real.png"}]
+    assert out["text"].count(ATTACHMENT_TAG) == 1
+    assert "ghost" not in out["text"]
 
 
 def test_eml_headers_and_body():
@@ -285,6 +297,51 @@ def test_run_process_end_to_end(ray_session, tmp_path):
 
     back = jsonl_to_table(jl)
     assert back.num_rows == table.num_rows
+
+
+def test_run_process_binary_pdf_end_to_end(ray_session, tmp_path):
+    """Binary formats must survive the content transport: the reader
+    decodes them latin-1 (1:1 bytes) so PDFProcessor's
+    encode('latin-1') recovers the exact file — utf-8/replace mangled
+    every byte ≥ 0x80 and silently skipped all binary files.  The
+    processor's metadata (paragraph_starts) must reach the output."""
+    from mmore_ray.pipelines.process import run_process
+    from mmore_ray.sources.pdfmini import make_pdf
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    # compressed stream ⇒ bytes ≥ 0x80 guaranteed in the payload
+    (d / "r.pdf").write_bytes(make_pdf(["hello pdf world"], compress=True))
+    stats = run_process([str(d)], tmp_path / "out")
+    assert stats["processed"] == 1
+    table = pq.read_table(stats["out"])
+    assert table.column("processor_type").to_pylist() == ["PDFProcessor"]
+    assert "hello pdf world" in table.column("text").to_pylist()[0]
+    meta = json.loads(table.column("metadata_json").to_pylist()[0])
+    assert meta["paragraph_starts"][0][1] == 0  # page 0 offset lineage
+
+
+def test_incremental_reuse_keeps_all_chunk_rows(ray_session, tmp_path):
+    """A chunked previous run owns N rows per file; reuse must carry
+    ALL of them (latest-run-wins, not one arbitrary row per file)."""
+    from functools import partial
+
+    from mmore_ray.pipelines.process import run_process
+    from mmore_ray.stages.chunker import chunk_batch
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "long.txt").write_text(
+        "One sentence here. Two sentences now. Third one lands. Fourth.")
+    out = tmp_path / "out"
+    s1 = run_process([str(d)], out, stamp="2030-01-01T00:00:00",
+                     postprocessors=[partial(chunk_batch, chunk_size=2)])
+    assert s1["processed"] == 2  # two chunk rows
+    s2 = run_process([str(d)], tmp_path / "out2",
+                     previous_results=str(out / "merged"),
+                     stamp="2030-06-01T00:00:00")
+    assert s2["processed"] == 0
+    assert s2["reused"] == 2  # both chunk rows survive reuse
 
 
 def test_incremental_reuse_modified_new_deleted(ray_session, tmp_path):
