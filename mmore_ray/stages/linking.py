@@ -74,6 +74,11 @@ class EntityLinker:
         self._score_cache: dict[str, float] = {}
 
     def link(self, key: str) -> str:
+        # identity fallback for unlinked surfaces — mirrored verbatim in
+        # the kg_mentions SQL oracle (COALESCE to the key), so an
+        # unlinked entity scores trigram_jaccard(key, key) = 1.0 BY
+        # DESIGN on both engines.  Consumers needing "was it actually
+        # in the KB?" should test kb_id != entity_key, not link_score.
         return self._alias.get(key, key)
 
     def score(self, key: str) -> float:

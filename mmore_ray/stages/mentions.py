@@ -65,6 +65,10 @@ def load_gazetteer(path: str) -> list[tuple[str, str, str]]:
             if not line.strip() or line.lstrip().startswith("#"):
                 continue
             surface, etype, kb_id = line.split("\t")
+            if not surface:
+                # an empty surface compiles to a zero-width-matching
+                # trie that "finds" itself at every character position
+                continue
             rows.append((surface, etype, kb_id))
     return rows
 
@@ -143,12 +147,25 @@ class MentionScanner:
             allowed = set(entity_types)
             gaz = [(s, t, k) for s, t, k in gaz if t in allowed]
         self._delims = (tuple_delimiter, record_delimiter)
-        ordered = sorted({(s, t) for s, t, _ in gaz}, key=lambda x: (-len(x[0]), x[0]))
-        self._type_of = {s: t for s, t in ordered}
+        # duplicate surface with conflicting types: the FIRST gazetteer
+        # entry wins — gazetteer order is deterministic, set iteration
+        # order is hash-salted per process and made two actors in one
+        # job emit different types for identical documents
+        first_type: dict[str, str] = {}
+        for s, t, _ in gaz:
+            if s:  # empty surfaces match zero-width everywhere — drop
+                first_type.setdefault(s, t)
+        ordered = sorted(first_type.items(), key=lambda x: (-len(x[0]), x[0]))
+        self._type_of = dict(ordered)
         # prefix-trie-factored pattern: longest match at shared prefixes,
-        # matching cost independent of dictionary size (see _trie_regex)
-        self._pattern = (re.compile(_trie_regex([s for s, _ in ordered]))
-                         if ordered else None)
+        # matching cost independent of dictionary size (see _trie_regex).
+        # Wrapped in a capturing LOOKAHEAD so surfaces overlapping a
+        # preceding match are still found ('AB','BC' in 'ABC' must count
+        # both — the SQL occurrence oracle does); zero-width matches
+        # advance one char, so cost stays trie-bounded per position.
+        self._pattern = (
+            re.compile("(?=(" + _trie_regex([s for s, _ in ordered]) + "))")
+            if ordered else None)
         # Fast graph path: the render→parse string roundtrip is pure
         # per-doc overhead (~40% of scan CPU measured) when no surface
         # contains a delimiter — the parsed graph is then a closed-form
@@ -158,9 +175,13 @@ class MentionScanner:
         # the render+parse path on randomized docs.
         from ..functions.textfns import clean_str
 
+        # delimiters in SURFACES or TYPES both perturb record
+        # tokenization (a type like 'LOC<|>X' would parse into
+        # type 'LOC' + description 'X' on the render+parse path)
         self._fastpath = all(
             tuple_delimiter not in s and record_delimiter not in s
-            for s, _ in ordered)
+            and tuple_delimiter not in t and record_delimiter not in t
+            for s, t in ordered)
         self._entity_of = {
             s: (str(clean_str(s.upper())),
                 str(clean_str(t.upper())),
@@ -189,12 +210,13 @@ class MentionScanner:
         return graph
 
     def _scan(self, content: str) -> tuple[list[dict], list[dict]]:
-        if self._pattern is None:  # empty (or fully filtered) gazetteer
+        if self._pattern is None or not content:
+            # empty/filtered gazetteer, or a null/empty content row
             return [], []
         counts: dict[str, list[int]] = {}
         order: list[str] = []
         for m in self._pattern.finditer(content):
-            s = m.group(0)
+            s = m.group(1)  # the lookahead's captured surface
             slot = counts.get(s)
             if slot is None:
                 counts[s] = [1, m.start()]
@@ -206,13 +228,17 @@ class MentionScanner:
         mentions = [
             {
                 "surface": s,
+                # the PARSER-CLEANED name: graph nodes (and edge
+                # src/dst, and every downstream canonical join) are
+                # keyed by clean_str(upper) — raw s.upper() raises
+                # KeyError for any surface clean_str alters
                 "entity_key": key,
                 "entity_type": graph.nodes[key]["type"],
                 "n_occ": counts[s][0],
                 "first_pos": counts[s][1] + 1,  # 1-based (SQL strpos parity)
             }
             for s in order
-            for key in (s.upper(),)
+            for key in (self._entity_of[s][0],)
         ]
         edges = [
             {"src": a, "dst": b, "weight": e["weight"], "description": e["description"][0]}

@@ -77,3 +77,49 @@ def test_default_gazetteer_surfaces_delimiter_free():
     # precondition for the fast path being on by default
     for s, _, _ in GAZETTEER:
         assert "<|>" not in s and "##" not in s
+
+
+def test_review_fixes_scanner_edge_cases():
+    """Regression bundle: clean_str-altered surfaces, null content,
+    deterministic type tie-break, delimiter-in-type fastpath gate,
+    empty surfaces, and overlapping-surface counting."""
+    # 1. a surface clean_str alters (HTML entity) must not crash the
+    #    scan, and entity_key must equal the PARSER-CLEANED node key
+    sc = MentionScanner(gazetteer=[("AT&amp;T", "ORGANIZATION", "KB1")])
+    m, e = sc._scan("call AT&amp;T today")
+    assert m[0]["entity_key"] == "AT&T"
+    assert m[0]["entity_type"] == "ORGANIZATION"
+
+    # 2. null content row survives the batch path
+    batch = pa.table({
+        "repo": ["r"], "path": ["p"], "commit": ["c"], "lang": ["py"],
+        "content": pa.array([None], pa.string()),
+    })
+    out = MentionScanner()(batch)
+    assert out.column("mentions").to_pylist() == [[]]
+
+    # 3. duplicate surface, conflicting types: FIRST gazetteer entry
+    #    wins, independent of hash seed / set order
+    sc = MentionScanner(gazetteer=[("Paris", "LOCATION", "K1"),
+                                   ("Paris", "PERSON", "K2")])
+    m, _ = sc._scan("in Paris")
+    assert m[0]["entity_type"] == "LOCATION"
+
+    # 4. a delimiter in a TYPE must disable the fast path so both code
+    #    paths parse identically
+    sc = MentionScanner(gazetteer=[("Paris", "LOC<|>X", "K")])
+    assert not sc._fastpath
+    m, _ = sc._scan("Paris")
+    assert m[0]["entity_type"] == "LOC"  # parsed, not raw
+
+    # 5. empty surfaces are dropped instead of matching everywhere
+    sc = MentionScanner(gazetteer=[("", "LOCATION", "K"),
+                                   ("Paris", "LOCATION", "K")])
+    m, _ = sc._scan("go Paris")
+    assert [x["surface"] for x in m] == ["Paris"]
+
+    # 6. surfaces overlapping a preceding match still count (SQL
+    #    occurrence parity): 'AB' and 'BC' in 'ABC' -> both found
+    sc = MentionScanner(gazetteer=[("AB", "X", "K"), ("BC", "X", "K")])
+    m, _ = sc._scan("ABC")
+    assert sorted(x["surface"] for x in m) == ["AB", "BC"]
