@@ -40,7 +40,18 @@ _ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
 
 def _expand_env(node: Any) -> Any:
     if isinstance(node, str):
-        return _ENV_RE.sub(lambda m: os.environ.get(m.group(1), ""), node)
+        def sub(m: re.Match) -> str:
+            val = os.environ.get(m.group(1))
+            if val is None:
+                # substituting '' would turn '${DATA_ROOT}/corpus' into
+                # the absolute path '/corpus' and crawl the wrong tree
+                # with no error — surface the misconfiguration instead
+                raise KeyError(
+                    f"config references unset environment variable "
+                    f"${{{m.group(1)}}}")
+            return val
+
+        return _ENV_RE.sub(sub, node)
     if isinstance(node, list):
         return [_expand_env(x) for x in node]
     if isinstance(node, dict):
@@ -69,8 +80,19 @@ def _builders() -> dict[str, Callable[..., Callable]]:
     from .stages.taggers import ALL_TAGGERS
 
     reg: dict[str, Callable[..., Callable]] = {}
+
+    def tagger_builder(name: str, f: Callable) -> Callable[..., Callable]:
+        def build(**kw) -> Callable:
+            if kw:  # taggers take no args — swallowing them silently
+                # would let a config "option" simply not take effect
+                raise TypeError(
+                    f"tagger/{name} accepts no args, got {sorted(kw)}")
+            return f
+
+        return build
+
     for name, fn in ALL_TAGGERS.items():
-        reg[f"tagger/{name}"] = (lambda f: lambda **kw: f)(fn)
+        reg[f"tagger/{name}"] = tagger_builder(name, fn)
     for name, factory in ALL_FILTERS.items():
         reg[f"filter/{name}"] = factory
     reg["chunker"] = _build_chunker

@@ -179,7 +179,10 @@ def _sql_quote(s: str) -> str:
 
 def corpus_sql(documents_rel: str = "documents") -> str:
     """DuckDB SELECT producing rows byte-identical to the Ray derivation."""
-    bank_case = "CASE doc_id % 8 " + " ".join(
+    # modulus derived from the bank, not hardcoded: the Python side
+    # picks sentences mod len(SENTENCE_BANK), so growing the bank must
+    # move BOTH sides or every byte-identity check fails far from here
+    bank_case = f"CASE doc_id % {len(SENTENCE_BANK)} " + " ".join(
         f"WHEN {i} THEN {_sql_quote(s)}" for i, s in enumerate(SENTENCE_BANK)
     ) + " END"
     did = "CAST(doc_id AS VARCHAR)"

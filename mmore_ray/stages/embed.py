@@ -152,6 +152,12 @@ def retrieve(collection_dir: str, query_text: str, k: int = 5,
     q_ref = ray.put((dense_q, sparse_q))
 
     def score(batch: pa.Table) -> pa.Table:
+        # the collection MUST carry sample_id (index_documents writes
+        # it; it is also topk's tie-break below) — a silent fallback
+        # here would only crash later, wider, in the shuffle
+        keep = batch.select(["sample_id", "text"])
+        if batch.num_rows == 0:  # empty block: (0,) @ (dim,) raises
+            return keep.append_column("score", pa.array([], pa.float64()))
         dq, sq = ray.get(q_ref)
         dense = np.array(batch.column("dense_embedding").to_pylist())
         d_cos = dense @ dq
@@ -160,8 +166,6 @@ def retrieve(collection_dir: str, query_text: str, k: int = 5,
                               batch.column("sparse_values").to_pylist()):
             s_dot.append(sum(sq.get(i, 0.0) * v for i, v in zip(idxs, vals)))
         hybrid = dense_weight * d_cos + (1 - dense_weight) * np.array(s_dot)
-        keep = batch.select(["sample_id", "text"]) \
-            if "sample_id" in batch.column_names else batch
         return keep.append_column("score",
                                   pa.array(hybrid.tolist(), pa.float64()))
 

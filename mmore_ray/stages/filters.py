@@ -139,7 +139,10 @@ def url_filter(blocked_domains: frozenset | set = frozenset(),
     def fn(batch: pa.Table) -> pa.Table:
         mask = []
         for u in batch.column(url_col).to_pylist():
-            dom = u.split("//", 1)[-1].split("/", 1)[0].split(":")[0].lower()
+            authority = u.split("//", 1)[-1].split("/", 1)[0]
+            # strip userinfo: 'user@evil.com' must not hide the host
+            # from the blocklist
+            dom = authority.rsplit("@", 1)[-1].split(":")[0].lower()
             parts = dom.split(".")
             chain = {".".join(parts[i:]) for i in range(len(parts))}
             bad = bool(chain & blocked_domains) or any(
@@ -299,8 +302,17 @@ def fasttext_like_filter(keep_label: str, threshold: float = 0.5,
     a pre-trained ``classifier`` or training pairs; the model is built
     ONCE at filter construction (per-pipeline, not per batch) and rides
     into tasks by closure capture."""
+    if classifier is None and not train_texts:
+        raise ValueError(
+            "fasttext_like_filter needs a pre-trained `classifier` or "
+            "(`train_texts`, `train_labels`) pairs — with neither, fit() "
+            "would die on an empty feature stack")
     clf = classifier or HashingTextClassifier().fit(
         train_texts or [], train_labels or [])
+    if keep_label not in clf.labels:
+        raise ValueError(
+            f"keep_label {keep_label!r} not among trained labels "
+            f"{clf.labels}")
     col = clf.labels.index(keep_label)
 
     def fn(batch: pa.Table) -> pa.Table:

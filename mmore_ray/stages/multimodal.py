@@ -166,7 +166,14 @@ class AsrTranscriber:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [self._transcribe(p)
                  for p in batch.column("audio_bytes").to_pylist()]
-        return batch.append_column("text", pa.array(texts, pa.string()))
+        arr = pa.array(texts, pa.string())
+        if "text" in batch.column_names:
+            # doc-pipeline batches already carry 'text' — REPLACE it
+            # (append would create a duplicate field and every later
+            # batch.column('text') raises)
+            return batch.set_column(
+                batch.column_names.index("text"), "text", arr)
+        return batch.append_column("text", arr)
 
 
 def attach_audio_meta(batch: pa.Table) -> pa.Table:

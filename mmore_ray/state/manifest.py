@@ -24,11 +24,13 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from pathlib import Path
 from typing import Any
 
 MANIFEST_DIR = "_manifest"
+_SHARD_RE = re.compile(r"\d{5,}")  # {:05d} grows past 5 digits at 100k shards
 
 
 def _manifest_path(out_dir: str | Path, step: str, shard: int) -> Path:
@@ -46,8 +48,19 @@ def publish(out_dir: str | Path, step: str, shard: int, payload: dict[str, Any])
         **payload,
     }
     tmp = path.with_suffix(".json.tmp")
-    tmp.write_text(json.dumps(record, sort_keys=True, indent=1))
+    # fsync before the rename: without it a power loss can journal the
+    # rename while the manifest (or the shard data it gates) never hit
+    # disk — resume would then skip a partial shard as "done"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(record, sort_keys=True, indent=1))
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    dir_fd = os.open(path.parent, os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
     return path
 
 
@@ -65,11 +78,12 @@ def completed_shards(out_dir: str | Path, step: str) -> set[int]:
     done: set[int] = set()
     prefix = f"{step}_"
     for f in mdir.iterdir():
-        if f.suffix == ".json" and f.name.startswith(prefix):
-            try:
-                done.add(int(f.stem[len(prefix):]))
-            except ValueError:
-                continue
+        # digits only: int() accepts underscores, so a sibling step
+        # named '<step>_1' would otherwise contribute phantom shard
+        # ids (int('1_00003') == 100003)
+        if (f.suffix == ".json" and f.name.startswith(prefix)
+                and _SHARD_RE.fullmatch(f.stem[len(prefix):])):
+            done.add(int(f.stem[len(prefix):]))
     return done
 
 

@@ -28,6 +28,20 @@ def test_env_expansion_and_stage_building(monkeypatch):
     assert all(callable(s) for s in cfg["postprocessors"])
 
 
+def test_unset_env_var_raises_instead_of_empty_substitution(monkeypatch):
+    monkeypatch.delenv("TEST_DATA_ROOT", raising=False)
+    # '' substitution would turn '${TEST_DATA_ROOT}/corpus' into the
+    # absolute path '/corpus' and crawl the wrong tree silently
+    with pytest.raises(KeyError, match="TEST_DATA_ROOT"):
+        load_pipeline_config(CFG)
+
+
+def test_tagger_stage_rejects_unknown_args():
+    with pytest.raises(TypeError, match="accepts no args"):
+        build_stage({"type": "tagger/words",
+                     "args": {"strip_attachments": False}})
+
+
 def test_unknown_stage_raises_with_known_list():
     with pytest.raises(KeyError) as e:
         build_stage({"type": "nope"})

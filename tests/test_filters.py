@@ -37,6 +37,28 @@ def test_url_filter_domains_parents_and_subwords():
     assert kept == ["https://good.example.org/page", "http://ok.net/fine"]
 
 
+def test_url_filter_userinfo_cannot_evade_blocklist():
+    t = pa.table({"url": pa.array([
+        "http://user@bad.example.com/x",       # userinfo trick
+        "http://u:pw@bad.example.com:8080/y",  # + password + port
+        "http://user@good.org/z",
+    ])})
+    fn = url_filter(blocked_domains={"bad.example.com"})
+    assert fn(t).column("url").to_pylist() == ["http://user@good.org/z"]
+
+
+def test_fasttext_like_filter_validates_inputs():
+    import pytest
+
+    from mmore_ray.stages.filters import fasttext_like_filter
+
+    with pytest.raises(ValueError, match="pre-trained"):
+        fasttext_like_filter("keep")
+    with pytest.raises(ValueError, match="not among trained labels"):
+        fasttext_like_filter("nope", train_texts=["a", "b"],
+                             train_labels=["keep", "drop"])
+
+
 def test_unigram_logprob_filter_threshold():
     table = {"the": -2.0, "cat": -3.0}
     fn = unigram_logprob_filter(table, min_avg_logprob=-4.0,

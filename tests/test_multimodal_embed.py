@@ -145,6 +145,25 @@ def test_audio_asr_pipeline_plumbing(ray_session):
     assert [m["seconds"] for m in out["audio_meta"]] == [10, 20, 0]
 
 
+def test_asr_replaces_existing_text_column():
+    """Doc-pipeline batches already carry 'text' — the transcriber must
+    REPLACE it, not append a duplicate field (every later
+    batch.column('text') would raise)."""
+    import pyarrow as pa
+
+    from mmore_ray.stages.multimodal import AsrTranscriber, fake_audio_bytes
+
+    batch = pa.table({
+        "text": pa.array(["old caption"]),
+        "audio_bytes": pa.array(
+            [fake_audio_bytes(0, seconds=5, transcript="spoken words")],
+            pa.binary()),
+    })
+    out = AsrTranscriber()(batch)
+    assert out.column_names.count("text") == 1
+    assert out.column("text").to_pylist() == ["spoken words"]
+
+
 def test_asr_real_decode_path_is_marked():
     import pytest
 
