@@ -98,6 +98,12 @@ def main() -> None:
     cache = (f"/tmp/kg_corpus_cache_{os.path.basename(SF_DIR)}"
              f"_r{replicate}_t{tile}_s{num_shards}_u1")
     if not os.path.exists(os.path.join(cache, "_DONE")):
+        # an interrupted generation leaves partial shard dirs behind;
+        # write_parquet APPENDS, so regenerating on top would silently
+        # double rows and corrupt the headline — clear first
+        import shutil as _sh
+
+        _sh.rmtree(cache, ignore_errors=True)
         base = pq.read_table(f"{SF_DIR}/documents.parquet",
                              columns=["doc_id", "text"])
         base_texts = ray.put(dict(zip(base.column("doc_id").to_pylist(),

@@ -32,8 +32,11 @@ def stable_u64(text: str) -> int:
 
 
 def sha256_column(values: Iterable[str]) -> list[str]:
-    """Vector form for a batch column; hashing is C-speed per row."""
-    return [hashlib.sha256(v.encode("utf-8")).hexdigest() for v in values]
+    """Vector form for a batch column; hashing is C-speed per row.
+    Nulls hash as '' — the SAME contract as sha256_of_string_array's
+    nullable fallback, so the two vector forms agree on identity."""
+    return [hashlib.sha256((v or "").encode("utf-8")).hexdigest()
+            for v in values]
 
 
 def sha256_of_string_array(arr) -> list[str]:

@@ -1921,6 +1921,97 @@ ORACLES["q_order_gaps"] = """
     FROM orders"""
 
 
+def q_rank_orders(sf_dir: str):
+    """Ranking window functions (SQL ``rank()`` / ``dense_rank() OVER
+    (PARTITION BY ... ORDER BY ...)``): each order's rank among its
+    customer's orders by order DATE — ties (same-day orders) share a
+    rank, with gaps for ``rank`` and without for ``dense_rank``
+    (pandas ``groupby().rank(method='min'/'dense')`` matches SQL
+    exactly; both are int64).
+
+    Scale shape: same :func:`mmore_ray.stages.groupby.bucketed_window`
+    single hash-bucket shuffle as q_order_gaps — the rank is computed
+    vectorized across ALL customers of a bucket at once."""
+    from ..stages.groupby import bucketed_window
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def prepare(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df.o_custkey.to_numpy(dtype=np.int64),
+            "o_orderkey": df.o_orderkey.to_numpy(dtype=np.int64),
+            "_day": df.o_orderdate.to_numpy()
+                      .astype("datetime64[D]").astype(np.int64),
+        })
+
+    def window_fn(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=False)["_day"]
+        return pd.DataFrame({
+            "o_custkey": df.o_custkey.to_numpy(),
+            "o_orderkey": df.o_orderkey.to_numpy(),
+            "rnk": g.rank(method="min").to_numpy().astype(np.int64),
+            "drnk": g.rank(method="dense").to_numpy().astype(np.int64),
+        })
+
+    return bucketed_window(ds, ["o_custkey"], window_fn, prepare=prepare)
+
+
+def q_intersect_actors(sf_dir: str):
+    """Set intersection (SQL ``INTERSECT``): ids that are BOTH
+    high-value-order customers AND event users.
+
+    Scale shape: each side collapses to its DISTINCT key set first
+    (per-batch drop_duplicates combiner → one bounded bucket shuffle —
+    dup-heavy sides never reach the join at row scale), then the
+    adaptive :func:`mmore_ray.stages.joins.lookup_join` intersects the
+    two small sets (broadcast when small, hash join when not)."""
+    from ..stages.groupby import _BUCKET, _bucket_of
+    from ..stages.joins import lookup_join
+
+    def distinct(ds, col: str, out: str):
+        def partial(df: pd.DataFrame) -> pa.Table:
+            g = pd.DataFrame({out: df[col].astype(np.int64)}) \
+                .drop_duplicates()
+            g[_BUCKET] = _bucket_of(g, [out], 32)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        def final(df: pd.DataFrame) -> pa.Table:
+            return pa.Table.from_pandas(
+                df.drop(columns=[_BUCKET]).drop_duplicates(),
+                preserve_index=False)
+
+        return (ds.map_batches(partial, batch_format="pandas")
+                .groupby(_BUCKET).map_groups(final, batch_format="pandas"))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    import pyarrow.compute as pc
+
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), 400_000.0)),
+        batch_format="pyarrow")
+    lhs = distinct(big, "o_custkey", "actor_id")
+    rhs = distinct(_read(sf_dir, "events", ["user_id"]),
+                   "user_id", "actor_id")
+    return lookup_join(lhs, rhs, "actor_id", "actor_id")
+
+
+QUERIES["q_intersect_actors"] = q_intersect_actors
+ORACLES["q_intersect_actors"] = """
+    SELECT o_custkey AS actor_id FROM orders WHERE o_totalprice > 400000
+    INTERSECT
+    SELECT user_id FROM events"""
+
+
+QUERIES["q_rank_orders"] = q_rank_orders
+ORACLES["q_rank_orders"] = """
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate) AS BIGINT) AS drnk
+    FROM orders"""
+
+
 def q_rollup_revenue(sf_dir: str):
     """Hierarchical totals (SQL ``GROUP BY ROLLUP(year, month)``):
     revenue at (year, month), (year), and grand-total levels, rolled

@@ -233,28 +233,6 @@ def gazetteer_sql() -> str:
     return f"(VALUES {rows}) AS g(surface, entity_type, kb_id)"
 
 
-def expand_documents(batch: pa.Table, replicate: int = 1, tile: int = 1) -> pa.Table:
-    """Deterministic bench-scale expansion of the documents table.
-
-    Each (doc_id, text) row becomes ``replicate`` rows with doc_id' =
-    doc_id * replicate + r, text tiled ``tile`` times (~KB-scale files,
-    matching real source-file sizes).  Used by bench.py only — the
-    correctness queries run the unexpanded table.
-    """
-    doc_ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pylist()
-    out_ids, out_texts = [], []
-    for doc_id, text in zip(doc_ids, texts):
-        tiled = " ".join([text] * tile)
-        for r in range(replicate):
-            out_ids.append(doc_id * replicate + r)
-            out_texts.append(tiled)
-    return pa.table({
-        "doc_id": pa.array(out_ids, pa.int64()),
-        "text": pa.array(out_texts, pa.string()),
-    })
-
-
 # ---------------------------------------------------------------------------
 # Standalone synthesizer (bench scale control; no external data).
 # ---------------------------------------------------------------------------

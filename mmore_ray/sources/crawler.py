@@ -29,15 +29,24 @@ def crawl_table(root_dirs: list[str | Path],
 
     rows = {k: [] for k in ("file_path", "file_name", "file_size",
                             "modified_at", "extension")}
-    allow = tuple(e.lower() for e in extensions) if extensions else None
+    # normalize whitelist entries with or without the dot ('txt' and
+    # '.txt' both work — splitext returns '.txt', so a dotless entry
+    # would silently match nothing); an explicit [] means allow NOTHING
+    allow = (frozenset("." + e.lower().lstrip(".") for e in extensions)
+             if extensions is not None else None)
     for root in root_dirs:
         for dirpath, _, files in sorted(os.walk(root)):
             for name in sorted(files):
                 ext = os.path.splitext(name)[1].lower()
-                if allow and ext not in allow:
+                if allow is not None and ext not in allow:
                     continue
                 full = os.path.join(dirpath, name)
-                st = os.stat(full)
+                try:
+                    st = os.stat(full)
+                except OSError:
+                    # dangling symlink / concurrently-deleted file: one
+                    # bad entry must not abort the whole crawl
+                    continue
                 rows["file_path"].append(full)
                 rows["file_name"].append(name)
                 rows["file_size"].append(st.st_size)

@@ -4,6 +4,8 @@ TranslatorPostProcessor)."""
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pyarrow as pa
 
 NER_STRUCT = pa.struct([
@@ -62,18 +64,22 @@ def metadata_infusor(template: str, position: str = "prepend"):
         for r in rows:
             infix = template.format_map({k: ("" if v is None else v)
                                          for k, v in r.items()})
-            texts.append(infix + "\n" + r["text"] if position == "prepend"
-                         else r["text"] + "\n" + infix)
+            body = r["text"] or ""  # null text row must not crash
+            texts.append(infix + "\n" + body if position == "prepend"
+                         else body + "\n" + infix)
         idx = batch.schema.get_field_index("text")
         return batch.set_column(idx, "text", pa.array(texts, pa.string()))
 
     return fn
 
 
+@lru_cache(maxsize=1)
 def _xlate_tables() -> dict[tuple[str, str], dict[str, str]]:
     """Deterministic word-level translation tables: positional zips of
     the stopword profiles, so (xx→en) is the exact inverse of (en→xx).
-    The argos stand-in — word-for-word, unknown words pass through."""
+    The argos stand-in — word-for-word, unknown words pass through.
+    Cached: this runs once per segment per row on the translator hot
+    path — rebuilding all eight pair tables per call is pure waste."""
     from .text_analysis import LANG_PROFILES
 
     en = LANG_PROFILES["en"]
@@ -114,6 +120,10 @@ def translator(target_lang: str = "en", confidence: float = 0.0,
         texts = batch.column("text").to_pylist()
         out_texts, originals = [], []
         for t in texts:
+            if not t:  # null/empty rows pass through untranslated
+                out_texts.append(t)
+                originals.append("")
+                continue
             lang, score = detect_lang_scored(t)
             if lang == target_lang or lang == "unknown" or score <= confidence:
                 out_texts.append(t)

@@ -67,9 +67,24 @@ def doc_triples(batch: pa.Table) -> pa.Table:
     df["subj"] = np.where(swap, b, a)
     df["obj"] = np.where(swap, a, b)
     df = df.rename(columns={"description": "pred"})
+    # dropna=False: a null doc-key column must not silently delete a
+    # document's triples while lineage still counts its edges
     g = df.groupby(keys + ["subj", "pred", "obj"], as_index=False,
-                   sort=False)["weight"].sum()
-    return pa.Table.from_pandas(g, preserve_index=False)
+                   sort=False, dropna=False)["weight"].sum()
+    return _typed(g, keys + ["subj", "pred", "obj"])
+
+
+def _typed(g, str_cols: list[str]) -> pa.Table:
+    """pandas frame → Arrow with an EXPLICIT schema and no pandas
+    metadata blob: an empty frame would otherwise emit null-typed
+    string columns (un-concat-able with real blocks in the rollup /
+    sorted-write merges), and the metadata makes block schemas
+    unhashable (Ray's schema-dedup slow path, readers.py doc)."""
+    fields = [pa.field(c, pa.string()) for c in str_cols]
+    fields.append(pa.field("weight", pa.float64()))
+    return pa.Table.from_pandas(
+        g, schema=pa.schema(fields),
+        preserve_index=False).replace_schema_metadata(None)
 
 
 def partial_graph_rollup(batch: pa.Table) -> pa.Table:
@@ -78,5 +93,5 @@ def partial_graph_rollup(batch: pa.Table) -> pa.Table:
     groupby shuffle (combiner pattern)."""
     df = batch.select(["subj", "pred", "obj", "weight"]).to_pandas()
     g = df.groupby(["subj", "pred", "obj"], as_index=False,
-                   sort=False)["weight"].sum()
-    return pa.Table.from_pandas(g, preserve_index=False)
+                   sort=False, dropna=False)["weight"].sum()
+    return _typed(g, ["subj", "pred", "obj"])

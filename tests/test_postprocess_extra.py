@@ -97,3 +97,91 @@ def test_connected_components_chain_converges(ray_session):
     labels = connected_components(ray.data.from_arrow(edges))
     got = {r["node"]: r["label"] for r in labels.take_all()}
     assert set(got.values()) == {"n00"}
+
+
+def test_null_text_rows_pass_through_postprocessors():
+    """Null text rows must flow through the infusor and translator
+    instead of killing the map task (the scanner already guards)."""
+    import pyarrow as pa
+
+    from mmore_ray.stages.postprocess_extra import (
+        metadata_infusor,
+        translator,
+    )
+
+    batch = pa.table({
+        "text": pa.array([None, "bonjour le monde et les gens"], pa.string()),
+        "file_name": pa.array(["a", "b"]),
+    })
+    out = metadata_infusor("[{file_name}]")(batch)
+    assert out.column("text").to_pylist()[0] == "[a]\n"
+
+    out2 = translator(target_lang="en")(batch)
+    assert out2.column("text").to_pylist()[0] is None
+    assert out2.column("original_text").to_pylist()[0] == ""
+
+
+def test_triples_kernels_empty_and_null_key_batches():
+    """Empty batches must emit STRING-typed (metadata-free) schemas —
+    null-typed columns cannot concat with real rollup/spill blocks —
+    and a null doc-key must not silently drop a doc's triples."""
+    import pyarrow as pa
+
+    from mmore_ray.stages.triples import doc_triples, partial_graph_rollup
+
+    empty = pa.table({
+        "repo": pa.array([], pa.string()),
+        "src_canonical": pa.array([], pa.string()),
+        "dst_canonical": pa.array([], pa.string()),
+        "weight": pa.array([], pa.float64()),
+        "description": pa.array([], pa.string()),
+    })
+    t = doc_triples(empty)
+    assert t.schema.field("subj").type == pa.string()
+    assert t.schema.metadata is None
+
+    r = partial_graph_rollup(pa.table({
+        "subj": pa.array([], pa.string()), "pred": pa.array([], pa.string()),
+        "obj": pa.array([], pa.string()),
+        "weight": pa.array([], pa.float64())}))
+    assert r.schema.field("subj").type == pa.string()
+    # concat with a REAL block must unify (the kg rollup/merge path)
+    real = partial_graph_rollup(pa.table({
+        "subj": pa.array(["a"]), "pred": pa.array(["p"]),
+        "obj": pa.array(["b"]), "weight": pa.array([1.0])}))
+    assert pa.concat_tables([r, real]).num_rows == 1
+
+    nullkey = pa.table({
+        "repo": pa.array([None], pa.string()),
+        "src_canonical": pa.array(["A"]),
+        "dst_canonical": pa.array(["B"]),
+        "weight": pa.array([1.0]),
+        "description": pa.array(["REL"]),
+    })
+    out = doc_triples(nullkey)
+    assert out.num_rows == 1  # null repo kept, not dropped
+
+
+def test_crawler_skips_dangling_symlinks_and_accepts_dotless_ext(tmp_path):
+    import os
+
+    from mmore_ray.sources.crawler import crawl_table
+
+    (tmp_path / "a.txt").write_text("hello")
+    os.symlink(tmp_path / "missing.txt", tmp_path / "dangling.txt")
+    t = crawl_table([str(tmp_path)], extensions=["txt"])  # dotless
+    assert t.column("file_name").to_pylist() == ["a.txt"]
+    # explicit empty whitelist admits nothing
+    assert crawl_table([str(tmp_path)], extensions=[]).num_rows == 0
+
+
+def test_sha256_column_null_contract_matches_array_form():
+    import pyarrow as pa
+
+    from mmore_ray.functions.hashing import (
+        sha256_column,
+        sha256_of_string_array,
+    )
+
+    arr = pa.array(["x", None], pa.string())
+    assert sha256_column(["x", None]) == sha256_of_string_array(arr)
