@@ -75,16 +75,22 @@ def load_gazetteer(path: str) -> list[tuple[str, str, str]]:
 
 def render_records(found: list[tuple[str, str]],
                    tuple_delimiter: str = DEFAULT_TUPLE_DELIMITER,
-                   record_delimiter: str = DEFAULT_RECORD_DELIMITER) -> str:
+                   record_delimiter: str = DEFAULT_RECORD_DELIMITER,
+                   max_clique: int | None = None) -> str:
     """Render (surface, entity_type) matches (first-occurrence order) into
     tuple-record text: one entity record per distinct surface, one
-    relationship record per unordered pair (offset order)."""
+    relationship record per unordered pair (offset order).
+
+    ``max_clique``: co-occurrence pairs are emitted only among the
+    first ``max_clique`` distinct surfaces (entity records are never
+    capped) — see :class:`MentionScanner` for why."""
     td, rd = tuple_delimiter, record_delimiter
     recs = [
         f'("entity"{td}{s}{td}{t}{td}MENTION OF {s.upper()})' for s, t in found
     ]
-    for i in range(len(found)):
-        for j in range(i + 1, len(found)):
+    k = len(found) if max_clique is None else min(len(found), max_clique)
+    for i in range(k):
+        for j in range(i + 1, k):
             a, b = found[i][0], found[j][0]
             recs.append(
                 f'("relationship"{td}{a}{td}{b}{td}{CO_OCCURS_PRED}{td}1)'
@@ -134,11 +140,23 @@ class MentionScanner:
     ``entity_types`` allowlist, and the tuple/record delimiters the
     rendered records (and their parse) use."""
 
+    #: co-occurrence edges are emitted only among the first
+    #: ``max_clique`` distinct surfaces of a document (first-occurrence
+    #: order — deterministic).  The per-doc relationship set is a
+    #: CLIQUE, i.e. O(k²) edge rows: one pathological doc hitting 5k
+    #: gazetteer surfaces would explode into 12.5M edge rows from a
+    #: single input row.  256 keeps the worst doc ≤ ~32k edges while
+    #: leaving every realistic document (the gold corpus peaks at 4)
+    #: untouched; mention rows are never capped.
+    DEFAULT_MAX_CLIQUE = 256
+
     def __init__(self, gazetteer: list[tuple[str, str, str]] | None = None,
                  gazetteer_path: str | None = None,
                  entity_types: list[str] | None = None,
                  tuple_delimiter: str = DEFAULT_TUPLE_DELIMITER,
-                 record_delimiter: str = DEFAULT_RECORD_DELIMITER):
+                 record_delimiter: str = DEFAULT_RECORD_DELIMITER,
+                 max_clique: int = DEFAULT_MAX_CLIQUE):
+        self._max_clique = max_clique
         if gazetteer_path is not None:
             gaz = load_gazetteer(gazetteer_path)
         else:
@@ -196,8 +214,9 @@ class MentionScanner:
         perturb record tokenization, else the render+parse roundtrip."""
         if not self._fastpath:
             td, rd = self._delims
-            return parse_extraction(render_records(found, td, rd),
-                                    tuple_delimiter=td, record_delimiter=rd)
+            return parse_extraction(
+                render_records(found, td, rd, max_clique=self._max_clique),
+                tuple_delimiter=td, record_delimiter=rd)
         graph = DocGraph()
         names = []
         for s, _ in found:
@@ -205,8 +224,9 @@ class MentionScanner:
             graph.add_entity(name, etype, desc)
             names.append(name)
         pred = self._co_occurs
-        for i in range(len(names)):
-            for j in range(i + 1, len(names)):
+        k = min(len(names), self._max_clique)
+        for i in range(k):
+            for j in range(i + 1, k):
                 graph.add_relationship(names[i], names[j], pred)
         return graph
 

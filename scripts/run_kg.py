@@ -47,13 +47,30 @@ def main() -> None:
 
     from mmore_ray.pipelines.kg import run_kg
     from mmore_ray.sources.corpus import derive_corpus_batch
+    from mmore_ray.sources.readers import read_parquet_clean
 
-    def read_corpus():
-        from mmore_ray.sources.readers import read_parquet_clean
-        ds = read_parquet_clean(args.input)
+    def _derive(ds):
         if args.from_documents:
             ds = ds.map_batches(derive_corpus_batch, batch_format="pyarrow")
         return ds
+
+    # SHARDED factory whenever the input has enough parquet files:
+    # each shard reads ONLY its file group.  The fallback (hash-filter
+    # over a full read) re-scans the whole input once PER SHARD —
+    # num_shards× read amplification, fine for small runs, wrong at
+    # corpus scale.  File-group assignment is deterministic for a
+    # fixed listing, so resume skips stay valid.
+    import glob
+
+    p = args.input
+    files = sorted(glob.glob(os.path.join(p, "**", "*.parquet"),
+                             recursive=True)) if os.path.isdir(p) else [p]
+    if len(files) >= args.shards:
+        def read_corpus(shard: int, num_shards: int):
+            return _derive(read_parquet_clean(files[shard::num_shards]))
+    else:
+        def read_corpus():  # type: ignore[misc]
+            return _derive(read_parquet_clean(p))
 
     stats = run_kg(read_corpus, args.out, num_shards=args.shards,
                    max_concurrent_shards=args.concurrent_shards)

@@ -123,3 +123,43 @@ def test_review_fixes_scanner_edge_cases():
     sc = MentionScanner(gazetteer=[("AB", "X", "K"), ("BC", "X", "K")])
     m, _ = sc._scan("ABC")
     assert sorted(x["surface"] for x in m) == ["AB", "BC"]
+
+
+def test_gazetteer_scale_trie_and_clique_cap():
+    """The two at-scale properties of the scanner: (a) trie matching
+    cost is bounded by trie depth, not dictionary size — a 30k-surface
+    gazetteer must still scan at tens of MB/s; (b) co-occurrence edges
+    are capped at DEFAULT_MAX_CLIQUE distinct surfaces (the per-doc
+    relationship set is a clique — one dense doc would otherwise
+    explode into O(k²) edge rows), while mention rows are never
+    capped."""
+    import random
+    import time
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(10**6):06d}" for _ in range(60000)]
+    surfaces = sorted({f"Ent{a.capitalize()} {b.capitalize()}"
+                       for a, b in zip(words[::2], words[1::2])})
+    sc = MentionScanner(
+        gazetteer=[(s, "ORGANIZATION", f"KB{i}")
+                   for i, s in enumerate(surfaces)])
+    assert len(surfaces) > 25000
+
+    doc = " ".join(rng.choice(surfaces) if i % 40 == 0 else f"tok{i}"
+                   for i in range(20000))
+    t0 = time.perf_counter()
+    m, e = sc._scan(doc)
+    dt = time.perf_counter() - t0
+    distinct = len(m)
+    assert distinct > MentionScanner.DEFAULT_MAX_CLIQUE  # dense doc
+    cap = MentionScanner.DEFAULT_MAX_CLIQUE
+    assert len(e) == cap * (cap - 1) // 2  # capped clique
+    # generous wall bound (noisy host): the capped scan of a ~170 KB
+    # doc against 25k+ surfaces must stay well under a second
+    assert dt < 2.0, dt
+
+    # sparse doc (the realistic case): cap is a no-op
+    doc2 = " ".join(rng.choice(surfaces[:3]) if i % 500 == 0 else f"t{i}"
+                    for i in range(5000))
+    m2, e2 = sc._scan(doc2)
+    assert len(m2) == 3 and len(e2) == 3
