@@ -284,6 +284,15 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
     bounds_file = out_dir / mf.MANIFEST_DIR / "sort_bounds.json"
     if bounds_file.exists():
         saved = json.loads(bounds_file.read_text())
+        if isinstance(saved, list):
+            # legacy format (bare bounds list, written before the
+            # num_shards guard existed): those runs had no guard at
+            # all, so resuming with the caller's num_shards preserves
+            # the old behavior while upgrading the file in place
+            saved = {"num_shards": num_shards, "bounds": saved}
+            tmp = bounds_file.with_suffix(".json.tmp")
+            tmp.write_text(json.dumps(saved))
+            os.replace(tmp, bounds_file)
         # resuming with a different shard count would re-partition the
         # corpus by a different hash modulus: docs already in completed
         # shards would be extracted AGAIN into new shards and finalize

@@ -144,10 +144,15 @@ def samples_to_jsonl(table: pa.Table, path: str | Path) -> None:
     so reference tooling can consume our output."""
     tag_cols = [c for c in table.column_names
                 if c not in ("sample_id", "document_id", "text", "modalities",
-                             "file_path", "file_name", "processor_type")]
+                             "file_path", "file_name", "processor_type",
+                             "metadata_json")]
     with open(path, "w") as f:
         for row in table.to_pylist():
             extra = {c: row[c] for c in tag_cols if row.get(c) is not None}
+            # processor metadata (PDF paragraph_starts etc.) spreads
+            # into the reference's open metadata bag as real fields,
+            # not a double-encoded JSON string
+            extra.update(json.loads(row.get("metadata_json") or "{}"))
             rec = {
                 "text": row["text"],
                 "modalities": row.get("modalities") or [],
@@ -168,8 +173,11 @@ def jsonl_to_table(path: str | Path) -> pa.Table:
     """Read reference-format JSONL into sample rows."""
     from ..stages.processors import MODALITY_STRUCT
 
+    _KNOWN_META = ("file_path", "file_name", "processed_at",
+                   "processor_type")
     rows = {k: [] for k in ("sample_id", "document_id", "text", "modalities",
-                            "file_path", "file_name", "processor_type")}
+                            "file_path", "file_name", "processor_type",
+                            "metadata_json")}
     for line in Path(path).read_text().splitlines():
         d = json.loads(line)
         meta = d.get("metadata") or {}
@@ -185,6 +193,11 @@ def jsonl_to_table(path: str | Path) -> pa.Table:
         rows["file_name"].append(meta.get("file_name")
                                  or fp.rsplit("/", 1)[-1])
         rows["processor_type"].append(meta.get("processor_type") or "")
+        # everything else in the open metadata bag (tagger extras,
+        # processor offsets) rides back in metadata_json
+        rows["metadata_json"].append(json.dumps(
+            {k: v for k, v in meta.items() if k not in _KNOWN_META},
+            sort_keys=True))
     return pa.table({
         "sample_id": pa.array(rows["sample_id"], pa.string()),
         "document_id": pa.array(rows["document_id"], pa.string()),
@@ -193,4 +206,5 @@ def jsonl_to_table(path: str | Path) -> pa.Table:
         "file_path": pa.array(rows["file_path"], pa.string()),
         "file_name": pa.array(rows["file_name"], pa.string()),
         "processor_type": pa.array(rows["processor_type"], pa.string()),
+        "metadata_json": pa.array(rows["metadata_json"], pa.string()),
     })

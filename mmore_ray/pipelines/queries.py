@@ -105,6 +105,10 @@ def kg_lineage(sf_dir: str):
     return kg_datasets(_corpus_ds(sf_dir))["lineage"]
 
 
+from ..stages.mentions import MentionScanner as _MS  # noqa: E402
+
+MAX_CLIQUE = _MS.DEFAULT_MAX_CLIQUE
+
 _KG_CTES = f"""WITH corpus AS ({{corpus}}),
 corpus_h AS (SELECT *, sha256(content) AS content_sha256 FROM corpus),
 mention AS (
@@ -118,13 +122,21 @@ mention AS (
          g.kb_id AS canonical
   FROM corpus_h c JOIN {gazetteer_sql()} ON contains(c.content, g.surface)
 ),
+mention_rn AS (
+  -- clique-cap mirror (MentionScanner.DEFAULT_MAX_CLIQUE): edges only
+  -- among each doc's first {MAX_CLIQUE} surfaces by first occurrence
+  SELECT *, row_number() OVER (PARTITION BY content_sha256
+                               ORDER BY first_pos) AS rn
+  FROM mention
+),
 doc_edge AS (
   SELECT m1.repo, m1.path, m1.content_sha256,
          least(m1.canonical, m2.canonical) AS subj,
          '{CO_OCCURS_PRED}' AS pred,
          greatest(m1.canonical, m2.canonical) AS obj
-  FROM mention m1 JOIN mention m2
+  FROM mention_rn m1 JOIN mention_rn m2
     ON m1.content_sha256 = m2.content_sha256 AND m1.surface < m2.surface
+  WHERE m1.rn <= {MAX_CLIQUE} AND m2.rn <= {MAX_CLIQUE}
 ),
 doc_triple AS (
   SELECT repo, path, content_sha256, subj, pred, obj,
@@ -1215,9 +1227,11 @@ ORACLES = {
         "SELECT subj, pred, obj, CAST(sum(weight) AS DOUBLE) AS weight FROM doc_triple GROUP BY ALL"
     ),
     "kg_lineage": _kg_sql(
-        """SELECT c.repo, c.path, c.content_sha256,
+        f"""SELECT c.repo, c.path, c.content_sha256,
                   coalesce(m.n, 0) AS n_mentions,
-                  coalesce(m.n * (m.n - 1) // 2, 0) AS n_edges
+                  coalesce(least(m.n, {MAX_CLIQUE})
+                           * (least(m.n, {MAX_CLIQUE}) - 1) // 2, 0)
+                    AS n_edges
            FROM corpus_h c LEFT JOIN (
              SELECT content_sha256, count(*) AS n FROM mention GROUP BY 1
            ) m USING (content_sha256)"""

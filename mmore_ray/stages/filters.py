@@ -139,9 +139,11 @@ def url_filter(blocked_domains: frozenset | set = frozenset(),
     def fn(batch: pa.Table) -> pa.Table:
         mask = []
         for u in batch.column(url_col).to_pylist():
-            authority = u.split("//", 1)[-1].split("/", 1)[0]
+            # the authority ends at the first of / ? # — a no-path URL
+            # like 'http://evil.com?x=@good.com' must not smuggle a
+            # fake '@userinfo' in via its query string
+            authority = re.split(r"[/?#]", u.split("//", 1)[-1], 1)[0]
             # strip userinfo: 'user@evil.com' must not hide the host
-            # from the blocklist
             dom = authority.rsplit("@", 1)[-1].split(":")[0].lower()
             parts = dom.split(".")
             chain = {".".join(parts[i:]) for i in range(len(parts))}

@@ -237,10 +237,15 @@ class MentionScanner:
         counts: dict[str, list[int]] = {}
         order: list[str] = []
         # overlap-correct enumeration: restart the search one char past
-        # each match START (not its end), so a surface overlapping the
-        # previous match is found too; at most one surface matches per
-        # position (gazetteer surfaces are pairwise non-substring), so
-        # this enumerates exactly the per-position match set
+        # each match START (not its end), so a DIFFERENT surface
+        # overlapping the previous match is found too ('AB','BC' in
+        # 'ABC' both count); at most one surface matches per position
+        # (gazetteer surfaces are pairwise non-substring).  Occurrences
+        # of the SAME surface that overlap its own previous counted
+        # occurrence are skipped (last_end gate): per-surface counts
+        # are left-to-right NON-overlapping — exactly the SQL oracle's
+        # replace-based n_occ ('neon' in 'neoneon' counts once).
+        last_end: dict[str, int] = {}
         search = self._pattern.search
         pos = 0
         while True:
@@ -248,13 +253,17 @@ class MentionScanner:
             if m is None:
                 break
             s = m.group(0)
+            p = m.start()
+            pos = p + 1
+            if p < last_end.get(s, 0):
+                continue  # self-overlap: already counted
+            last_end[s] = p + len(s)
             slot = counts.get(s)
             if slot is None:
-                counts[s] = [1, m.start()]
+                counts[s] = [1, p]
                 order.append(s)
             else:
                 slot[0] += 1
-            pos = m.start() + 1
         found = [(s, self._type_of[s]) for s in order]
         graph = self._graph_of(found)
         mentions = [

@@ -62,23 +62,33 @@ def _make_block(ref, k: int, id_col: str, vec_col: str):
     def block(batch: pa.Table) -> pa.Table:
         qids, Qn, Cn, prob = ray.get(ref)
         ids, V = _ids_and_vectors(batch, id_col, vec_col)
-        bucket = np.argmax(V @ Cn.T, axis=1) if Cn is not None else None
         out = {"query_id": [], "neighbor_id": [], "cos_e4": []}
-        for qi in range(len(qids)):
-            mask = ids != qids[qi]  # exclude self-matches
-            if bucket is not None:
-                mask &= np.isin(bucket, prob[qi])
-            if not mask.any():
-                continue
-            row_e4 = np.floor((V[mask] @ Qn[qi]) * 10000
-                              + 0.5).astype(np.int64)
-            sub_ids = ids[mask]
+
+        def emit(qi: int, sub_ids: np.ndarray, scores: np.ndarray) -> None:
+            row_e4 = np.floor(scores * 10000 + 0.5).astype(np.int64)
             # rank on the ROUNDED score + id — the same total order the
             # oracle uses, so top-k boundary ties resolve identically
             order = np.lexsort((sub_ids, -row_e4))[:k]
             out["query_id"].extend([int(qids[qi])] * len(order))
             out["neighbor_id"].extend(int(i) for i in sub_ids[order])
             out["cos_e4"].extend(int(s) for s in row_e4[order])
+
+        if Cn is None:
+            # brute force: ONE gemm for every query at once; per-query
+            # work is just masking the precomputed score row (a
+            # per-query V[mask] copy + gemv multiplies memory traffic
+            # by the query count)
+            S = Qn @ V.T
+            for qi in range(len(qids)):
+                mask = ids != qids[qi]  # exclude self-matches
+                if mask.any():
+                    emit(qi, ids[mask], S[qi][mask])
+        else:
+            bucket = np.argmax(V @ Cn.T, axis=1)
+            for qi in range(len(qids)):
+                mask = (ids != qids[qi]) & np.isin(bucket, prob[qi])
+                if mask.any():
+                    emit(qi, ids[mask], V[mask] @ Qn[qi])
         return pa.table({n: pa.array(v, pa.int64()) for n, v in out.items()})
 
     return block

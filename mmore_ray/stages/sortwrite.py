@@ -46,6 +46,10 @@ def _batch_tag(batch: pa.Table) -> str:
     import hashlib
     import io
 
+    # canonicalize first: IPC bytes depend on chunk layout and schema
+    # metadata — a retried task whose equal-content batch arrived with
+    # different chunk boundaries must still derive the SAME tag
+    batch = batch.combine_chunks().replace_schema_metadata(None)
     buf = io.BytesIO()
     with pa.ipc.new_stream(buf, batch.schema) as w:
         w.write_table(batch)

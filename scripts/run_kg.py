@@ -66,6 +66,28 @@ def main() -> None:
     files = sorted(glob.glob(os.path.join(p, "**", "*.parquet"),
                              recursive=True)) if os.path.isdir(p) else [p]
     if len(files) >= args.shards:
+        # shard↔file-group assignment must be FROZEN across resumes: a
+        # file added/removed between runs would shift every group, so
+        # completed-shard manifests would cover different files than
+        # they claim (docs skipped or double-extracted).  Persist the
+        # listing write-once next to the manifests and refuse on drift.
+        listing_file = os.path.join(args.out, "_manifest",
+                                    "input_files.json")
+        if os.path.exists(listing_file):
+            with open(listing_file) as f:
+                saved = json.load(f)
+            if saved != files:
+                raise SystemExit(
+                    "input file listing changed since this out dir was "
+                    f"started ({len(saved)} -> {len(files)} files); "
+                    "resume with the original input or a fresh --out")
+        else:
+            os.makedirs(os.path.dirname(listing_file), exist_ok=True)
+            tmp = listing_file + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(files, f)
+            os.replace(tmp, listing_file)
+
         def read_corpus(shard: int, num_shards: int):
             return _derive(read_parquet_clean(files[shard::num_shards]))
     else:

@@ -124,6 +124,15 @@ def test_review_fixes_scanner_edge_cases():
     m, _ = sc._scan("ABC")
     assert sorted(x["surface"] for x in m) == ["AB", "BC"]
 
+    # 6b. but SELF-overlapping occurrences of one surface count
+    #     NON-overlapping, matching the oracle's replace-based n_occ:
+    #     'neon' in 'neoneon' is ONE occurrence, 'neonneon' is two
+    sc = MentionScanner(gazetteer=[("neon", "X", "K")])
+    m, _ = sc._scan("neoneon")
+    assert m[0]["n_occ"] == 1
+    m, _ = sc._scan("neonneon")
+    assert m[0]["n_occ"] == 2
+
 
 def test_gazetteer_scale_trie_and_clique_cap():
     """The two at-scale properties of the scanner: (a) trie matching

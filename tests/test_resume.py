@@ -180,3 +180,33 @@ def test_custom_gazetteer_actor_pool_end_to_end(ray_session, tmp_path):
         pq.ParquetFile(f).metadata.num_rows
         for f in glob.glob(f"{out}/mentions/**/*.parquet", recursive=True))
     assert n_mentions == 240  # two mentions per doc
+
+
+def test_legacy_sort_bounds_format_migrates(read_corpus, tmp_path):
+    """A pre-guard out dir stores bounds as a bare JSON list; resuming
+    must migrate it in place instead of crashing on saved['num_shards']."""
+    import json
+
+    out = tmp_path / "kg"
+    run_kg(read_corpus, out, num_shards=3)
+    bf = out / "_manifest" / "sort_bounds.json"
+    saved = json.loads(bf.read_text())
+    bf.write_text(json.dumps(saved["bounds"]))  # simulate legacy file
+    (out / "_manifest" / "extract_00001.json").unlink()
+    (out / "_manifest" / "finalize_00000.json").unlink()
+    stats = run_kg(read_corpus, out, num_shards=3)
+    assert stats["shards_skipped"] == [0, 2]
+    assert json.loads(bf.read_text())["num_shards"] == 3  # upgraded
+    assert _lineage_rows(out) == 200
+
+
+def test_batch_tag_is_chunk_layout_independent():
+    import pyarrow as pa
+
+    from mmore_ray.stages.sortwrite import _batch_tag
+
+    one = pa.table({"a": pa.array(["x", "y", "z"]),
+                    "b": pa.array([1, 2, 3], pa.int64())})
+    two = pa.concat_tables([one.slice(0, 1), one.slice(1, 2)])
+    assert two.column("a").num_chunks > 1  # genuinely different layout
+    assert _batch_tag(one) == _batch_tag(two)
