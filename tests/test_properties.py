@@ -252,3 +252,38 @@ def test_simhash_batch_matches_single(texts):
     assert len(batch) == len(texts)
     for got, text in zip(batch.tolist(), texts):
         assert got == simhash64(text)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_scanner_n_occ_matches_sql_replace_formula(data):
+    """The scan's per-surface occurrence count must equal the oracle's
+    replace-based formula ``(len(c) - len(c.replace(s,''))) // len(s)``
+    (left-to-right non-overlapping) for ANY content — including
+    self-overlapping occurrences and different surfaces overlapping
+    each other — and every surface present in the content must be
+    reported with its true 1-based first position."""
+    from mmore_ray.stages.mentions import MentionScanner
+
+    alphabet = "ABCD"
+    surfaces = data.draw(st.lists(
+        st.text(alphabet=alphabet, min_size=2, max_size=4),
+        min_size=1, max_size=4, unique=True))
+    # pairwise non-substring (the corpus invariant the trie relies on)
+    surfaces = [s for i, s in enumerate(surfaces)
+                if not any(s in t for j, t in enumerate(surfaces) if i != j)]
+    if not surfaces:
+        return
+    content = data.draw(st.text(alphabet=alphabet, min_size=0, max_size=60))
+
+    sc = MentionScanner(gazetteer=[(s, "X", f"K{i}")
+                                   for i, s in enumerate(surfaces)])
+    mentions, _ = sc._scan(content)
+    got = {m["surface"]: (m["n_occ"], m["first_pos"]) for m in mentions}
+    for s in surfaces:
+        want = (len(content) - len(content.replace(s, ""))) // len(s)
+        if want == 0:
+            assert s not in got, (s, content)
+        else:
+            assert got[s][0] == want, (s, content, got[s][0], want)
+            assert got[s][1] == content.find(s) + 1
