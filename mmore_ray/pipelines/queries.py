@@ -1874,6 +1874,42 @@ def q_topk_per_group(sf_dir: str):
                           descending=[True, False])
 
 
+def q_argmax_customer(sf_dir: str):
+    """Per-group argmax (SQL ``max_by`` / ``arg_max`` semantics, made
+    deterministic): for every nation, the customer carrying the
+    highest account balance, ties broken by the smaller custkey — the
+    k=1 case of the distributed k-survivor combiner
+    (:func:`mmore_ray.stages.groupby.topk_per_group`)."""
+    from ..stages.groupby import topk_per_group
+
+    cust = _read(sf_dir, "customer",
+                 ["c_nationkey", "c_custkey", "c_acctbal"])
+
+    def prep(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "c_nationkey": pa.array(df.c_nationkey.to_numpy(dtype=np.int64)),
+            "c_custkey": pa.array(df.c_custkey.to_numpy(dtype=np.int64)),
+            "acctbal_cents": pa.array(_int_scale(df.c_acctbal, 100)),
+        })
+
+    ds = cust.map_batches(prep, batch_format="pandas")
+    return topk_per_group(ds, ["c_nationkey"],
+                          ["acctbal_cents", "c_custkey"], k=1,
+                          descending=[True, False])
+
+
+QUERIES["q_argmax_customer"] = q_argmax_customer
+ORACLES["q_argmax_customer"] = """
+    SELECT c_nationkey, c_custkey, acctbal_cents FROM (
+      SELECT c_nationkey, c_custkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+             row_number() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) DESC,
+                        c_custkey) AS rn
+      FROM customer) WHERE rn = 1"""
+
+
 QUERIES["q_topk_per_group"] = q_topk_per_group
 ORACLES["q_topk_per_group"] = """
     SELECT o_custkey, o_orderkey, totalprice_cents FROM (
