@@ -53,8 +53,10 @@ def main() -> None:
     # sample lists live in driver memory, run_process.py / pipeline.py).
     # Uses the bench's cached parquet corpus (same ~5 KB docs the Ray
     # engine is measured on) when present, else synthesizes.
+    # must track bench.py's cache tag (currently _u1: per-doc salted
+    # contents) so the baseline runs over the SAME docs as the engine
     cache = os.environ.get(
-        "GRAFT_CORPUS_CACHE", "/tmp/kg_corpus_cache_sf0.1_r150_t16_s4")
+        "GRAFT_CORPUS_CACHE", "/tmp/kg_corpus_cache_sf0.1_r150_t16_s4_u1")
     if os.path.isdir(cache):
         import pyarrow.parquet as pq
 

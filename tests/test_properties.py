@@ -75,6 +75,36 @@ def test_sortwrite_boundaries_cover_and_order(counts, parts):
         last = p
 
 
+@settings(max_examples=40, deadline=None)
+@given(counts=st.lists(
+    st.tuples(st.text(alphabet="ABC", min_size=1, max_size=3),
+              st.integers(1, 2000)),
+    min_size=1, max_size=25, unique_by=lambda t: t[0]),
+    parts=st.sampled_from([2, 4, 8]))
+def test_sortwrite_boundaries_balanced(counts, parts):
+    """The load between consecutive cuts must never exceed ~2× the
+    budget under UNIFORM within-key sha placement — the generalized
+    form of the exact-multiple regression (a skipped cut hands the
+    next partition a double budget)."""
+    from mmore_ray.stages.sortwrite import SEP, compute_boundaries
+
+    key_counts = [((s, "P", s), float(c)) for s, c in counts]
+    bounds = np.array(compute_boundaries(key_counts, parts))
+    total = sum(c for _, c in counts)
+    budget = max(1.0, total / parts)
+    # simulate rows: each key's count spread uniformly over sha space
+    rows = []
+    for s, c in counts:
+        prefix = s + SEP + "P" + SEP + s + SEP
+        rows.extend(prefix + format(int(i / c * 16**8), "08x")
+                    for i in range(c))
+    loads = np.bincount(
+        np.searchsorted(bounds, np.array(rows), side="right"),
+        minlength=len(bounds) + 1)
+    # 2x slack: hex-cut granularity + the first/last partial partitions
+    assert loads.max() <= 2 * budget + 1, (loads.tolist(), budget)
+
+
 def test_sortwrite_boundaries_hot_key_exact_multiple():
     """Review regression: a hot key whose remainder is an exact
     multiple of the budget must still emit its end-of-key cut —
