@@ -168,9 +168,8 @@ def unigram_logprob_filter(word_logprobs: dict[str, float],
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = pd.Series(batch.column("text").to_pylist())
-        words = texts.str.split(" ")
-        n = words.map(len).to_numpy()
-        flat = words.explode()
+        n = (texts.str.count(" ") + 1).to_numpy()
+        flat = texts.str.split(" ").explode()
         lp = flat.map(word_logprobs).fillna(unknown_logprob).to_numpy()
         sums = np.zeros(len(texts))
         np.add.at(sums, flat.index.to_numpy().astype(np.int64), lp)
