@@ -15,6 +15,7 @@ Python's salted ``hash``.
 
 from __future__ import annotations
 
+import logging
 import zlib
 
 import numpy as np
@@ -26,7 +27,51 @@ try:
 except ImportError:  # pragma: no cover
     ray = None
 
+logger = logging.getLogger(__name__)
+
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+#: members per blocking group (posting list / band bucket / simhash
+#: chunk) before the quadratic pair generation is capped — 1024 keeps a
+#: single group's pair emission ≤ ~524k rows.
+DEFAULT_GROUP_CAP = 1024
+
+
+def _cap_group_members(d: pd.DataFrame, keys: list[str],
+                       cap: int | None, label: str) -> pd.DataFrame:
+    """Bound quadratic pair generation per blocking group.
+
+    A group with m members emits m(m-1)/2 pairs, so ONE boilerplate
+    mega-cluster (10⁶ near-identical docs sharing a band_hash) would
+    make a single ``map_groups`` task emit ~5·10¹¹ rows.  Groups over
+    ``cap`` keep the ``cap`` members with the smallest deterministic
+    multiplicative id-hash — stable across runs, executors and block
+    order (first-k would not be) — and the drop is logged.
+
+    This mirrors the mention-stage clique cap
+    (mentions.py DEFAULT_MAX_CLIQUE): exact dedup upstream already
+    collapses byte-identical members, so a capped group is a
+    near-identical boilerplate family whose surviving members still
+    link the cluster for any downstream connected-components merge;
+    the pair list itself becomes a documented under-approximation for
+    that family only."""
+    if cap is None or not len(d):
+        return d
+    sizes = d.groupby(keys, sort=False)["id"].transform("size").to_numpy()
+    over = sizes > cap
+    if not over.any():
+        return d
+    h = (d["id"].to_numpy().astype(np.uint64)
+         * np.uint64(0x9E3779B97F4A7C15)).view(np.int64)
+    capped = d.assign(_h=h).sort_values(keys + ["_h"], kind="stable")
+    rank = capped.groupby(keys, sort=False).cumcount().to_numpy()
+    kept = capped[rank < cap].drop(columns=["_h"])
+    n_groups = int(d.loc[over, keys].drop_duplicates().shape[0])
+    logger.warning(
+        "near-dup %s: capped %d blocking group(s) at %d members "
+        "(dropped %d posting rows)", label, n_groups, cap,
+        len(d) - len(kept))
+    return kept
 
 
 def _stable_rng_params(n_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -182,7 +227,8 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def near_dup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
                      n_perm: int = 64, bands: int = 32, k: int = 3,
-                     threshold: float = 0.5, num_buckets: int = 64):
+                     threshold: float = 0.5, num_buckets: int = 64,
+                     group_cap: int | None = DEFAULT_GROUP_CAP):
     """Verified near-duplicate pairs via MinHash-LSH.
 
     shingle → minhash(n_perm) → ``bands`` banded keys → groupby band
@@ -254,8 +300,10 @@ def near_dup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        m = _self_pairs(df.drop_duplicates(["band", "band_hash", "id"]),
-                        ["band", "band_hash"])
+        d = _cap_group_members(
+            df.drop_duplicates(["band", "band_hash", "id"]),
+            ["band", "band_hash"], group_cap, "minhash")
+        m = _self_pairs(d, ["band", "band_hash"])
         return m[["id_a", "id_b"]].drop_duplicates()
 
     pairs = (
@@ -349,10 +397,46 @@ def verify_pairs_jaccard(pairs, source, id_col: str, text_col: str,
                         threshold)
 
 
+def _shingle_hash_arrays(texts: list[str], k: int) -> list[np.ndarray]:
+    """Per-text sorted UNIQUE window-hash arrays via the shared
+    vectorized kernel (:func:`_hashed_windows`) — the verification-side
+    twin of :func:`shingle_set` in hash space.  |set| and intersection
+    counts equal the string-set ones up to the same accidental
+    ~m²/2⁶⁴-per-doc 64-bit collision class documented on
+    :func:`_bound_filter_pairs`; no structural class exists
+    (:func:`_window_constants`)."""
+    g, widx, _ = _hashed_windows(pa.array(texts, pa.string()), k)
+    bounds = np.searchsorted(widx, np.arange(len(texts) + 1))
+    return [np.unique(g[bounds[i]:bounds[i + 1]])
+            for i in range(len(texts))]
+
+
+def _jaccard_e4_from_arrays(arrs_a: list[np.ndarray],
+                            arrs_b: list[np.ndarray]) -> np.ndarray:
+    """floor(J·10⁴+0.5) per pair of sorted-unique hash arrays — one
+    C-speed searchsorted membership count per pair, no Python string
+    hashing (every doc has ≥ 1 window, so unions are never empty)."""
+    out = np.empty(len(arrs_a), np.int64)
+    for i, (A, B) in enumerate(zip(arrs_a, arrs_b)):
+        if len(A) > len(B):
+            A, B = B, A
+        idx = np.searchsorted(B, A)
+        idx[idx == len(B)] = 0  # out-of-range probes can't match B[0] anyway
+        c = int(np.count_nonzero(B[idx] == A))
+        # ...unless A's smallest element IS B[0] and also probed out of
+        # range — impossible: searchsorted(B, x) == len(B) ⇒ x > B[-1]
+        # ≥ B[0], and A is sorted unique so x != B[0].
+        u = len(A) + len(B) - c
+        out[i] = int(np.floor(c / u * 10000 + 0.5))
+    return out
+
+
 def _verify_broadcast(pairs, id_set: set, source, id_col: str,
                       text_col: str, k: int, threshold: float):
-    """Broadcast plan: candidate texts gathered once and looked up in
-    the verify map task."""
+    """Broadcast plan: candidate SHINGLE-HASH ARRAYS are computed once
+    (vectorized, driver-side over the gathered candidate texts — texts
+    themselves never ship to the verify tasks) and looked up in the
+    verify map task."""
     import ray
 
     id_ref = ray.put(id_set)
@@ -364,27 +448,15 @@ def _verify_broadcast(pairs, id_set: set, source, id_col: str,
         return batch.filter(mask)
 
     picked = source.map_batches(pick, batch_format="pyarrow").take_all()
-    texts_ref = ray.put({r[id_col]: r[text_col] for r in picked})
+    arrs = _shingle_hash_arrays([r[text_col] for r in picked], k)
+    arrs_ref = ray.put({r[id_col]: a for r, a in zip(picked, arrs)})
 
     def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
-        texts = ray.get(texts_ref)
-        cache: dict[int, frozenset] = {}
-
-        def sset(i: int) -> frozenset:
-            s = cache.get(i)
-            if s is None:
-                s = frozenset(shingle_set(texts[i], k))
-                cache[i] = s
-            return s
-
-        ja = []
-        for ia, ib in zip(df["id_a"], df["id_b"]):
-            sa, sb = sset(ia), sset(ib)
-            union = len(sa | sb)
-            ja.append(len(sa & sb) / union if union else 0.0)
+        sets = ray.get(arrs_ref)
+        ja = _jaccard_e4_from_arrays([sets[i] for i in df["id_a"]],
+                                     [sets[i] for i in df["id_b"]])
         out = df[["id_a", "id_b"]].copy()
-        out["jaccard_e4"] = np.floor(
-            np.array(ja, dtype=np.float64) * 10000 + 0.5).astype(np.int64)
+        out["jaccard_e4"] = ja
         return out[out["jaccard_e4"] >= int(threshold * 10000)]
 
     return pairs.map_batches(verify_bcast, batch_format="pandas")
@@ -413,23 +485,18 @@ def _verify_join(pairs, cand_ids, source, id_col: str, text_col: str,
     )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        cache: dict[str, frozenset] = {}
-
-        def sset(txt: str) -> frozenset:
-            s = cache.get(txt)
-            if s is None:
-                s = frozenset(shingle_set(txt, k))
-                cache[txt] = s
-            return s
-
-        ja = []
-        for ta, tb in zip(df["_text_a"], df["_text_b"]):
-            sa, sb = sset(ta), sset(tb)
-            union = len(sa | sb)
-            ja.append(len(sa & sb) / union if union else 0.0)
+        # factorize-once per batch: each distinct text is shingle-hashed
+        # exactly once by the shared vectorized kernel, then every pair
+        # is a sorted-array intersection count
+        both = pd.concat([df["_text_a"], df["_text_b"]],
+                         ignore_index=True)
+        codes, uniques = pd.factorize(both)
+        arrs = _shingle_hash_arrays(list(uniques), k)
+        n = len(df)
+        ja = _jaccard_e4_from_arrays([arrs[c] for c in codes[:n]],
+                                     [arrs[c] for c in codes[n:]])
         out = df[["id_a", "id_b"]].copy()
-        out["jaccard_e4"] = np.floor(np.array(ja, dtype=np.float64) * 10000
-                                     + 0.5).astype(np.int64)
+        out["jaccard_e4"] = ja
         return out[out["jaccard_e4"] >= int(threshold * 10000)]
 
     return j.map_batches(verify, batch_format="pandas")
@@ -437,7 +504,8 @@ def _verify_join(pairs, cand_ids, source, id_col: str, text_col: str,
 
 def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
                      k: int = 3, threshold: float = 0.5,
-                     num_buckets: int = 64, max_df: int | None = None):
+                     num_buckets: int = 64, max_df: int | None = None,
+                     group_cap: int | None = DEFAULT_GROUP_CAP):
     """EXACT n-gram-Jaccard near-duplicate pairs (no sketching).
 
     Inverted-index blocking: explode each doc into its distinct word
@@ -507,6 +575,11 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
         if max_df is not None:
             vc = d["shingle"].value_counts()
             d = d[d["shingle"].isin(vc[vc <= max_df].index)]
+        # cap AFTER max_df: on a capped posting list the summed c
+        # undercounts |A∩B| for that family, so the bound pre-filter
+        # (which never over-drops on exact counts) becomes part of the
+        # same documented under-approximation the cap itself is
+        d = _cap_group_members(d, ["shingle"], group_cap, "jaccard")
         m = _self_pairs(d, ["shingle"])
         if not counted:
             return m[["id_a", "id_b"]].drop_duplicates()
@@ -673,7 +746,8 @@ def simhash64(text: str) -> int:
 
 
 def near_dup_simhash(ds, text_col: str = "text", id_col: str = "doc_id",
-                     max_hamming: int = 3, num_buckets: int = 64):
+                     max_hamming: int = 3, num_buckets: int = 64,
+                     group_cap: int | None = DEFAULT_GROUP_CAP):
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
     Pigeonhole banding: split the 64-bit hash into 4 × 16-bit chunks —
@@ -710,8 +784,9 @@ def near_dup_simhash(ds, text_col: str = "text", id_col: str = "doc_id",
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # shared pair-gen + vectorized popcount hamming on the surviving
         # sim_x/sim_y payload columns
-        m = _self_pairs(df.drop_duplicates(["chunk", "value", "id"]),
-                        ["chunk", "value"])
+        d = _cap_group_members(df.drop_duplicates(["chunk", "value", "id"]),
+                               ["chunk", "value"], group_cap, "simhash")
+        m = _self_pairs(d, ["chunk", "value"])
         if not len(m):
             return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                                  "id_b": pd.Series([], dtype=np.int64),
@@ -745,10 +820,18 @@ def near_dup_simhash(ds, text_col: str = "text", id_col: str = "doc_id",
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+#: rows per matmul side in embedding_near_dup before a centroid bucket
+#: is split — 4096² float64 similarities ≈ 134 MB per task.
+DEFAULT_BUCKET_BUDGET = 4096
+
+_MAX_SPLITS = 1 << 10  # task-key encoding bound (splits per bucket)
+
+
 def embedding_near_dup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                        threshold: float = 0.999, n_centroids: int = 16,
                        nprobe: int = 2, train_sample: int = 4096,
-                       num_buckets: int = 64):
+                       num_buckets: int = 64,
+                       bucket_budget: int = DEFAULT_BUCKET_BUDGET):
     """Pairs with cosine ≥ threshold — IVF-bucketed exact verification.
 
     Scale shape (no full-matrix broadcast, no O(n·d) driver state):
@@ -759,13 +842,21 @@ def embedding_near_dup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
          (multi-probe: a pair at cos ≥ threshold ≈ 1 has near-identical
          centroid similarities, so the two top-``nprobe`` sets always
          intersect — missing a pair needs BOTH probes to differ);
-      3. pairs are found by an exact normalized matmul WITHIN each
-         centroid bucket (``groupby(bucket).map_groups``), then deduped
-         across shared buckets.
+      3. **hot buckets split**: a centroid that attracts more than
+         ``bucket_budget`` vectors is divided into s = ⌈m/budget⌉
+         sub-buckets by a deterministic id hash, and every UNORDERED
+         sub-bucket pair (i ≤ j) becomes its own task — each vector
+         ships to its s tasks, every intra-bucket pair is still
+         compared exactly once, and per-task memory stays ≤ budget²
+         similarities regardless of skew (a dominant-centroid corpus
+         no longer OOMs one worker);
+      4. pairs are found by an exact normalized matmul within each
+         (sub-)bucket task (``groupby(task).map_groups``), then deduped
+         across shared probe buckets.
 
-    Pick ``n_centroids`` ~ n/bucket_budget so one bucket's vectors fit a
-    worker; skewed buckets are the residual risk (salt or split by a
-    secondary hash if one centroid attracts the corpus)."""
+    Bucket sizes are counted with one cheap pass over the int64 bucket
+    column (per-batch bincount partials combined on the driver —
+    ``n_centroids`` values, no shuffle)."""
     from .groupby import bucketed_agg
     from .similarity import _normalize, train_centroids
 
@@ -790,18 +881,92 @@ def embedding_near_dup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
             "vec": pa.FixedSizeListArray.from_arrays(flat, dim),
         })
 
+    # materialized: consumed twice (size census + task explode) — the
+    # assignment matmul should run once, and the nprobe×n×dim store is
+    # object-store-resident/spillable
     assigned = ds.select_columns([id_col, vec_col]).map_batches(
-        assign, batch_format="pyarrow", batch_size=4096)
+        assign, batch_format="pyarrow", batch_size=4096).materialize()
 
-    def pairs_in_bucket(df: pd.DataFrame) -> pa.Table:
-        ids = df["id"].to_numpy()
-        V = np.stack(df["vec"].to_numpy())
-        S = V @ V.T
-        iu, ju = np.where(S >= threshold)
-        ia, ib = ids[iu], ids[ju]
-        keep = ia < ib
-        ia, ib = ia[keep], ib[keep]
-        cos = S[iu[keep], ju[keep]]
+    def count_buckets(t: pa.Table) -> pa.Table:
+        n = np.bincount(t.column("bucket").to_numpy(), minlength=len(C))
+        return pa.table({"bucket": pa.array(np.arange(len(C), dtype=np.int64)),
+                         "n": pa.array(n.astype(np.int64))})
+
+    census = (assigned.select_columns(["bucket"])
+              .map_batches(count_buckets, batch_format="pyarrow")
+              .to_pandas().groupby("bucket")["n"].sum())
+    splits = {int(b): min(int(np.ceil(n / bucket_budget)), _MAX_SPLITS)
+              for b, n in census.items() if n > bucket_budget}
+    if splits:
+        logger.warning(
+            "embedding_near_dup: %d hot centroid bucket(s) over %d rows "
+            "split into sub-bucket tasks: %s", len(splits), bucket_budget,
+            {b: s for b, s in sorted(splits.items())})
+    splits_ref = ray.put(splits)
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def explode_tasks(t: pa.Table) -> pa.Table:
+        """task = bucket·S² + ti·S + tj (ti ≤ tj).  A vector in
+        sub-bucket s_i joins every task pairing s_i with another
+        sub-bucket — s tasks per vector, each unordered pair of rows
+        co-located exactly once: same-split pairs meet only in the
+        (s_i, s_i) task, cross-split pairs only in (min, max)."""
+        sp = ray.get(splits_ref)
+        bucket = t.column("bucket").to_numpy()
+        if not sp:
+            task = bucket * (_MAX_SPLITS * _MAX_SPLITS)
+            return t.append_column(
+                "task", pa.array(task, pa.int64())).append_column(
+                "split", pa.array(np.zeros(len(t), np.int64))).drop_columns(
+                ["bucket"])
+        s_arr = np.array([sp.get(int(b), 1) for b in bucket], dtype=np.int64)
+        ids = t.column("id").to_numpy()
+        my = ((ids.astype(np.uint64) * GOLD)
+              % s_arr.astype(np.uint64)).astype(np.int64)
+        idx = np.repeat(np.arange(len(t)), s_arr)
+        offs = np.cumsum(s_arr) - s_arr
+        other = np.arange(int(s_arr.sum())) - np.repeat(offs, s_arr)
+        mine = my[idx]
+        ti = np.minimum(mine, other)
+        tj = np.maximum(mine, other)
+        task = (bucket[idx] * (_MAX_SPLITS * _MAX_SPLITS)
+                + ti * _MAX_SPLITS + tj)
+        return pa.table({
+            "task": pa.array(task, pa.int64()),
+            "split": pa.array(mine, pa.int64()),
+            "id": pa.array(ids[idx], pa.int64()),
+            "vec": t.column("vec").take(pa.array(idx)),
+        })
+
+    tasks = assigned.map_batches(explode_tasks, batch_format="pyarrow",
+                                 batch_size=65536)
+
+    def pairs_in_task(df: pd.DataFrame) -> pa.Table:
+        task = int(df["task"].iat[0])
+        ti = (task // _MAX_SPLITS) % _MAX_SPLITS
+        tj = task % _MAX_SPLITS
+        if ti == tj:
+            ids = df["id"].to_numpy()
+            V = np.stack(df["vec"].to_numpy())
+            S = V @ V.T
+            iu, ju = np.where(S >= threshold)
+            keep = ids[iu] < ids[ju]
+            ia, ib = ids[iu[keep]], ids[ju[keep]]
+            cos = S[iu[keep], ju[keep]]
+        else:
+            da = df[df["split"].to_numpy() == ti]
+            db = df[df["split"].to_numpy() == tj]
+            if not len(da) or not len(db):
+                return pa.table({"id_a": pa.array([], pa.int64()),
+                                 "id_b": pa.array([], pa.int64()),
+                                 "cos_e3": pa.array([], pa.int64())})
+            aid, bid = da["id"].to_numpy(), db["id"].to_numpy()
+            S = np.stack(da["vec"].to_numpy()) @ np.stack(
+                db["vec"].to_numpy()).T
+            iu, ju = np.where(S >= threshold)
+            xa, xb = aid[iu], bid[ju]
+            ia, ib = np.minimum(xa, xb), np.maximum(xa, xb)
+            cos = S[iu, ju]
         return pa.table({
             "id_a": pa.array(ia, pa.int64()),
             "id_b": pa.array(ib, pa.int64()),
@@ -809,9 +974,8 @@ def embedding_near_dup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                 np.floor(cos * 1000 + 0.5).astype(np.int64)),
         })
 
-    pairs = assigned.groupby("bucket").map_groups(
-        lambda df: pairs_in_bucket(df.drop(columns=["bucket"])),
-        batch_format="pandas")
+    pairs = tasks.groupby("task").map_groups(
+        pairs_in_task, batch_format="pandas")
 
     # a pair sharing several probed buckets appears once per bucket
     return bucketed_agg(
