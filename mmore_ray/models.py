@@ -1,0 +1,285 @@
+"""Model-provider registry — the ONE seam where real GPU/HF models drop
+into the engine's actor-pool stages without touching pipeline code.
+
+Reference parity: the reference constructs its heavy models at fixed
+name-table sites — marker-pdf model dict (``pdf_processor.py:71``),
+Whisper ASR pipelines per device (``media_processor.py:31-61,107``),
+dense embedders by name table (``rag/model/dense/base.py:14-41,69-84``),
+SPLADE (``rag/model/sparse/splade.py:18-36``), the BGE cross-encoder
+reranker (``rag/retriever.py:88-106``).  This module is the engine's
+equivalent of those tables, with two rules:
+
+* providers are CLASSES (actor-pool constructors): weights load in
+  ``__init__`` — once per actor — and ``__call__`` is the per-batch
+  contract the pipelines already use, so
+  ``map_batches(provider_class(role), concurrency=N)`` is the whole
+  integration;
+* heavy imports happen INSIDE ``__init__``, so this module imports
+  cleanly where the library is absent and asking for an unavailable
+  provider fails at construction with the missing library's name.
+
+Resolution order: explicit ``name`` argument → ``MMORE_RAY_<ROLE>``
+environment variable → the registered default (the deterministic fake —
+the reference's own tests run on fakes the same way,
+``tests/conftest.py:15-22`` FakeEmbeddings / FakeSparseEmbedding).
+
+Availability is gated, not assumed: ``tests/test_model_provider.py``
+mirrors the reference's ``--gpu`` opt-in (``tests/conftest.py:74-88``) —
+real-model tests run only where the library imports.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+_REGISTRY: dict[str, dict[str, type]] = {}
+_DEFAULT: dict[str, str] = {}
+
+
+def register(role: str, name: str, cls: type, *, default: bool = False) -> None:
+    """Register a provider class for a role (user-extension surface —
+    same shape as the reference's FILTERS_MAP / TAGGERS_LOADERS_MAP
+    registries)."""
+    _REGISTRY.setdefault(role, {})[name] = cls
+    if default or role not in _DEFAULT:
+        _DEFAULT[role] = name
+
+
+def provider_class(role: str, name: str | None = None) -> type:
+    """Resolve a provider class: ``name`` → ``MMORE_RAY_<ROLE>`` env →
+    registered default.  The returned class is what pipelines hand to
+    ``map_batches(cls, fn_constructor_kwargs=..., concurrency=...)``."""
+    if role not in _REGISTRY:
+        raise KeyError(f"unknown model role {role!r}; "
+                       f"registered: {sorted(_REGISTRY)}")
+    chosen = (name
+              or os.environ.get(f"MMORE_RAY_{role.upper()}")
+              or _DEFAULT[role])
+    table = _REGISTRY[role]
+    if chosen not in table:
+        raise KeyError(f"unknown {role} provider {chosen!r}; "
+                       f"registered: {sorted(table)}")
+    return table[chosen]
+
+
+def available(role: str, name: str) -> bool:
+    """True iff the provider's heavy dependency imports (cheap probe
+    used by the gated tests; never imports weights)."""
+    cls = _REGISTRY[role][name]
+    dep = getattr(cls, "REQUIRES", None)
+    if not dep:
+        return True
+    import importlib.util
+
+    return importlib.util.find_spec(dep) is not None
+
+
+# ---------------------------------------------------------------------------
+# Real-model provider classes (lazy heavy imports in __init__)
+# ---------------------------------------------------------------------------
+
+class SentenceTransformerEmbedder:
+    """Dense embedder over a real sentence-transformers checkpoint
+    (reference ``rag/model/dense/base.py:69-84``).  Same ``__call__`` /
+    ``embed_one`` contract as ``embed.FakeDenseEmbedder`` — swap the
+    provider name, touch nothing else."""
+
+    REQUIRES = "sentence_transformers"
+
+    def __init__(self, model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+                 device: str | None = None):
+        from sentence_transformers import SentenceTransformer
+
+        self._model = SentenceTransformer(model_name, device=device)
+
+    def embed_one(self, text: str) -> np.ndarray:
+        return self._model.encode([text], normalize_embeddings=True)[0]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = self._model.encode(batch.column("text").to_pylist(),
+                                  normalize_embeddings=True)
+        return batch.append_column(
+            "dense_embedding",
+            pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())))
+
+
+class SpladeSparseEmbedder:
+    """SPLADE sparse embedder (reference ``rag/model/sparse/
+    splade.py:18-36``): MLM logits → log1p(relu) → max-pool over
+    tokens, top-k indices/values.  Same output columns as
+    ``embed.FakeSparseEmbedder``."""
+
+    REQUIRES = "transformers"
+
+    def __init__(self, model_name: str = "naver/splade-v3", top_k: int = 64,
+                 device: str | None = None):
+        import torch
+        from transformers import AutoModelForMaskedLM, AutoTokenizer
+
+        self._torch = torch
+        self._tok = AutoTokenizer.from_pretrained(model_name)
+        self._model = AutoModelForMaskedLM.from_pretrained(model_name)
+        if device:
+            self._model = self._model.to(device)
+        self._k = top_k
+
+    def embed_one(self, text: str) -> tuple[list[int], list[float]]:
+        torch = self._torch
+        with torch.no_grad():
+            enc = self._tok(text, return_tensors="pt", truncation=True)
+            logits = self._model(**enc).logits[0]
+            w = torch.max(torch.log1p(torch.relu(logits)), dim=0).values
+            top = torch.topk(w, k=min(self._k, w.numel()))
+            keep = top.values > 0
+        return (top.indices[keep].tolist(),
+                [float(v) for v in top.values[keep]])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idxs, vals = [], []
+        for t in batch.column("text").to_pylist():
+            i, v = self.embed_one(t)
+            idxs.append(i)
+            vals.append(v)
+        batch = batch.append_column(
+            "sparse_indices", pa.array(idxs, pa.list_(pa.int64())))
+        return batch.append_column(
+            "sparse_values", pa.array(vals, pa.list_(pa.float64())))
+
+
+class CrossEncoderReranker:
+    """Real cross-encoder reranker (reference BGE reranker,
+    ``rag/retriever.py:88-106``, batch scoring ``:281-322``).  Same
+    constructor/``__call__`` contract as ``embed.FakeReranker``."""
+
+    REQUIRES = "sentence_transformers"
+    BATCH = 32  # reference scoring batch
+
+    def __init__(self, query_text: str = "",
+                 model_name: str = "BAAI/bge-reranker-base",
+                 device: str | None = None):
+        from sentence_transformers import CrossEncoder
+
+        self._model = CrossEncoder(model_name, device=device)
+        self._q = query_text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pairs = [(self._q, t) for t in batch.column("text").to_pylist()]
+        scores = [float(s) for s in self._model.predict(pairs)]
+        return batch.append_column("rerank_score",
+                                   pa.array(scores, pa.float64()))
+
+
+class MarkerPdfParser:
+    """Full-fidelity PDF parse via marker-pdf (reference
+    ``pdf_processor.py:36-68,71`` — model dict loaded once per actor,
+    exactly this ``__init__``).  ``parse_one`` returns the same dict
+    shape as ``processors.PDFProcessor.parse`` so the processor's
+    full-path slot consumes it unchanged."""
+
+    REQUIRES = "marker"
+
+    def __init__(self, device: str | None = None):
+        from marker.converters.pdf import PdfConverter
+        from marker.models import create_model_dict
+
+        self._converter = PdfConverter(
+            artifact_dict=create_model_dict(device=device))
+
+    def parse_one(self, file_name: str, payload: bytes) -> dict:
+        rendered = self._converter(payload)
+        return {"file_path": file_name, "text": rendered.markdown,
+                "processor_type": "PDFProcessor"}
+
+
+class WhisperTranscriber:
+    """ASR via a transformers Whisper pipeline (reference
+    ``media_processor.py:31-61`` — pipeline cached per device, loaded
+    once per actor).  ``transcribe`` matches the fake
+    ``processors.AsrTranscriber`` contract."""
+
+    REQUIRES = "transformers"
+
+    def __init__(self, model_name: str = "openai/whisper-base",
+                 device: str | None = None):
+        from transformers import pipeline
+
+        self._asr = pipeline("automatic-speech-recognition",
+                             model=model_name, device=device)
+
+    def transcribe(self, audio: Any) -> str:
+        return self._asr(audio)["text"]
+
+
+def _hf_ner_scanner() -> type:
+    # MentionScanner import deferred: models.py must import before the
+    # stages package in user code paths
+    from .stages.mentions import MentionScanner
+
+    class HFNERScanner(MentionScanner):
+        """Model-backed mention scanner: a transformers
+        token-classification pipeline replaces the gazetteer regex as
+        the DETECTOR; everything downstream — graph build, clique cap,
+        mention/edge row schema, the fused sha256 lineage pass — is
+        inherited from ``MentionScanner`` unchanged (``_rows``).
+        Reference ``ner/extractor.py:36-53`` shape: model in
+        ``__init__``, once per actor."""
+
+        REQUIRES = "transformers"
+
+        def __init__(self, model_name: str = "dslim/bert-base-NER",
+                     device: str | None = None,
+                     max_clique: int = MentionScanner.DEFAULT_MAX_CLIQUE):
+            from transformers import pipeline
+
+            super().__init__(gazetteer=[], max_clique=max_clique)
+            self._ner = pipeline("token-classification", model=model_name,
+                                 aggregation_strategy="simple",
+                                 device=device)
+
+        def _scan(self, content: str):
+            if not content:
+                return [], []
+            from .functions.textfns import clean_str
+
+            counts: dict[str, list[int]] = {}
+            order: list[str] = []
+            for ent in self._ner(content):
+                s, t = str(ent["word"]), str(ent["entity_group"])
+                slot = counts.get(s)
+                if slot is None:
+                    counts[s] = [1, int(ent["start"])]
+                    order.append(s)
+                    self._type_of[s] = t
+                    self._entity_of[s] = (
+                        str(clean_str(s.upper())), str(clean_str(t.upper())),
+                        str(clean_str(f"MENTION OF {s.upper()}")))
+                else:
+                    slot[0] += 1
+            return self._rows([(s, self._type_of[s]) for s in order], counts)
+
+    return HFNERScanner
+
+
+def _register_builtins() -> None:
+    from .stages.embed import (FakeDenseEmbedder, FakeReranker,
+                               FakeSparseEmbedder)
+    from .stages.mentions import MentionScanner
+
+    register("dense_embedder", "fake", FakeDenseEmbedder, default=True)
+    register("dense_embedder", "sentence-transformers",
+             SentenceTransformerEmbedder)
+    register("sparse_embedder", "fake", FakeSparseEmbedder, default=True)
+    register("sparse_embedder", "splade", SpladeSparseEmbedder)
+    register("reranker", "fake", FakeReranker, default=True)
+    register("reranker", "cross-encoder", CrossEncoderReranker)
+    register("mention_scanner", "gazetteer", MentionScanner, default=True)
+    register("mention_scanner", "hf-ner", _hf_ner_scanner())
+    register("pdf_parser", "marker", MarkerPdfParser, default=True)
+    register("asr", "whisper", WhisperTranscriber, default=True)
+
+
+_register_builtins()

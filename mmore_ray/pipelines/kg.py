@@ -68,7 +68,9 @@ def canonical_alias_map(alias: dict[str, str] | None = None) -> dict[str, str]:
     return {k: canon.get(alias.get(k, k), alias.get(k, k)) for k in keys}
 
 
-def extract_docs(corpus_ds, gazetteer=None, concurrency=_SCAN_CONCURRENCY):
+def extract_docs(corpus_ds, gazetteer=None, concurrency=_SCAN_CONCURRENCY,
+                 scanner: str | None = None,
+                 scanner_kwargs: dict | None = None):
     """corpus → per-doc nested mention/edge rows (content dropped).
 
     The scanner fuses the lineage sha256 into its single content pass
@@ -76,16 +78,27 @@ def extract_docs(corpus_ds, gazetteer=None, concurrency=_SCAN_CONCURRENCY):
     is the 100-TB bandwidth hot path, so content is touched once).
 
     Default gazetteer → elastic task stage (regex compiled once per
-    worker process); custom gazetteer → actor pool whose actors hold
-    the compiled state (``MentionScanner.__init__``)."""
-    if gazetteer is None:
+    worker process); custom gazetteer or a named ``scanner`` provider →
+    actor pool whose actors hold the model/compiled state in
+    ``__init__``.  ``scanner`` resolves through the model-provider
+    registry (``mmore_ray.models``, role ``mention_scanner``): the
+    default is the gazetteer ``MentionScanner``; ``"hf-ner"`` swaps in
+    a transformers token-classification model with no other pipeline
+    change (the real-model seam — reference ``ner/extractor.py:36``)."""
+    if gazetteer is None and scanner is None and not scanner_kwargs:
         from ..stages.mentions import scan_batch
 
         return corpus_ds.map_batches(scan_batch, batch_format="pyarrow",
                                      batch_size=_BATCH_SIZE)
+    from ..models import provider_class
+
+    scanner_cls = provider_class("mention_scanner", scanner)
+    kwargs = dict(scanner_kwargs or {})
+    if gazetteer is not None and scanner_cls is MentionScanner:
+        kwargs.setdefault("gazetteer", gazetteer)
     return corpus_ds.map_batches(
-        MentionScanner,
-        fn_constructor_kwargs={"gazetteer": gazetteer},
+        scanner_cls,
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=_BATCH_SIZE,
         concurrency=concurrency,

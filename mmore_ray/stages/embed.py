@@ -82,14 +82,25 @@ class FakeSparseEmbedder:
             "sparse_values", pa.array(vals, pa.list_(pa.float64())))
 
 
-def index_documents(ds, out_dir: str, concurrency=(1, 4)) -> None:
+def index_documents(ds, out_dir: str, concurrency=(1, 4),
+                    dense_provider: str | None = None,
+                    sparse_provider: str | None = None) -> None:
     """Embed (dense + sparse actor pools, batch 64) and write the
     parquet collection.  Extra input columns ride along (dynamic-field
-    analogue)."""
+    analogue).
+
+    The embedder classes come from the model-provider registry
+    (``mmore_ray.models``): default = deterministic fakes; a real
+    checkpoint is ``dense_provider="sentence-transformers"`` (or the
+    ``MMORE_RAY_DENSE_EMBEDDER`` env var) — no other code changes."""
+    from ..models import provider_class
+
+    dense_cls = provider_class("dense_embedder", dense_provider)
+    sparse_cls = provider_class("sparse_embedder", sparse_provider)
     out = (
-        ds.map_batches(FakeDenseEmbedder, batch_format="pyarrow",
+        ds.map_batches(dense_cls, batch_format="pyarrow",
                        batch_size=EMBED_BATCH, concurrency=concurrency)
-        .map_batches(FakeSparseEmbedder, batch_format="pyarrow",
+        .map_batches(sparse_cls, batch_format="pyarrow",
                      batch_size=EMBED_BATCH, concurrency=concurrency)
     )
     out.write_parquet(out_dir)
@@ -141,13 +152,24 @@ def get_by_ids(collection_dir: str, ids: list[str]):
 
 
 def retrieve(collection_dir: str, query_text: str, k: int = 5,
-             dense_weight: float = 0.5, rerank: bool = False):
+             dense_weight: float = 0.5, rerank: bool = False,
+             dense_provider: str | None = None,
+             sparse_provider: str | None = None,
+             reranker_provider: str | None = None):
     """Hybrid retrieval: WeightedRanker(w·dense_cos + (1-w)·sparse_dot)
-    over the parquet collection (brute force, broadcast query)."""
+    over the parquet collection (brute force, broadcast query).
+
+    Query embedders / reranker resolve through the model-provider
+    registry — they must match the providers that built the
+    collection."""
     import ray.data
 
-    dense_q = FakeDenseEmbedder().embed_one(query_text)
-    sq_idx, sq_val = FakeSparseEmbedder().embed_one(query_text)
+    from ..models import provider_class
+
+    dense_q = provider_class("dense_embedder",
+                             dense_provider)().embed_one(query_text)
+    sq_idx, sq_val = provider_class("sparse_embedder",
+                                    sparse_provider)().embed_one(query_text)
     sparse_q = dict(zip(sq_idx, sq_val))
     q_ref = ray.put((dense_q, sparse_q))
 
@@ -181,9 +203,11 @@ def retrieve(collection_dir: str, query_text: str, k: int = 5,
     if not rerank:
         return hits
     # rerank the k survivors with the cross-encoder pool and re-sort
+    reranker_cls = provider_class("reranker", reranker_provider)
     reranked = hits.map_batches(
-        FakeReranker, fn_constructor_kwargs={"query_text": query_text},
-        batch_format="pyarrow", batch_size=FakeReranker.BATCH,
+        reranker_cls, fn_constructor_kwargs={"query_text": query_text},
+        batch_format="pyarrow",
+        batch_size=getattr(reranker_cls, "BATCH", FakeReranker.BATCH),
         concurrency=(1, 2),
     )
     return topk(reranked, ["rerank_score", "score", "sample_id"], k,

@@ -265,6 +265,14 @@ class MentionScanner:
             else:
                 slot[0] += 1
         found = [(s, self._type_of[s]) for s in order]
+        return self._rows(found, counts)
+
+    def _rows(self, found: list[tuple[str, str]],
+              counts: dict[str, list[int]]) -> tuple[list[dict], list[dict]]:
+        """found list + per-surface [n_occ, pos0] → (mentions, edges)
+        rows.  Shared by the regex scan and model-backed scanners
+        (models.HFNERScanner overrides only the detection, not this)."""
+        order = [s for s, _ in found]
         graph = self._graph_of(found)
         mentions = [
             {

@@ -1,0 +1,173 @@
+"""The real-model seam (mmore_ray.models): one registry where heavy
+models drop into the existing actor pools without touching pipeline
+code.
+
+Mirrors the reference's opt-in gating (``tests/conftest.py:74-88``
+``--gpu`` flag): tests that need a real checkpoint run only where the
+library imports — everywhere else the same tests prove the seam with
+fakes and custom registrations."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mmore_ray import models
+
+
+def test_defaults_resolve_to_fakes():
+    from mmore_ray.stages.embed import (FakeDenseEmbedder, FakeReranker,
+                                        FakeSparseEmbedder)
+    from mmore_ray.stages.mentions import MentionScanner
+
+    assert models.provider_class("dense_embedder") is FakeDenseEmbedder
+    assert models.provider_class("sparse_embedder") is FakeSparseEmbedder
+    assert models.provider_class("reranker") is FakeReranker
+    assert models.provider_class("mention_scanner") is MentionScanner
+
+
+def test_env_var_overrides_default(monkeypatch):
+    monkeypatch.setenv("MMORE_RAY_DENSE_EMBEDDER", "sentence-transformers")
+    assert (models.provider_class("dense_embedder")
+            is models.SentenceTransformerEmbedder)
+    # explicit name beats the env var
+    from mmore_ray.stages.embed import FakeDenseEmbedder
+    assert models.provider_class("dense_embedder", "fake") is FakeDenseEmbedder
+
+
+def test_unknown_role_and_name_raise_with_choices():
+    with pytest.raises(KeyError, match="registered"):
+        models.provider_class("nonexistent_role")
+    with pytest.raises(KeyError, match="registered"):
+        models.provider_class("dense_embedder", "nonexistent")
+
+
+@pytest.mark.skipif(
+    models.available("dense_embedder", "sentence-transformers"),
+    reason="sentence-transformers installed — the failure path is moot")
+def test_unavailable_provider_fails_naming_the_library():
+    """Construction (not registry lookup) is where the heavy import
+    happens, and the error must name the missing library."""
+    with pytest.raises(ImportError, match="sentence_transformers"):
+        models.SentenceTransformerEmbedder()
+
+
+def test_custom_embedder_drops_into_index_documents(ray_session, tmp_path,
+                                                    monkeypatch):
+    """Register a new dense provider, select it by env var, run the
+    UNCHANGED indexing pipeline — the collection carries the custom
+    embeddings.  This is the 'swap this constructor' proof: zero
+    pipeline edits."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from mmore_ray.stages.embed import index_documents
+
+    class ConstantEmbedder:
+        """8-dim constant-direction embedder (distinguishable from the
+        16-dim fake)."""
+
+        def __init__(self):
+            self._v = [1.0] + [0.0] * 7
+
+        def embed_one(self, text):
+            return np.array(self._v)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "dense_embedding",
+                pa.array([self._v] * len(batch), pa.list_(pa.float64())))
+
+    models.register("dense_embedder", "constant-test", ConstantEmbedder)
+    monkeypatch.setenv("MMORE_RAY_DENSE_EMBEDDER", "constant-test")
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "sample_id": ["a", "b"], "text": ["hello world", "foo bar"]}))
+    out = tmp_path / "coll"
+    index_documents(ds, str(out))
+    got = pq.read_table(str(out)).to_pandas()
+    assert all(len(v) == 8 and v[0] == 1.0 for v in got.dense_embedding)
+
+
+def test_custom_scanner_drops_into_extract_docs(ray_session):
+    """A MentionScanner-shaped subclass (custom detector, inherited
+    graph/row machinery — exactly how models.HFNERScanner is built)
+    registered and selected by name flows through the UNCHANGED kg
+    extract stage."""
+    import ray
+
+    from mmore_ray.pipelines.kg import extract_docs
+    from mmore_ray.stages.mentions import MentionScanner
+
+    class TwoEntityScanner(MentionScanner):
+        """Pretend model: every doc mentions ALPHA and BETA once."""
+
+        def __init__(self):
+            super().__init__(gazetteer=[])
+            from mmore_ray.functions.textfns import clean_str
+            for s, t in (("Alpha", "ORGANIZATION"), ("Beta", "PERSON")):
+                self._type_of[s] = t
+                self._entity_of[s] = (
+                    str(clean_str(s.upper())), str(clean_str(t.upper())),
+                    str(clean_str(f"MENTION OF {s.upper()}")))
+
+        def _scan(self, content):
+            if not content:
+                return [], []
+            counts = {"Alpha": [1, 0], "Beta": [1, 5]}
+            return self._rows([("Alpha", "ORGANIZATION"),
+                               ("Beta", "PERSON")], counts)
+
+    models.register("mention_scanner", "two-entity-test", TwoEntityScanner)
+
+    corpus = ray.data.from_pandas(pd.DataFrame({
+        "repo": ["r"], "path": ["p.py"], "commit": ["c"],
+        "lang": ["python"], "content": ["some document text"]}))
+    docs = extract_docs(corpus, scanner="two-entity-test",
+                        concurrency=1).to_pandas()
+    assert len(docs) == 1
+    mentions = docs.iloc[0]["mentions"]
+    keys = sorted(m["entity_key"] for m in mentions)
+    assert keys == ["ALPHA", "BETA"]
+    edges = docs.iloc[0]["edges"]
+    assert len(edges) == 1 and edges[0]["src"] == "ALPHA" \
+        and edges[0]["dst"] == "BETA"
+
+
+# --- gated real-model tests (run only where the library imports) -----------
+
+requires_st = pytest.mark.skipif(
+    not models.available("dense_embedder", "sentence-transformers"),
+    reason="sentence-transformers not installed (gated like the "
+           "reference's --gpu tests)")
+requires_transformers = pytest.mark.skipif(
+    not models.available("mention_scanner", "hf-ner"),
+    reason="transformers not installed")
+
+
+@requires_st
+def test_real_sentence_transformers_indexes(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray
+
+    from mmore_ray.stages.embed import index_documents
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "sample_id": ["a", "b"], "text": ["hello world", "foo bar"]}))
+    out = tmp_path / "coll_real"
+    index_documents(ds, str(out), dense_provider="sentence-transformers")
+    got = pq.read_table(str(out)).to_pandas()
+    assert {len(v) for v in got.dense_embedding} == {384}  # MiniLM dim
+
+
+@requires_transformers
+def test_real_hf_ner_scanner_loads_in_actor_init(ray_session):
+    import ray
+
+    from mmore_ray.pipelines.kg import extract_docs
+
+    corpus = ray.data.from_pandas(pd.DataFrame({
+        "repo": ["r"], "path": ["p.md"], "commit": ["c"], "lang": ["md"],
+        "content": ["Barack Obama visited Google in California."]}))
+    docs = extract_docs(corpus, scanner="hf-ner", concurrency=1).to_pandas()
+    assert len(docs) == 1 and len(docs.iloc[0]["mentions"]) > 0
