@@ -28,10 +28,15 @@ IMAGE_META_STRUCT = pa.struct([
 ])
 
 
-def fake_image_bytes(seed: int, width: int = 32, height: int = 32) -> bytes:
-    """Deterministic opaque payload standing in for an encoded image."""
-    rng = np.random.default_rng(seed)
+def fake_image_bytes(seed: int, width: int = 32, height: int = 32,
+                     fill: int | None = None) -> bytes:
+    """Deterministic opaque payload standing in for an encoded image;
+    its body is the width×height grayscale plane (``fill`` produces a
+    constant — i.e. low-variance — image for the clean_image check)."""
     header = f"FAKEIMG:{width}x{height}:".encode()
+    if fill is not None:
+        return header + bytes([fill]) * (width * height)
+    rng = np.random.default_rng(seed)
     return header + rng.integers(0, 256, size=width * height,
                                  dtype=np.uint8).tobytes()
 
@@ -201,15 +206,31 @@ def attach_image_meta(batch: pa.Table) -> pa.Table:
     return batch.append_column("image_meta", pa.array(metas, IMAGE_META_STRUCT))
 
 
-def clean_image_filter(min_side: int = 512) -> callable:
+def clean_image_filter(min_side: int = 512,
+                       min_variance: float = 100.0) -> callable:
     """≙ reference clean_image (process/utils.py:61-92): drop images
-    smaller than min_side (grayscale-variance check needs real decode —
-    documented out of fake scope)."""
+    smaller than min_side OR with grayscale variance < min_variance
+    (near-uniform scans/blanks).
+
+    The variance check decodes the ``FAKEIMG`` payload — its body IS a
+    width×height grayscale plane, so the check is the real reference
+    computation on the fake codec.  A real decoder drops in by
+    replacing the payload branch only (payloads with an unknown codec
+    keep the size-only behavior rather than guessing a variance)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         metas = batch.column("image_meta").to_pylist()
-        mask = [m["width"] >= min_side and m["height"] >= min_side
-                for m in metas]
+        payloads = (batch.column("image_bytes").to_pylist()
+                    if "image_bytes" in batch.column_names
+                    else [None] * len(metas))
+        mask = []
+        for m, payload in zip(metas, payloads):
+            ok = m["width"] >= min_side and m["height"] >= min_side
+            if ok and payload is not None and payload.startswith(b"FAKEIMG:"):
+                plane = payload.split(b":", 2)[2]
+                gray = np.frombuffer(plane, dtype=np.uint8)
+                ok = float(gray.var()) >= min_variance
+            mask.append(ok)
         return batch.filter(pa.array(mask, pa.bool_()))
 
     return fn

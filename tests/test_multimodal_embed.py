@@ -210,3 +210,28 @@ def test_media_processor_parses_fake_containers():
     res = process_batch(batch)
     assert res.column("processor_type").to_pylist() == ["MediaProcessor"]
     assert "video speech here" in res.column("text").to_pylist()[0]
+
+
+def test_clean_image_variance_drops_flat_images(ray_session):
+    """The reference's second clean_image criterion (grayscale variance
+    < 100 → drop, process/utils.py:61-92) computed for real on the
+    FAKEIMG grayscale plane: a constant 600x600 image is dropped even
+    though its size passes, a random one of the same size survives."""
+    from mmore_ray.stages.multimodal import (attach_image_meta,
+                                             clean_image_filter,
+                                             fake_image_bytes)
+
+    t = pa.table({
+        "image_id": [0, 1, 2],
+        "image_bytes": pa.array(
+            [fake_image_bytes(0, 600, 600),            # noisy: keep
+             fake_image_bytes(1, 600, 600, fill=128),  # flat: drop
+             fake_image_bytes(2, 100, 100)],           # small: drop
+            pa.binary()),
+    })
+    ray = ray_session
+    out = (ray.data.from_arrow(t)
+           .map_batches(attach_image_meta, batch_format="pyarrow")
+           .map_batches(clean_image_filter(min_side=512),
+                        batch_format="pyarrow")).to_pandas()
+    assert out.image_id.tolist() == [0]

@@ -1,0 +1,121 @@
+"""Serving-layer analogue (mmore_ray/serving.py): the reference's
+indexer job queue (job_queue.py:67-95) and retriever session semantics
+as library components — device slots are Ray actors, state advances on
+poll."""
+
+import pandas as pd
+import pytest
+
+from mmore_ray.serving import (DuplicateJobError, IndexJobQueue, JobStatus,
+                               QueueFullError, RetrieverSession)
+
+
+def _make_work():
+    # defined as a closure: cloudpickle ships it BY VALUE (a module-level
+    # test function would pickle by reference, unimportable in actors)
+    def work(device: str) -> dict:
+        return {"device": device, "ok": True}
+    return work
+
+
+def _make_boom():
+    def boom(device: str) -> dict:
+        raise RuntimeError("index job exploded")
+    return boom
+
+
+def _make_slow():
+    def slow(device: str) -> dict:
+        import time
+        time.sleep(0.3)
+        return {"device": device}
+    return slow
+
+
+def test_job_runs_on_a_device_slot_and_completes(ray_session):
+    q = IndexJobQueue(devices=["dev:0", "dev:1"])
+    try:
+        jid = q.submit("file-1", "a.pdf", _make_work())
+        job = q.wait(jid)
+        assert job.status == JobStatus.DONE
+        assert job.result["device"] in ("dev:0", "dev:1")
+        assert job.device == job.result["device"]
+        assert job.started_at and job.finished_at
+    finally:
+        q.shutdown()
+
+
+def test_duplicate_file_id_rejected_until_terminal(ray_session):
+    q = IndexJobQueue(devices=["dev:0"])
+    try:
+        jid = q.submit("file-1", "a.pdf", _make_slow())
+        with pytest.raises(DuplicateJobError):
+            q.submit("file-1", "a.pdf", _make_work())
+        q.wait(jid)
+        # terminal → the file_id frees up
+        jid2 = q.submit("file-1", "a.pdf", _make_work())
+        assert q.wait(jid2).status == JobStatus.DONE
+    finally:
+        q.shutdown()
+
+
+def test_queue_full_raises(ray_session):
+    q = IndexJobQueue(devices=["dev:0"], max_queue_size=2)
+    try:
+        q.submit("f1", "a", _make_slow())
+        q.submit("f2", "b", _make_slow())
+        with pytest.raises(QueueFullError):
+            q.submit("f3", "c", _make_work())
+    finally:
+        q.shutdown()
+
+
+def test_failed_job_records_error_and_frees_reservation(ray_session):
+    q = IndexJobQueue(devices=["dev:0"])
+    try:
+        jid = q.submit("f1", "a", _make_boom())
+        job = q.wait(jid)
+        assert job.status == JobStatus.FAILED
+        assert "index job exploded" in job.error
+        # failure releases the file_id like the reference's finally block
+        jid2 = q.submit("f1", "a", _make_work())
+        assert q.wait(jid2).status == JobStatus.DONE
+    finally:
+        q.shutdown()
+
+
+def test_retention_eviction(ray_session, monkeypatch):
+    import mmore_ray.serving as serving
+
+    q = IndexJobQueue(devices=["dev:0"])
+    try:
+        jid = q.submit("f1", "a", _make_work())
+        q.wait(jid)
+        monkeypatch.setattr(serving, "JOB_RETENTION_SECONDS", -1.0)
+        q.submit("f2", "b", _make_work())  # submit triggers eviction
+        assert q.get(jid) is None
+    finally:
+        q.shutdown()
+
+
+def test_retriever_session_query_and_lookup(ray_session, tmp_path):
+    import ray
+
+    from mmore_ray.stages.embed import index_documents
+
+    docs = pd.DataFrame({
+        "sample_id": [f"d{i}" for i in range(8)],
+        "text": [f"customer orders pending item{i}" for i in range(4)]
+        + [f"unrelated noise tokens {i}" for i in range(4)],
+    })
+    coll = tmp_path / "coll"
+    index_documents(ray.data.from_pandas(docs), str(coll))
+
+    sess = RetrieverSession(str(coll))
+    hits = sess.query("customer orders pending", k=3)
+    assert len(hits) == 3
+    assert all(h["sample_id"].startswith("d") for h in hits)
+    assert hits[0]["score"] >= hits[-1]["score"]
+
+    rows = sess.get_by_ids(["d0", "d5"])
+    assert sorted(r["sample_id"] for r in rows) == ["d0", "d5"]
