@@ -192,6 +192,13 @@ def main() -> None:
               for e in _mf.all_entries(out_dir)}
     shutil.rmtree(out_dir, ignore_errors=True)  # keep /tmp clean across runs
 
+    # Control-normalized timings: query_time / control_time cancels the
+    # host's between-session speed swings (>2x observed on this
+    # virtualized box — see BASELINE.md), so cross-round comparisons
+    # (BENCH_r2 vs r3) read the engine, not the hypervisor.
+    normalized = ({k: round(v / control, 3) for k, v in timings.items()}
+                  if control else {})
+
     result = {
         "phases": phases,
         "metric": "kg_full_run_sec (triple extraction+link+canonicalize+sort, "
@@ -199,6 +206,7 @@ def main() -> None:
         "value": headline,
         "unit": "sec",
         "queries": timings,
+        "normalized_by_control": normalized,
         "docs_per_sec": round(n_docs / headline, 1) if headline else None,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,

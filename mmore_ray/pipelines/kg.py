@@ -224,7 +224,8 @@ def _shard_filter(bucket: int, num_shards: int):
 def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
            gazetteer=None, alias: dict[str, str] | None = None,
            concurrency=_SCAN_CONCURRENCY, max_concurrent_shards: int = 2,
-           num_sorted_partitions: int = 32, warm_docs: int = 20_000) -> dict:
+           num_sorted_partitions: int = 32, warm_docs: int = 20_000,
+           tee_batch_size: int = 8_192) -> dict:
     """Sharded, resumable KG run.
 
     ``read_corpus`` is a factory returning a fresh corpus Dataset:
@@ -397,9 +398,17 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
             pq.write_table(part, f"{paths['_rollup']}/part-{tag}.parquet")
             return lineage_rows(batch)
 
+        # tee batch size bounds the spill fan-out: each tee batch writes
+        # ≤ num_sorted_partitions bucket files, so spill-file count (and
+        # finalize's per-partition open fan-in) scales 1/batch_size.
+        # NOT larger: scan+tee fuse into one operator, so this is also
+        # the scan task grain — 8192 keeps ≥ ~20 tasks per shard for
+        # load balance (16384 measured SLOWER end-to-end: 12 tasks on 8
+        # effective CPUs leaves a second-wave tail)
         lineage = (
             extract_docs(shard_corpus(shard), gazetteer, concurrency)
-            .map_batches(tee, batch_format="pyarrow", batch_size=4096)
+            .map_batches(tee, batch_format="pyarrow",
+                         batch_size=tee_batch_size)
         )
         lineage.write_parquet(paths["lineage"])
         # per-partition metrics from the lineage parquet (north rule:

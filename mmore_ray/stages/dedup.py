@@ -560,7 +560,10 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table(out)
 
     def add_bucket(df: pd.DataFrame) -> pa.Table:
-        df = df.copy()
+        # sz never rides the pair shuffle (docstring contract): sizes
+        # are joined back after the global c-sum, so shipping the
+        # per-doc constant here would be pure shuffle weight
+        df = df[["id", "shingle"]].copy()
         df[_BUCKET] = _bucket_of(df, ["shingle"], num_buckets)
         return pa.Table.from_pandas(df, preserve_index=False)
 

@@ -144,6 +144,8 @@ def merge_sorted_spills(spill_roots: list[Path], num_partitions: int,
 
     @ray.remote
     def merge(p: int) -> int:
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
         files = []
@@ -153,7 +155,13 @@ def merge_sorted_spills(spill_roots: list[Path], num_partitions: int,
                 files.extend(sorted(d.glob("*.parquet")))
         if not files:
             return 0
-        tbl = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
+        # threaded opens: the fan-in is one small spill file per
+        # (tee batch, partition) — hundreds of open+footer roundtrips
+        # whose latency (not bandwidth) dominates; parquet reads drop
+        # the GIL, so 8 threads ≈ 8x the open throughput per task
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            tables = list(pool.map(pq.read_table, sorted(files)))
+        tbl = pa.concat_tables(tables)
         # Arrow-native sort: C++ string comparisons, no pandas
         # object-array roundtrip (measured ~2x on the merge task)
         tbl = tbl.sort_by([(c, "ascending") for c in SORT_COLS])
