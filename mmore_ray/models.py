@@ -66,6 +66,25 @@ def provider_class(role: str, name: str | None = None) -> type:
     return table[chosen]
 
 
+_INSTANCES: dict[tuple[str, str], Any] = {}
+
+
+def get_instance(role: str, name: str | None = None, **kwargs) -> Any:
+    """A per-process singleton provider instance (no-kwargs path only —
+    custom kwargs always construct fresh).  Driver-side query paths
+    (``retrieve``/``RetrieverSession``) go through this so a real
+    checkpoint loads once per process, not once per query; actor pools
+    keep constructing per actor via :func:`provider_class`."""
+    cls = provider_class(role, name)
+    if kwargs:
+        return cls(**kwargs)
+    key = (role, cls.__qualname__)
+    inst = _INSTANCES.get(key)
+    if inst is None:
+        inst = _INSTANCES[key] = cls()
+    return inst
+
+
 def available(role: str, name: str) -> bool:
     """True iff the provider's heavy dependency imports (cheap probe
     used by the gated tests; never imports weights)."""
@@ -123,6 +142,7 @@ class SpladeSparseEmbedder:
         self._torch = torch
         self._tok = AutoTokenizer.from_pretrained(model_name)
         self._model = AutoModelForMaskedLM.from_pretrained(model_name)
+        self._device = device
         if device:
             self._model = self._model.to(device)
         self._k = top_k
@@ -131,6 +151,8 @@ class SpladeSparseEmbedder:
         torch = self._torch
         with torch.no_grad():
             enc = self._tok(text, return_tensors="pt", truncation=True)
+            if self._device:  # inputs must live where the model lives
+                enc = {k: v.to(self._device) for k, v in enc.items()}
             logits = self._model(**enc).logits[0]
             w = torch.max(torch.log1p(torch.relu(logits)), dim=0).values
             top = torch.topk(w, k=min(self._k, w.numel()))
@@ -190,9 +212,34 @@ class MarkerPdfParser:
             artifact_dict=create_model_dict(device=device))
 
     def parse_one(self, file_name: str, payload: bytes) -> dict:
-        rendered = self._converter(payload)
-        return {"file_path": file_name, "text": rendered.markdown,
-                "processor_type": "PDFProcessor"}
+        import os
+        import tempfile
+
+        # marker's converter takes a FILE PATH (the reference calls
+        # converter(str(file_path)), pdf_processor.py:100) — spool the
+        # payload to a temp file for the conversion
+        fd, tmp = tempfile.mkstemp(suffix=".pdf")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(payload)
+            rendered = self._converter(tmp)
+        finally:
+            os.unlink(tmp)
+        # the ProcessorBase.parse contract (text + modalities [+ metadata])
+        return {"text": rendered.markdown, "modalities": []}
+
+
+class MiniPdfParser:
+    """Default PDF provider: the engine's stdlib text-layer fast path
+    (``sources/pdfmini.py`` via ``PDFProcessor.parse_fast`` — the
+    reference's ``process_fast`` analogue, pdf_processor.py:258).  No
+    heavy dependencies; marker swaps in as ``pdf_parser="marker"`` /
+    ``MMORE_RAY_PDF_PARSER=marker``."""
+
+    def parse_one(self, file_name: str, payload: bytes) -> dict:
+        from .stages.processors import PDFProcessor
+
+        return PDFProcessor.parse_fast(file_name, payload)
 
 
 class WhisperTranscriber:
@@ -240,6 +287,13 @@ def _hf_ner_scanner() -> type:
                                  aggregation_strategy="simple",
                                  device=device)
 
+        #: character window / overlap for long documents: BERT-family
+        #: NER models cap at 512 tokens, so the pipeline is fed
+        #: overlapping windows and entity offsets are rebased — without
+        #: this any real document past the model limit crashes the run
+        WINDOW_CHARS = 2000
+        OVERLAP_CHARS = 200
+
         def _scan(self, content: str):
             if not content:
                 return [], []
@@ -247,18 +301,39 @@ def _hf_ner_scanner() -> type:
 
             counts: dict[str, list[int]] = {}
             order: list[str] = []
-            for ent in self._ner(content):
-                s, t = str(ent["word"]), str(ent["entity_group"])
-                slot = counts.get(s)
-                if slot is None:
-                    counts[s] = [1, int(ent["start"])]
-                    order.append(s)
-                    self._type_of[s] = t
-                    self._entity_of[s] = (
-                        str(clean_str(s.upper())), str(clean_str(t.upper())),
-                        str(clean_str(f"MENTION OF {s.upper()}")))
-                else:
-                    slot[0] += 1
+            seen_starts: set[int] = set()  # overlap re-detections
+            pos, n = 0, len(content)
+            while pos < n:
+                end = min(pos + self.WINDOW_CHARS, n)
+                chunk = content[pos:end]
+                for ent in self._ner(chunk):
+                    # an entity touching a non-final window's cut may be
+                    # TRUNCATED — drop it here; the next window (which
+                    # starts OVERLAP_CHARS before the cut) re-detects it
+                    # whole.  Without this, the truncated surface claims
+                    # the start offset and the full re-detection is
+                    # skipped as a duplicate.
+                    if end < n and int(ent["end"]) >= len(chunk):
+                        continue
+                    start = pos + int(ent["start"])
+                    if start in seen_starts:
+                        continue
+                    seen_starts.add(start)
+                    s, t = str(ent["word"]), str(ent["entity_group"])
+                    slot = counts.get(s)
+                    if slot is None:
+                        counts[s] = [1, start]
+                        order.append(s)
+                        self._type_of[s] = t
+                        self._entity_of[s] = (
+                            str(clean_str(s.upper())),
+                            str(clean_str(t.upper())),
+                            str(clean_str(f"MENTION OF {s.upper()}")))
+                    else:
+                        slot[0] += 1
+                if end >= n:
+                    break
+                pos = end - self.OVERLAP_CHARS
             return self._rows([(s, self._type_of[s]) for s in order], counts)
 
     return HFNERScanner
@@ -268,6 +343,7 @@ def _register_builtins() -> None:
     from .stages.embed import (FakeDenseEmbedder, FakeReranker,
                                FakeSparseEmbedder)
     from .stages.mentions import MentionScanner
+    from .stages.multimodal import AsrTranscriber
 
     register("dense_embedder", "fake", FakeDenseEmbedder, default=True)
     register("dense_embedder", "sentence-transformers",
@@ -278,8 +354,13 @@ def _register_builtins() -> None:
     register("reranker", "cross-encoder", CrossEncoderReranker)
     register("mention_scanner", "gazetteer", MentionScanner, default=True)
     register("mention_scanner", "hf-ner", _hf_ner_scanner())
-    register("pdf_parser", "marker", MarkerPdfParser, default=True)
-    register("asr", "whisper", WhisperTranscriber, default=True)
+    # defaults are always constructible in this env; the heavy
+    # providers opt in by name / env var (consumed by
+    # stages/processors.py PDFProcessor.parse and MediaProcessor.parse)
+    register("pdf_parser", "mini", MiniPdfParser, default=True)
+    register("pdf_parser", "marker", MarkerPdfParser)
+    register("asr", "fake", AsrTranscriber, default=True)
+    register("asr", "whisper", WhisperTranscriber)
 
 
 _register_builtins()

@@ -43,7 +43,6 @@ import ray.data
 from ..functions.hashing import stable_u64
 from ..stages.canonicalize import build_canonical_map
 from ..stages.linking import default_alias_dict
-from ..stages.mentions import MentionScanner
 from ..stages.triples import (
     doc_triples,
     explode_edges,
@@ -85,6 +84,10 @@ def extract_docs(corpus_ds, gazetteer=None, concurrency=_SCAN_CONCURRENCY,
     default is the gazetteer ``MentionScanner``; ``"hf-ner"`` swaps in
     a transformers token-classification model with no other pipeline
     change (the real-model seam — reference ``ner/extractor.py:36``)."""
+    # honor the registry's env-var resolution on the default path too:
+    # MMORE_RAY_MENTION_SCANNER=hf-ner must not silently fall through
+    # to the gazetteer fast path
+    scanner = scanner or os.environ.get("MMORE_RAY_MENTION_SCANNER") or None
     if gazetteer is None and scanner is None and not scanner_kwargs:
         from ..stages.mentions import scan_batch
 
@@ -94,8 +97,16 @@ def extract_docs(corpus_ds, gazetteer=None, concurrency=_SCAN_CONCURRENCY,
 
     scanner_cls = provider_class("mention_scanner", scanner)
     kwargs = dict(scanner_kwargs or {})
-    if gazetteer is not None and scanner_cls is MentionScanner:
-        kwargs.setdefault("gazetteer", gazetteer)
+    if gazetteer is not None:
+        import inspect as _inspect
+
+        sig = _inspect.signature(scanner_cls.__init__).parameters
+        if "gazetteer" not in sig or "gazetteer" in kwargs:
+            raise ValueError(
+                "gazetteer= requires a gazetteer-capable scanner provider; "
+                f"resolved {scanner_cls.__name__} — dropping the gazetteer "
+                "silently would change extraction semantics")
+        kwargs["gazetteer"] = gazetteer
     return corpus_ds.map_batches(
         scanner_cls,
         fn_constructor_kwargs=kwargs,

@@ -87,9 +87,10 @@ class _DeviceSlot:
 
 class IndexJobQueue:
     """≙ reference ``job_queue.JobQueue`` (job_queue.py:67-95) on Ray
-    actors.  ``submit`` returns a job id immediately; jobs dispatch to
-    the least-loaded device slot; state advances on every public call
-    via non-blocking ``ray.wait``."""
+    actors.  ``submit`` returns a job id immediately; QUEUED jobs wait
+    in a FIFO and bind to the first FREE device slot (one in-flight
+    call per slot); state advances on every public call via
+    non-blocking ``ray.wait``."""
 
     def __init__(self, devices: list[str], jobs_per_gpu: int = 1,
                  max_queue_size: int | None = None):
@@ -101,8 +102,14 @@ class IndexJobQueue:
             (_DeviceSlot.options(name=None).remote(d), d)
             for d in self.devices for _ in range(jobs_per_gpu)
         ]
-        self._inflight: dict[int, list[tuple[Any, str]]] = {
-            i: [] for i in range(len(self._slots))}
+        # at most ONE in-flight call per slot; QUEUED jobs wait in a
+        # FIFO and bind to a device only when a slot frees — the
+        # reference's first-free-device checkout (static binding at
+        # submit time would let a free device idle behind a long job
+        # queued on another slot)
+        self._inflight: dict[int, tuple[Any, str] | None] = {
+            i: None for i in range(len(self._slots))}
+        self._pending: list[tuple[str, Callable[[str], dict]]] = []
         self._jobs: dict[str, Job] = {}
         self._reserved: set[str] = set()
 
@@ -111,23 +118,16 @@ class IndexJobQueue:
     def submit(self, file_id: str, filename: str,
                work_fn: Callable[[str], dict]) -> str:
         self._poll()
-        self._evict_old()
         if file_id in self._reserved:
             raise DuplicateJobError(file_id)
         if self._pending_count() >= self.max_queue_size:
             raise QueueFullError()
         job_id = uuid.uuid4().hex
         self._reserved.add(file_id)
-        job = Job(id=job_id, file_id=file_id, filename=filename)
-        self._jobs[job_id] = job
-        # least-loaded slot = the reference's first-free-device checkout
-        slot_idx = min(self._inflight, key=lambda i: len(self._inflight[i]))
-        actor, device = self._slots[slot_idx]
-        ref = actor.run.remote(work_fn)
-        self._inflight[slot_idx].append((ref, job_id))
-        job.device = device
-        job.status = JobStatus.PROCESSING
-        job.started_at = time.time()
+        self._jobs[job_id] = Job(id=job_id, file_id=file_id,
+                                 filename=filename)
+        self._pending.append((job_id, work_fn))
+        self._dispatch()
         return job_id
 
     def get(self, job_id: str) -> Optional[Job]:
@@ -150,27 +150,46 @@ class IndexJobQueue:
             ray.kill(actor)
         self._slots = []
         self._inflight = {}
+        self._pending = []
 
     # -- internals --------------------------------------------------------
 
     def _poll(self) -> None:
-        for idx, lst in self._inflight.items():
-            still: list[tuple[Any, str]] = []
-            for ref, job_id in lst:
-                done, _ = ray.wait([ref], timeout=0)
-                if not done:
-                    still.append((ref, job_id))
-                    continue
-                job = self._jobs[job_id]
-                try:
-                    job.result = ray.get(ref)
-                    job.status = JobStatus.DONE
-                except Exception as e:  # noqa: BLE001 — error IS the result
-                    job.error = str(e)
-                    job.status = JobStatus.FAILED
-                job.finished_at = time.time()
-                self._reserved.discard(job.file_id)
-            self._inflight[idx] = still
+        for idx, slot in self._inflight.items():
+            if slot is None:
+                continue
+            ref, job_id = slot
+            done, _ = ray.wait([ref], timeout=0)
+            if not done:
+                continue
+            job = self._jobs[job_id]
+            try:
+                job.result = ray.get(ref)
+                job.status = JobStatus.DONE
+            except Exception as e:  # noqa: BLE001 — error IS the result
+                job.error = str(e)
+                job.status = JobStatus.FAILED
+            job.finished_at = time.time()
+            self._reserved.discard(job.file_id)
+            self._inflight[idx] = None
+        self._dispatch()
+        self._evict_old()
+
+    def _dispatch(self) -> None:
+        """FIFO jobs onto free slots; a job transitions QUEUED →
+        PROCESSING (device bound, started_at stamped) only here."""
+        for idx in self._inflight:
+            if not self._pending:
+                return
+            if self._inflight[idx] is not None:
+                continue
+            job_id, work_fn = self._pending.pop(0)
+            actor, device = self._slots[idx]
+            job = self._jobs[job_id]
+            job.device = device
+            job.status = JobStatus.PROCESSING
+            job.started_at = time.time()
+            self._inflight[idx] = (actor.run.remote(work_fn), job_id)
 
     def _pending_count(self) -> int:
         return sum(not j.status.is_terminal for j in self._jobs.values())

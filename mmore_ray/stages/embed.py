@@ -164,12 +164,14 @@ def retrieve(collection_dir: str, query_text: str, k: int = 5,
     collection."""
     import ray.data
 
-    from ..models import provider_class
+    from ..models import get_instance, provider_class
 
-    dense_q = provider_class("dense_embedder",
-                             dense_provider)().embed_one(query_text)
-    sq_idx, sq_val = provider_class("sparse_embedder",
-                                    sparse_provider)().embed_one(query_text)
+    # per-process singleton instances: a real checkpoint loads once per
+    # process, not once per query (RetrieverSession serves many)
+    dense_q = get_instance("dense_embedder",
+                           dense_provider).embed_one(query_text)
+    sq_idx, sq_val = get_instance("sparse_embedder",
+                                  sparse_provider).embed_one(query_text)
     sparse_q = dict(zip(sq_idx, sq_val))
     q_ref = ray.put((dense_q, sparse_q))
 

@@ -168,6 +168,11 @@ class AsrTranscriber:
             return rest[:int(tlen)].decode("utf-8")
         return ""
 
+    # public provider contract (models.py asr role; WhisperTranscriber
+    # implements the same method)
+    def transcribe(self, payload: bytes) -> str:
+        return self._transcribe(payload)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [self._transcribe(p)
                  for p in batch.column("audio_bytes").to_pylist()]

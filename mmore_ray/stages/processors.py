@@ -320,9 +320,19 @@ class PDFProcessor(ProcessorBase):
 
     @classmethod
     def parse(cls, file_name: str, payload) -> dict:
+        data = payload.encode("latin-1") if isinstance(payload, str) else payload
+        from ..models import MiniPdfParser, get_instance, provider_class
+
+        # the full marker path (or any other provider) drops in by name
+        # or MMORE_RAY_PDF_PARSER — zero pipeline edits (models.py seam)
+        if provider_class("pdf_parser") is not MiniPdfParser:
+            return get_instance("pdf_parser").parse_one(file_name, data)
+        return cls.parse_fast(file_name, data)
+
+    @classmethod
+    def parse_fast(cls, file_name: str, data: bytes) -> dict:
         from ..sources.pdfmini import extract_pages
 
-        data = payload.encode("latin-1") if isinstance(payload, str) else payload
         pages = extract_pages(data)
         if not pages:
             # parity with the reference's per-file failure path: an
@@ -371,21 +381,26 @@ class MediaProcessor(ProcessorBase):
 
     @classmethod
     def parse(cls, file_name: str, payload) -> dict:
+        from ..models import get_instance, provider_class
         from .multimodal import AsrTranscriber
 
         data = payload.encode("latin-1") if isinstance(payload, str) else payload
         frames = 0
+        # FAKE payloads ALWAYS decode through the fake transcriber —
+        # a configured real provider must not be fed marker bytes
         if data.startswith(b"FAKEVID:"):
             _, secs, alen, rest = data.split(b":", 3)
-            audio = rest[:int(alen)]
             frames = max(int(secs) // cls.FRAME_SAMPLE_RATE, 1)
+            transcript = AsrTranscriber().transcribe(rest[:int(alen)])
         elif data.startswith(b"FAKEAUD:"):
-            audio = data
-        else:
+            transcript = AsrTranscriber().transcribe(data)
+        elif provider_class("asr") is AsrTranscriber:
             raise NotImplementedError(
-                "real media decode requires moviepy/whisper (not in env); "
+                "real media decode requires a non-fake asr provider "
+                "(MMORE_RAY_ASR=whisper; whisper/moviepy not in env); "
                 "FAKEAUD/FAKEVID payloads exercise the full plumbing")
-        transcript = AsrTranscriber()._transcribe(audio)
+        else:  # a real provider consumes the raw container directly
+            transcript = get_instance("asr").transcribe(data)
         parts = [clean_text(transcript)] if transcript else []
         modalities = [{"type": "image", "value": f"frame:{i}"}
                       for i in range(frames)]

@@ -171,3 +171,57 @@ def test_real_hf_ner_scanner_loads_in_actor_init(ray_session):
         "content": ["Barack Obama visited Google in California."]}))
     docs = extract_docs(corpus, scanner="hf-ner", concurrency=1).to_pandas()
     assert len(docs) == 1 and len(docs.iloc[0]["mentions"]) > 0
+
+
+def test_env_var_reaches_extract_docs_default_path(ray_session, monkeypatch):
+    """MMORE_RAY_MENTION_SCANNER must not silently fall through to the
+    gazetteer fast path when run_kg/extract_docs is called with no
+    explicit scanner (the registry's documented resolution order)."""
+    import ray
+
+    from mmore_ray.pipelines.kg import extract_docs
+    from mmore_ray.stages.mentions import MentionScanner
+
+    class OneEntityScanner(MentionScanner):
+        def __init__(self):
+            super().__init__(gazetteer=[])
+            from mmore_ray.functions.textfns import clean_str
+            self._type_of["Env"] = "ORGANIZATION"
+            self._entity_of["Env"] = (
+                str(clean_str("ENV")), str(clean_str("ORGANIZATION")),
+                str(clean_str("MENTION OF ENV")))
+
+        def _scan(self, content):
+            if not content:
+                return [], []
+            return self._rows([("Env", "ORGANIZATION")], {"Env": [1, 0]})
+
+    models.register("mention_scanner", "env-test", OneEntityScanner)
+    monkeypatch.setenv("MMORE_RAY_MENTION_SCANNER", "env-test")
+    corpus = ray.data.from_pandas(pd.DataFrame({
+        "repo": ["r"], "path": ["p.py"], "commit": ["c"],
+        "lang": ["python"], "content": ["anything"]}))
+    docs = extract_docs(corpus, concurrency=1).to_pandas()
+    assert [m["entity_key"] for m in docs.iloc[0]["mentions"]] == ["ENV"]
+
+
+def test_gazetteer_with_incompatible_provider_raises(ray_session,
+                                                     monkeypatch):
+    import ray
+
+    from mmore_ray.pipelines.kg import extract_docs
+
+    class NoGazScanner:
+        def __init__(self):
+            pass
+
+        def __call__(self, batch):
+            return batch
+
+    models.register("mention_scanner", "nogaz-test", NoGazScanner)
+    corpus = ray.data.from_pandas(pd.DataFrame({
+        "repo": ["r"], "path": ["p"], "commit": ["c"], "lang": ["l"],
+        "content": ["x"]}))
+    with pytest.raises(ValueError, match="gazetteer-capable"):
+        extract_docs(corpus, gazetteer=[("A", "ORGANIZATION", "kb:A")],
+                     scanner="nogaz-test")

@@ -119,3 +119,46 @@ def test_retriever_session_query_and_lookup(ray_session, tmp_path):
 
     rows = sess.get_by_ids(["d0", "d5"])
     assert sorted(r["sample_id"] for r in rows) == ["d0", "d5"]
+
+
+def test_queued_jobs_report_queued_until_a_slot_frees(ray_session):
+    """One device slot: the second job must report QUEUED (not
+    PROCESSING) while the first occupies the slot, and its started_at
+    must reflect dispatch, not submit."""
+    q = IndexJobQueue(devices=["dev:0"])
+    try:
+        j1 = q.submit("f1", "a", _make_slow())
+        j2 = q.submit("f2", "b", _make_work())
+        assert q.get(j1).status == JobStatus.PROCESSING
+        snap = q.get(j2)
+        assert snap.status == JobStatus.QUEUED
+        assert snap.device is None and snap.started_at is None
+        assert q.wait(j2).status == JobStatus.DONE
+    finally:
+        q.shutdown()
+
+
+def test_free_device_picks_up_queued_job_not_bound_to_busy_slot(ray_session):
+    """Two devices, three jobs (long, short, short): the third job must
+    run as soon as EITHER device frees — dynamic dispatch, no static
+    slot binding."""
+    def _make_long():
+        def long(device: str) -> dict:
+            import time
+            time.sleep(2.0)
+            return {"device": device}
+        return long
+
+    q = IndexJobQueue(devices=["dev:0", "dev:1"])
+    try:
+        j1 = q.submit("f1", "a", _make_long())
+        q.submit("f2", "b", _make_work())
+        j3 = q.submit("f3", "c", _make_work())
+        job = q.wait(j3, timeout=10)
+        # the dispatch property, host-speed-independent: j3 completed on
+        # the freed fast slot while the 2 s job still held the other
+        assert job.status == JobStatus.DONE
+        assert q.get(j1).status == JobStatus.PROCESSING
+        q.wait(j1)
+    finally:
+        q.shutdown()
