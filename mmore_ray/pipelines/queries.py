@@ -2583,3 +2583,48 @@ assert set(_DRIVER_ORDER) == set(QUERIES), (
     sorted(set(_DRIVER_ORDER) ^ set(QUERIES)))
 assert len(_DRIVER_ORDER) == 50, len(_DRIVER_ORDER)
 QUERIES = {k: QUERIES[k] for k in _DRIVER_ORDER}
+
+
+def q_fingerprint(sf_dir: str):
+    """Per-document winnowing fingerprint (the text-analysis ladder's
+    document-fingerprinting component; the reference has no analogue):
+    4-word spans → md5 hash → the 8 smallest distinct values per doc,
+    comma-joined sorted.  The md5 variant exists exactly so DuckDB can
+    value-check the whole distributed computation
+    (``md5_number_lower`` parity probed in
+    stages/text_analysis.fingerprint_md5_batch); the crc32 rolling
+    variant shares the span logic and is pinned in pytest
+    (tests/test_dedup_similarity.py)."""
+    from ..stages.text_analysis import fingerprint_md5_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+            "fingerprint": pa.array(fingerprint_md5_batch(df["text"]),
+                                    pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# EXTRA (pytest-gated) — the driver registry is frozen at 50 above
+EXTRA_QUERIES["q_fingerprint"] = q_fingerprint
+EXTRA_ORACLES["q_fingerprint"] = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) < 4 THEN array_to_string(ws, ' ')
+                  ELSE array_to_string(ws[i : i+3], ' ') END AS span
+      FROM w, unnest(range(1, greatest(len(ws) - 3, 1) + 1)) AS t(i)
+    ),
+    h AS (SELECT DISTINCT doc_id,
+                 md5_number_lower(span) % 4611686018427387904 AS hv
+          FROM sp),
+    r AS (SELECT doc_id, hv,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY hv) AS rn
+          FROM h)
+    SELECT doc_id,
+           string_agg(CAST(hv AS VARCHAR), ',' ORDER BY hv) AS fingerprint
+    FROM r WHERE rn <= 8 GROUP BY doc_id"""

@@ -124,6 +124,31 @@ def count_tokens(text: str) -> int:
     return len(_TOKEN_RE.findall(text))
 
 
+def fingerprint_md5_batch(s: pd.Series, window: int = 4,
+                          keep: int = 8) -> list[str]:
+    """Winnowing fingerprints as comma-joined sorted ints, md5-hashed so
+    a SQL oracle can value-check them (DuckDB ``md5_number_lower(x)`` ==
+    ``struct.unpack('<Q', md5(x).digest()[8:])[0]`` — probed, not
+    assumed; reduced mod 2⁶² so the value fits BIGINT on both sides).
+    Same span construction as :func:`fingerprint_rolling`."""
+    import hashlib
+    import struct
+
+    out = []
+    mod = 1 << 62
+    for text in s:
+        ws = text.split(" ")
+        if len(ws) < window:
+            spans = [" ".join(ws)]
+        else:
+            spans = [" ".join(ws[i:i + window])
+                     for i in range(len(ws) - window + 1)]
+        hs = {struct.unpack("<Q", hashlib.md5(sp.encode()).digest()[8:])[0]
+              % mod for sp in spans}
+        out.append(",".join(str(h) for h in sorted(hs)[:keep]))
+    return out
+
+
 def fingerprint_rolling(text: str, window: int = 4, keep: int = 8) -> list[int]:
     """Winnowing-style document fingerprint: crc32 over each
     ``window``-word span, keep the ``keep`` smallest values (sorted).
