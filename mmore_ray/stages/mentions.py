@@ -185,6 +185,31 @@ class MentionScanner:
         # (measured 3x slower than plain search).
         self._pattern = (re.compile(_trie_regex([s for s, _ in ordered]))
                          if ordered else None)
+        # Arrow/re2 presence pre-filter: one SIMD DFA pass over the
+        # batch decides WHICH docs contain any surface at all; docs
+        # with none skip the (much slower) Python position scan
+        # entirely.  Real corpora are mostly entity-free, so this is a
+        # first-order 100-TB win; it is ADAPTIVE — when a corpus turns
+        # out to be match-heavy (>90% of the first 20k docs), the
+        # pre-filter switches itself off and the pass is saved instead.
+        # Presence semantics for a pure-literal alternation are
+        # identical in re and re2; the probe below catches any
+        # re2-incompatible escape and falls back to scanning everything.
+        # Only the base _scan may be skipped on no-match — model-backed
+        # subclasses (models.HFNERScanner) detect without the pattern.
+        self._prefilter: str | None = None
+        self._prefilter_seen = 0
+        self._prefilter_hits = 0
+        if ordered and type(self)._scan is MentionScanner._scan:
+            import pyarrow.compute as _pc
+
+            src = _trie_regex([s for s, _ in ordered])
+            try:
+                _pc.match_substring_regex(pa.array([""], pa.string()),
+                                          pattern=src)
+                self._prefilter = src
+            except Exception:
+                self._prefilter = None
         # Fast graph path: the render→parse string roundtrip is pure
         # per-doc overhead (~40% of scan CPU measured) when no surface
         # contains a delimiter — the parsed graph is then a closed-form
@@ -312,10 +337,29 @@ class MentionScanner:
         # pure function of content — so scan each distinct content once
         # per batch, keyed by the sha256 already computed for lineage.
         # Cost when all rows are distinct: one dict probe per row.
+        keep = None
+        if self._prefilter is not None:
+            import pyarrow.compute as _pc
+
+            mask = _pc.match_substring_regex(
+                batch.column("content").cast(pa.string()),
+                pattern=self._prefilter)
+            keep = mask.to_pylist()  # None (null content) skips too
+            self._prefilter_seen += len(keep)
+            self._prefilter_hits += sum(1 for k in keep if k)
+            if (self._prefilter_seen >= 20_000
+                    and self._prefilter_hits > 0.9 * self._prefilter_seen):
+                # match-heavy corpus: the presence pass is pure overhead
+                self._prefilter = None
         mention_col, edge_col = [], []
         memo: dict[str, tuple[list[dict], list[dict]]] = {}
-        for sha, content in zip(batch.column("content_sha256").to_pylist(),
-                                batch.column("content").to_pylist()):
+        for i, (sha, content) in enumerate(
+                zip(batch.column("content_sha256").to_pylist(),
+                    batch.column("content").to_pylist())):
+            if keep is not None and not keep[i]:
+                mention_col.append([])
+                edge_col.append([])
+                continue
             hit = memo.get(sha)
             if hit is None:
                 hit = memo[sha] = self._scan(content)

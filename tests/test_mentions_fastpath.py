@@ -172,3 +172,37 @@ def test_gazetteer_scale_trie_and_clique_cap():
                     for i in range(5000))
     m2, e2 = sc._scan(doc2)
     assert len(m2) == 3 and len(e2) == 3
+
+
+def test_re2_prefilter_equality_and_adaptive_disable():
+    """The Arrow/re2 presence pre-filter must be invisible in results
+    (mixed corpus: entity-free docs skip the Python scan, matching docs
+    don't) and must switch itself off on match-heavy corpora."""
+    import pyarrow as pa
+
+    from mmore_ray.sources.corpus import GAZETTEER
+    from mmore_ray.stages.mentions import MentionScanner
+
+    surf = GAZETTEER[0][0]
+    texts = [f"mentions {surf} here" if i % 3 == 0 else f"nothing here {i}"
+             for i in range(300)]
+    batch = pa.table({"repo": ["r"] * 300,
+                      "path": [f"p{i}" for i in range(300)],
+                      "commit": ["c"] * 300, "lang": ["t"] * 300,
+                      "content": pa.array(texts, pa.string())})
+    with_pf = MentionScanner()
+    assert with_pf._prefilter is not None
+    no_pf = MentionScanner()
+    no_pf._prefilter = None
+    assert with_pf(batch).equals(no_pf(batch))
+
+    # adaptive disable: >90% matching over >=20k docs turns it off
+    hot = MentionScanner()
+    hot_batch = pa.table({"repo": ["r"] * 1000,
+                          "path": [f"p{i}" for i in range(1000)],
+                          "commit": ["c"] * 1000, "lang": ["t"] * 1000,
+                          "content": pa.array([f"{surf} again {i}"
+                                               for i in range(1000)])})
+    for _ in range(21):
+        hot(hot_batch)
+    assert hot._prefilter is None
