@@ -861,7 +861,7 @@ def embedding_near_dup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     column (per-batch bincount partials combined on the driver —
     ``n_centroids`` values, no shuffle)."""
     from .groupby import bucketed_agg
-    from .similarity import _normalize, train_centroids
+    from .similarity import train_centroids
 
     sample = ds.select_columns([vec_col]).limit(train_sample).to_pandas()
     Vs = np.array(sample[vec_col].tolist(), dtype=np.float64)
@@ -870,10 +870,12 @@ def embedding_near_dup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     dim = Vs.shape[1]
 
     def assign(batch: pa.Table) -> pa.Table:
+        from .similarity import _ids_and_vectors
+
         Cn = ray.get(c_ref)
-        ids = np.array(batch.column(id_col).to_pylist(), dtype=np.int64)
-        Vn = _normalize(np.array(batch.column(vec_col).to_pylist(),
-                                 dtype=np.float64))
+        # Arrow-native extraction (list_flatten → reshape, no per-float
+        # Python objects) — this runs over every corpus vector
+        ids, Vn = _ids_and_vectors(batch, id_col, vec_col)
         npb = min(nprobe, len(Cn))
         probes = np.argsort(-(Vn @ Cn.T), axis=1)[:, :npb]  # (n, nprobe)
         reps = np.repeat(np.arange(len(ids)), npb)
@@ -922,7 +924,12 @@ def embedding_near_dup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
                 "task", pa.array(task, pa.int64())).append_column(
                 "split", pa.array(np.zeros(len(t), np.int64))).drop_columns(
                 ["bucket"])
-        s_arr = np.array([sp.get(int(b), 1) for b in bucket], dtype=np.int64)
+        # vectorized split-count lookup (centroid-indexed table, not a
+        # per-row dict probe — this map runs over every assigned row)
+        lut = np.ones(len(C), dtype=np.int64)
+        for b, s in sp.items():
+            lut[b] = s
+        s_arr = lut[bucket]
         ids = t.column("id").to_numpy()
         my = ((ids.astype(np.uint64) * GOLD)
               % s_arr.astype(np.uint64)).astype(np.int64)
