@@ -437,15 +437,18 @@ def _verify_broadcast(pairs, id_set: set, source, id_col: str,
     (vectorized, driver-side over the gathered candidate texts — texts
     themselves never ship to the verify tasks) and looked up in the
     verify map task."""
+    import pyarrow.compute as pc
     import ray
 
-    id_ref = ray.put(id_set)
+    # broadcast as an Arrow array: the pick filter below scans the FULL
+    # corpus, so membership must be the vectorized is_in kernel, not a
+    # per-row Python set probe
+    id_ref = ray.put(pa.array(sorted(id_set), pa.int64()))
 
     def pick(batch: pa.Table) -> pa.Table:
         wanted = ray.get(id_ref)
-        mask = pa.array([i in wanted
-                         for i in batch.column(id_col).to_pylist()])
-        return batch.filter(mask)
+        return batch.filter(
+            pc.is_in(batch.column(id_col), value_set=wanted))
 
     picked = source.map_batches(pick, batch_format="pyarrow").take_all()
     arrs = _shingle_hash_arrays([r[text_col] for r in picked], k)

@@ -136,14 +136,16 @@ class FakeReranker:
 def get_by_ids(collection_dir: str, ids: list[str]):
     """≙ Milvus `id in [...]` expression lookup (rag/retriever.py:415-455):
     broadcast the id set, filter the collection."""
+    import pyarrow.compute as pc
     import ray.data
 
-    ref = ray.put(set(ids))
+    # vectorized membership over the whole collection scan
+    ref = ray.put(pa.array(sorted(set(ids)), pa.string()))
 
     def fn(batch: pa.Table) -> pa.Table:
         want = ray.get(ref)
-        mask = [i in want for i in batch.column("sample_id").to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        return batch.filter(
+            pc.is_in(batch.column("sample_id"), value_set=want))
 
     from mmore_ray.sources.readers import read_parquet_clean
 
