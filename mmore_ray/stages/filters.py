@@ -92,9 +92,14 @@ def lang_filter(allowed: set[str]) -> Callable:
         if "lang" in batch.column_names:
             langs = batch.column("lang").to_pylist()
         else:
-            from .text_analysis import detect_lang
+            import pandas as pd
 
-            langs = [detect_lang(t) for t in batch.column("text").to_pylist()]
+            from .text_analysis import detect_lang_batch
+
+            # vectorized classifier (one compiled-regex scan per
+            # language), identical answers to per-row detect_lang
+            langs = detect_lang_batch(
+                pd.Series(batch.column("text").to_pylist()))
         return _keep(batch, [lg in allowed for lg in langs])
 
     return fn

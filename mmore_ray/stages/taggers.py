@@ -19,14 +19,25 @@ TAG_COLUMNS = ["word_count", "modalities_count", "lang", "text_md5",
                "content_sha256"]
 
 
+def _clean_text_array(batch: pa.Table) -> pa.ChunkedArray:
+    """The text column minus attachment tags, as an Arrow array
+    (vectorized replace — taggers run per corpus document)."""
+    import pyarrow.compute as pc
+
+    return pc.replace_substring(batch.column("text"), ATTACHMENT_TAG, "")
+
+
 def _clean_texts(batch: pa.Table) -> list[str]:
-    return [t.replace(ATTACHMENT_TAG, "")
-            for t in batch.column("text").to_pylist()]
+    return _clean_text_array(batch).to_pylist()
 
 
 def tag_words(batch: pa.Table) -> pa.Table:
-    counts = [len(t.split()) for t in _clean_texts(batch)]
-    return batch.append_column("word_count", pa.array(counts, pa.int64()))
+    import pyarrow.compute as pc
+
+    # len(text.split()) == number of \S+ runs — one Arrow regex count
+    counts = pc.count_substring_regex(
+        _clean_text_array(batch), r"\S+").cast(pa.int64())
+    return batch.append_column("word_count", counts)
 
 
 def tag_modalities(batch: pa.Table) -> pa.Table:
@@ -37,9 +48,13 @@ def tag_modalities(batch: pa.Table) -> pa.Table:
 
 
 def tag_lang(batch: pa.Table) -> pa.Table:
-    from .text_analysis import detect_lang
+    import pandas as pd
 
-    langs = [detect_lang(t) for t in _clean_texts(batch)]
+    from .text_analysis import detect_lang_batch
+
+    # vectorized classifier — identical answers to per-row detect_lang
+    langs = detect_lang_batch(
+        pd.Series(_clean_text_array(batch).to_pandas(), copy=False))
     return batch.append_column("lang", pa.array(langs, pa.string()))
 
 
