@@ -442,8 +442,9 @@ def _verify_broadcast(pairs, id_set: set, source, id_col: str,
 
     # broadcast as an Arrow array: the pick filter below scans the FULL
     # corpus, so membership must be the vectorized is_in kernel, not a
-    # per-row Python set probe
-    id_ref = ray.put(pa.array(sorted(id_set), pa.int64()))
+    # per-row Python set probe.  Type is inferred (ids may be strings —
+    # the join plan is type-agnostic and this plan must match it).
+    id_ref = ray.put(pa.array(sorted(id_set)))
 
     def pick(batch: pa.Table) -> pa.Table:
         wanted = ray.get(id_ref)

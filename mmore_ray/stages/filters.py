@@ -88,19 +88,25 @@ def lang_filter(allowed: set[str]) -> Callable:
     """Keep docs whose detected language is in ``allowed`` (uses the
     ``lang`` tag column when present, else detects)."""
 
-    def fn(batch: pa.Table) -> pa.Table:
-        if "lang" in batch.column_names:
-            langs = batch.column("lang").to_pylist()
-        else:
-            import pandas as pd
+    allowed_arr = pa.array(sorted(allowed), pa.string())
 
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "lang" in batch.column_names:
+            langs = batch.column("lang")
+        else:
             from .text_analysis import detect_lang_batch
 
             # vectorized classifier (one compiled-regex scan per
-            # language), identical answers to per-row detect_lang
-            langs = detect_lang_batch(
-                pd.Series(batch.column("text").to_pylist()))
-        return _keep(batch, [lg in allowed for lg in langs])
+            # language), identical answers to per-row detect_lang;
+            # null text → 'unknown'
+            langs = pa.array(
+                detect_lang_batch(batch.column("text").to_pandas()),
+                pa.string())
+        # is_in yields null for null lang values; filter drops them —
+        # same as the per-row `lg in allowed` (None is never allowed)
+        return batch.filter(pc.is_in(langs, value_set=allowed_arr))
 
     return fn
 

@@ -183,8 +183,8 @@ class MentionScanner:
         # oracle does).  A capturing-lookahead pattern has the same
         # semantics but defeats the engine's scan optimizations
         # (measured 3x slower than plain search).
-        self._pattern = (re.compile(_trie_regex([s for s, _ in ordered]))
-                         if ordered else None)
+        trie_src = _trie_regex([s for s, _ in ordered]) if ordered else None
+        self._pattern = re.compile(trie_src) if trie_src else None
         # Arrow/re2 presence pre-filter: one SIMD DFA pass over the
         # batch decides WHICH docs contain any surface at all; docs
         # with none skip the (much slower) Python position scan
@@ -200,14 +200,16 @@ class MentionScanner:
         self._prefilter: str | None = None
         self._prefilter_seen = 0
         self._prefilter_hits = 0
-        if ordered and type(self)._scan is MentionScanner._scan:
+        if trie_src and type(self)._scan is MentionScanner._scan:
             import pyarrow.compute as _pc
 
-            src = _trie_regex([s for s, _ in ordered])
+            # the SAME rendered source self._pattern compiled from —
+            # deriving it independently could desynchronize the
+            # prefilter from the scan (skip must imply empty result)
             try:
                 _pc.match_substring_regex(pa.array([""], pa.string()),
-                                          pattern=src)
-                self._prefilter = src
+                                          pattern=trie_src)
+                self._prefilter = trie_src
             except Exception:
                 self._prefilter = None
         # Fast graph path: the render→parse string roundtrip is pure

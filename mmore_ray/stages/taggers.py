@@ -31,12 +31,22 @@ def _clean_texts(batch: pa.Table) -> list[str]:
     return _clean_text_array(batch).to_pylist()
 
 
+# re2's \s is ASCII-only; this class is the exact Python str.split()
+# whitespace set (every cp where chr(c).isspace(), enumerated + fuzzed
+# against len(t.split()) over 5k random unicode docs) so NBSP/U+2028-
+# laden web text counts identically to the per-row reference semantics.
+_PY_WS = (r"\t\n\x0b\x0c\r\x1c-\x1f \x85\xa0\x{1680}\x{2000}-\x{200a}"
+          r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}")
+_WORD_RUN = f"[^{_PY_WS}]+"
+
+
 def tag_words(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
-    # len(text.split()) == number of \S+ runs — one Arrow regex count
+    # len(text.split()) == number of non-whitespace runs — one Arrow
+    # regex count
     counts = pc.count_substring_regex(
-        _clean_text_array(batch), r"\S+").cast(pa.int64())
+        _clean_text_array(batch), _WORD_RUN).cast(pa.int64())
     return batch.append_column("word_count", counts)
 
 
@@ -48,13 +58,10 @@ def tag_modalities(batch: pa.Table) -> pa.Table:
 
 
 def tag_lang(batch: pa.Table) -> pa.Table:
-    import pandas as pd
-
     from .text_analysis import detect_lang_batch
 
     # vectorized classifier — identical answers to per-row detect_lang
-    langs = detect_lang_batch(
-        pd.Series(_clean_text_array(batch).to_pandas(), copy=False))
+    langs = detect_lang_batch(_clean_text_array(batch).to_pandas())
     return batch.append_column("lang", pa.array(langs, pa.string()))
 
 

@@ -73,10 +73,13 @@ def detect_lang_batch(s: pd.Series) -> np.ndarray:
     """Vectorized :func:`detect_lang` over a text column — one compiled
     regex scan per language instead of a Python loop per document
     (this is the 100-TB hot path).  np.argmax returns the FIRST max,
-    which is the same ascending-language tie-break."""
+    which is the same ascending-language tie-break.  Null text rows
+    classify as 'unknown' (str.count yields NaN there, which would
+    otherwise poison argmax into a confident wrong tag)."""
     langs = sorted(LANG_PROFILES)
     scores = np.stack(
-        [s.str.count(_LANG_RES[lang]).to_numpy() for lang in langs], axis=1)
+        [s.str.count(_LANG_RES[lang]).fillna(0).to_numpy()
+         for lang in langs], axis=1)
     out = np.array(langs, dtype=object)[np.argmax(scores, axis=1)]
     out[scores.max(axis=1) == 0] = "unknown"
     return out
@@ -137,16 +140,20 @@ def fingerprint_md5_batch(s: pd.Series, window: int = 4,
     out = []
     mod = 1 << 62
     for text in s:
-        ws = text.split(" ")
-        if len(ws) < window:
-            spans = [" ".join(ws)]
-        else:
-            spans = [" ".join(ws[i:i + window])
-                     for i in range(len(ws) - window + 1)]
         hs = {struct.unpack("<Q", hashlib.md5(sp.encode()).digest()[8:])[0]
-              % mod for sp in spans}
+              % mod for sp in _spans(text, window)}
         out.append(",".join(str(h) for h in sorted(hs)[:keep]))
     return out
+
+
+def _spans(text: str, window: int) -> list[str]:
+    """``window``-word spans of ``text`` (whole text when shorter).
+    Shared by both fingerprint kernels — their SQL/pytest oracles pin
+    identical span construction."""
+    ws = text.split(" ")
+    if len(ws) < window:
+        return [" ".join(ws)]
+    return [" ".join(ws[i:i + window]) for i in range(len(ws) - window + 1)]
 
 
 def fingerprint_rolling(text: str, window: int = 4, keep: int = 8) -> list[int]:
@@ -155,10 +162,5 @@ def fingerprint_rolling(text: str, window: int = 4, keep: int = 8) -> list[int]:
     Deterministic; equal fingerprints ⇒ likely near-identical runs."""
     import zlib
 
-    ws = text.split(" ")
-    if len(ws) < window:
-        spans = [" ".join(ws)]
-    else:
-        spans = [" ".join(ws[i:i + window]) for i in range(len(ws) - window + 1)]
-    hashes = sorted({zlib.crc32(s.encode()) for s in spans})
+    hashes = sorted({zlib.crc32(s.encode()) for s in _spans(text, window)})
     return [int(h) for h in hashes[:keep]]

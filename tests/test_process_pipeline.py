@@ -24,6 +24,29 @@ from mmore_ray.stages.processors import (
 from mmore_ray.stages.taggers import tag_hash, tag_lang, tag_words
 
 
+def test_tag_words_unicode_whitespace_matches_str_split():
+    # NBSP / U+2028 / vertical tab are split() whitespace but NOT re2
+    # \s — the tagger must count like len(text.split()) on web text
+    texts = ["foo\xa0bar", "foo\vbar", "a b", "a b\tc\n", "", " ",
+             "x　y z", "plain words here"]
+    t = pa.table({"text": texts})
+    got = tag_words(t).column("word_count").to_pylist()
+    assert got == [len(x.split()) for x in texts]
+
+
+def test_tag_lang_null_text_is_unknown():
+    # null text must tag 'unknown', never a confident language (NaN
+    # counts previously poisoned argmax into 'de')
+    t = pa.table({"text": pa.array([None, "the a and of to is"],
+                                   pa.string())})
+    assert tag_lang(t).column("lang").to_pylist() == ["unknown", "en"]
+
+    from mmore_ray.stages.filters import lang_filter
+
+    kept = lang_filter({"de"})(t)
+    assert kept.num_rows == 0  # null-text row must not pass a lang gate
+
+
 def test_dispatch_priority_and_accepts():
     assert dispatch("a.txt") is TextProcessor
     assert dispatch("b.md") is MarkdownProcessor
