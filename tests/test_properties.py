@@ -317,3 +317,31 @@ def test_scanner_n_occ_matches_sql_replace_formula(data):
         else:
             assert got[s][0] == want, (s, content, got[s][0], want)
             assert got[s][1] == content.find(s) + 1
+
+
+@settings(max_examples=100, deadline=None)
+@given(text=st.text(max_size=120))
+def test_tag_words_matches_python_split(text):
+    """The re2 whitespace class must count EXACTLY like
+    len(text.split()) for arbitrary unicode (NBSP, U+2028, vertical
+    tab, CJK space...)."""
+    from mmore_ray.stages.taggers import tag_words
+
+    t = pa.table({"text": pa.array([text], pa.string())})
+    assert tag_words(t).column("word_count").to_pylist() == [
+        len(text.split())]
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts=st.lists(
+    st.one_of(st.none(), st.text(alphabet=" abcdefghilmnorstuz的是了在",
+                                 max_size=80)),
+    min_size=1, max_size=30))
+def test_detect_lang_batch_matches_per_row(texts):
+    """Batch classifier == per-row classifier on every non-null row;
+    null rows classify 'unknown' (never a confident language)."""
+    from mmore_ray.stages.text_analysis import detect_lang, detect_lang_batch
+
+    got = list(detect_lang_batch(pd.Series(texts, dtype=object)))
+    for g, t in zip(got, texts):
+        assert g == ("unknown" if t is None else detect_lang(t))
