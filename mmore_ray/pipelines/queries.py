@@ -2628,3 +2628,100 @@ EXTRA_ORACLES["q_fingerprint"] = """
     SELECT doc_id,
            string_agg(CAST(hv AS VARCHAR), ',' ORDER BY hv) AS fingerprint
     FROM r WHERE rn <= 8 GROUP BY doc_id"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/dedup.decontaminate): flag
+    every corpus doc sharing an exact 8-word shingle with the
+    'benchmark' (every 53rd base doc's text) — corpus is documents ∪
+    near copies, so benchmark members and their perturbed copies must
+    both flag.  The benchmark-side gather is small BY DEFINITION (eval
+    suites are KBs; here 1/53 of the table) — the corpus side streams
+    through one broadcast membership map, no shuffle."""
+    from ..stages.dedup import decontaminate
+
+    bench_rows = (_read(sf_dir, "documents", ["doc_id", "text"])
+                  .map_batches(lambda t: t.filter(
+                      _mod_eq(t.column("doc_id"), 53)),
+                      batch_format="pyarrow")
+                  .take_all())
+    bench = [r["text"] for r in bench_rows]
+    return decontaminate(_docs_with_near_copies(sf_dir), bench,
+                         k=8).select_columns(["doc_id", "contaminated"])
+
+
+def q_redact_pii(sf_dir: str):
+    """PII redaction (stages/scrub.redact_pii): deterministic
+    email/IPv4/phone injection, then the vectorized RE2 scrub —
+    redacted text + per-doc redaction count, value-checked against
+    DuckDB's RE2 ``regexp_replace(..., 'g')`` on identical patterns."""
+    from ..stages.scrub import redact_pii
+
+    def inject(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype("int64")
+        s = i.astype(str)
+        text = df["text"].astype(str)
+        text = text.where(i % 3 != 0, text + " mail user" + s + "@ex"
+                          + (i % 7).astype(str) + ".org")
+        text = text.where(i % 4 != 0, text + " host 10."
+                          + (i % 200).astype(str) + ".3."
+                          + (i % 250).astype(str))
+        text = text.where(i % 5 != 0, text + " tel +41-22-555-"
+                          + (1000 + i % 9000).astype(str))
+        return pd.DataFrame({"doc_id": i, "text": text})
+
+    src = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        inject, batch_format="pandas")
+    return redact_pii(src).select_columns(
+        ["doc_id", "text", "n_redactions"])
+
+
+EXTRA_QUERIES["q_decontaminate"] = q_decontaminate
+EXTRA_ORACLES["q_decontaminate"] = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' extradup'
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    bw AS (SELECT string_split(text, ' ') AS ws
+           FROM documents WHERE doc_id % 53 = 0),
+    bsp AS (
+      SELECT DISTINCT CASE WHEN len(ws) < 8 THEN array_to_string(ws, ' ')
+                  ELSE array_to_string(ws[i : i+7], ' ') END AS span
+      FROM bw, unnest(range(1, greatest(len(ws) - 7, 1) + 1)) AS t(i)
+    ),
+    dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    dsp AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) < 8 THEN array_to_string(ws, ' ')
+                  ELSE array_to_string(ws[i : i+7], ' ') END AS span
+      FROM dw, unnest(range(1, greatest(len(ws) - 7, 1) + 1)) AS t(i)
+    ),
+    hits AS (SELECT DISTINCT d.doc_id FROM dsp d JOIN bsp b USING (span))
+    SELECT c.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM corpus c LEFT JOIN hits h USING (doc_id)"""
+
+EXTRA_QUERIES["q_redact_pii"] = q_redact_pii
+EXTRA_ORACLES["q_redact_pii"] = """
+    WITH src AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR)
+                || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END
+        || CASE WHEN doc_id % 4 = 0 THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
+                || '.3.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' tel +41-22-555-'
+                || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END AS text
+      FROM documents),
+    s1 AS (SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS n1,
+             regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           FROM src),
+    s2 AS (SELECT doc_id, n1,
+             len(regexp_extract_all(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n2,
+             regexp_replace(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t2
+           FROM s1)
+    SELECT doc_id,
+           regexp_replace(t2, '\\+\\d{1,3}[-. ]\\d{2,4}[-. ]\\d{3,4}[-. ]\\d{2,4}\\b', '<PHONE>', 'g') AS text,
+           n1 + n2 + len(regexp_extract_all(t2, '\\+\\d{1,3}[-. ]\\d{2,4}[-. ]\\d{3,4}[-. ]\\d{2,4}\\b')) AS n_redactions
+    FROM s2"""

@@ -997,3 +997,66 @@ def embedding_near_dup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         lambda df, keys: df.drop_duplicates(subset=["id_a", "id_b"]),
         num_buckets=num_buckets,
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(ds, benchmark_texts: list[str], text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 8, mode: str = "tag"):
+    """Benchmark decontamination: mark (``mode='tag'``, adds a bool
+    ``contaminated`` column) or drop (``mode='drop'``) every document
+    sharing at least one exact k-word shingle with any benchmark text —
+    the eval-overlap filter every published LLM data pipeline runs
+    (GPT-3 appx. C / The Pile use 13-gram overlap; reference has no
+    analogue — this is engine-extension surface like the dedup family).
+
+    Scale shape: the benchmark side is SMALL by definition (eval suites
+    are KBs–MBs, the corpus is TBs), so its shingles are built once
+    driver-side and broadcast via ``ray.put`` — corpus docs stream
+    through one vectorized ``map_batches`` membership test with NO
+    shuffle and no second pass.  Two-phase exactness: the uint64
+    window-hash pre-filter (shared :func:`_hashed_windows` kernel)
+    never misses a true string match (docs sharing a shingle share its
+    hash), and hash-hit rows are re-verified against the exact
+    benchmark shingle STRING set, so an accidental 64-bit collision
+    cannot condemn a clean document — output is value-exact vs a SQL
+    oracle, zero residual."""
+    import ray
+
+    if not benchmark_texts:
+        if mode == "drop":
+            return ds
+        return ds.map_batches(
+            lambda b: b.append_column(
+                "contaminated", pa.array([False] * len(b), pa.bool_())),
+            batch_format="pyarrow")
+    bench_strings = set()
+    for t in benchmark_texts:
+        bench_strings.update(shingle_set(t, k))
+    arr = pa.array(benchmark_texts, pa.string())
+    g, _, _ = _hashed_windows(arr, k)
+    bench_hashes = np.unique(g)
+    hashes_ref = ray.put(bench_hashes)
+    strings_ref = ray.put(bench_strings)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).cast(pa.string())
+        hset = ray.get(hashes_ref)
+        g, widx, _ = _hashed_windows(texts, k)
+        hit = np.zeros(len(batch), bool)
+        cand = np.unique(widx[np.isin(g, hset)])
+        if len(cand):
+            sset = ray.get(strings_ref)
+            # exact string verify only on the (rare) hash-hit rows
+            ok = [any(s in sset for s in
+                      shingle_set(texts[int(d)].as_py(), k))
+                  for d in cand]
+            hit[cand[ok]] = True
+        if mode == "drop":
+            return batch.filter(pa.array(~hit))
+        return batch.append_column("contaminated",
+                                   pa.array(hit, pa.bool_()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")

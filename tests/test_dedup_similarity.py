@@ -316,3 +316,45 @@ def test_jaccard_dedup_equals_naive_ground_truth(ray_session):
                 if j >= 3000:
                     want.add((ids[x], ids[y], j))
         assert got_set == want, f"trial {trial}"
+
+
+def test_decontaminate_tag_and_drop(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from mmore_ray.stages.dedup import decontaminate
+
+    docs = ["the quick brown fox jumps over the lazy dog today",
+            "completely unrelated text about ray data engines here now",
+            "the quick brown fox jumps over the lazy dog tomorrow",
+            "short doc",
+            "eval question text"]
+    bench = ["the quick brown fox jumps over the lazy dog",
+             "eval question text"]
+    ds = ray.data.from_arrow(pa.table(
+        {"doc_id": list(range(5)), "text": docs}))
+    out = decontaminate(ds, bench, k=8).to_pandas().sort_values(
+        "doc_id")["contaminated"].tolist()
+    # docs 0/2 share an 8-gram; doc 4 is a whole-short-text match;
+    # 1 and 3 are clean
+    assert out == [True, False, True, False, True]
+    assert decontaminate(ds, bench, k=8, mode="drop").count() == 2
+    # empty benchmark: everything clean, nothing dropped
+    assert decontaminate(ds, [], k=8).to_pandas()[
+        "contaminated"].tolist() == [False] * 5
+    assert decontaminate(ds, [], k=8, mode="drop").count() == 5
+
+
+def test_decontaminate_no_substring_leak(ray_session):
+    """A <k-word benchmark text only condemns whole-short-text equals,
+    never long docs merely CONTAINING it (k-gram semantics)."""
+    import pyarrow as pa
+    import ray.data
+    from mmore_ray.stages.dedup import decontaminate
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [0, 1],
+        "text": ["prefix eval question text suffix words making this long",
+                 "eval question text"]}))
+    out = decontaminate(ds, ["eval question text"], k=8).to_pandas(
+        ).sort_values("doc_id")["contaminated"].tolist()
+    assert out == [False, True]
