@@ -2725,3 +2725,31 @@ EXTRA_ORACLES["q_redact_pii"] = """
            regexp_replace(t2, '\\+\\d{1,3}[-. ]\\d{2,4}[-. ]\\d{3,4}[-. ]\\d{2,4}\\b', '<PHONE>', 'g') AS text,
            n1 + n2 + len(regexp_extract_all(t2, '\\+\\d{1,3}[-. ]\\d{2,4}[-. ]\\d{3,4}[-. ]\\d{2,4}\\b')) AS n_redactions
     FROM s2"""
+
+
+def q_token_budget_mix(sf_dir: str):
+    """Domain-mixture sampling (stages/mixing.sample_to_token_budget):
+    downsample each language to a 2000-token budget — hash-ordered
+    deterministic prefix per group, the doc crossing the boundary
+    included.  One bucketed-window shuffle; value-checked against the
+    SQL running-sum window."""
+    from ..stages.mixing import sample_to_token_budget
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return sample_to_token_budget(ds, "lang", budget=2000)
+
+
+EXTRA_QUERIES["q_token_budget_mix"] = q_token_budget_mix
+EXTRA_ORACLES["q_token_budget_mix"] = r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+             (doc_id * 2654435761) % 4294967296 AS h
+      FROM documents),
+    w AS (
+      SELECT *, sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY h, doc_id
+               ROWS UNBOUNDED PRECEDING) AS run
+      FROM t)
+    SELECT doc_id, lang, n_tokens FROM w WHERE run - n_tokens < 2000"""
