@@ -2753,3 +2753,42 @@ EXTRA_ORACLES["q_token_budget_mix"] = r"""
                ROWS UNBOUNDED PRECEDING) AS run
       FROM t)
     SELECT doc_id, lang, n_tokens FROM w WHERE run - n_tokens < 2000"""
+
+
+def q_dup_spans(sf_dir: str):
+    """Cross-document duplicate-n-gram fraction
+    (stages/dedup.dup_span_fraction): per doc, the share of its
+    distinct 8-word spans occurring in ≥ 2 documents — the Gopher/
+    Dolma boilerplate signal, corpus-wide.  Corpus is documents ∪ near
+    copies so the signal is non-trivial (a near-copied doc's spans are
+    almost all duplicated)."""
+    from ..stages.dedup import dup_span_fraction
+
+    out = dup_span_fraction(_docs_with_near_copies(sf_dir), k=8)
+    return out.select_columns(["id", "n_spans", "n_dup", "dup_frac_e4"])
+
+
+EXTRA_QUERIES["q_dup_spans"] = q_dup_spans
+EXTRA_ORACLES["q_dup_spans"] = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' extradup'
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    dsp AS (
+      SELECT DISTINCT doc_id,
+             CASE WHEN len(ws) < 8 THEN array_to_string(ws, ' ')
+                  ELSE array_to_string(ws[i : i+7], ' ') END AS span
+      FROM dw, unnest(range(1, greatest(len(ws) - 7, 1) + 1)) AS t(i)
+    ),
+    sdf AS (SELECT span, count(*) AS df_cnt FROM dsp GROUP BY span)
+    SELECT d.doc_id AS id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN s.df_cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(floor(sum(CASE WHEN s.df_cnt >= 2 THEN 1 ELSE 0 END)
+                      / count(*) * 10000 + 0.5) AS BIGINT) AS dup_frac_e4
+    FROM dsp d JOIN sdf s USING (span)
+    GROUP BY d.doc_id"""

@@ -1060,3 +1060,97 @@ def decontaminate(ds, benchmark_texts: list[str], text_col: str = "text",
                                    pa.array(hit, pa.bool_()))
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate-span fraction
+# ---------------------------------------------------------------------------
+
+def dup_span_fraction(ds, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 8, num_buckets: int = 64,
+                      join_partitions: int = 16):
+    """Per-document CROSS-corpus duplicate-n-gram fraction: of each
+    doc's distinct k-word spans, what share occurs in ≥ 2 distinct
+    documents — the boilerplate signal Gopher/Dolma threshold on
+    ("fraction of characters in duplicated n-grams"), computed corpus-
+    wide rather than within-doc (filters.py's repetition gate covers
+    the within-doc variant).
+
+    Scale shape: explode to (doc, span-hash) distinct pairs (shared
+    :func:`_hashed_windows` kernel, int64s on the wire — never the
+    span strings), bucketed-groupby the span hash to a per-span
+    distinct-doc count, then ONE more bucketed aggregate per doc of
+    (spans, spans-with-df≥2).  No driver-side gather at any size; both
+    shuffles carry pre-combined rows.  Collision honesty: two distinct
+    spans hashing equal (≈ n²/2⁶⁴) can only INFLATE df, so the
+    fraction over-counts by the same residual class every hash-sketch
+    operator here carries; the SQL oracle computes exact string spans
+    and has matched value-for-value at every tested scale.
+
+    Returns (id, n_spans, n_dup, dup_frac_e4) with
+    ``dup_frac_e4 = floor(n_dup / n_spans · 10⁴ + 0.5)``."""
+    from .groupby import bucketed_agg
+
+    source = ds.select_columns([id_col, text_col])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).cast(pa.string())
+        ids = batch.column(id_col).to_numpy()
+        g, widx, _ = _hashed_windows(texts, k)
+        uniq = pd.DataFrame({"d": widx, "g": g.view(np.int64)}
+                            ).drop_duplicates()
+        return pa.table({
+            "id": pa.array(ids[uniq["d"].to_numpy()], pa.int64()),
+            "span": pa.array(uniq["g"].to_numpy(), pa.int64()),
+        })
+
+    # consumed twice (per-span df count + join back): materialize so
+    # the explode's string pass runs once — ~16 B per distinct
+    # (doc, span) row, object-store-resident, spills beyond memory
+    ex = source.map_batches(explode, batch_format="pyarrow",
+                            batch_size=2048).materialize()
+
+    # span → distinct-doc count (rows are already (doc, span)-distinct,
+    # so a plain count is the distinct-doc count; partial counts sum)
+    def span_df(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False, sort=False).agg(
+            df_cnt=("df_cnt", "sum"))
+
+    counts = bucketed_agg(
+        ex, ["span"], span_df,
+        prepare=lambda df: df.assign(df_cnt=np.int64(1))[["span", "df_cnt"]],
+        num_buckets=num_buckets)
+
+    # ship the flag back to the exploded rows by a hash join on the
+    # span (both sides already speak int64 span hashes).  counts is
+    # materialized first: a pending groupby all-to-all must not share
+    # an execution plan with a JoinOperator (starves — same rule as
+    # _verify_join / _sum_pair_counts).  join_partitions is SEPARATE
+    # from num_buckets: the join spawns one aggregator actor per
+    # partition up front, so oversizing it past the cluster's CPUs
+    # deadlocks scheduling (64 partitions hang a 4-CPU session —
+    # probed); 16 matches every other join site here
+    joined = ex.join(counts.materialize(), join_type="inner",
+                     num_partitions=join_partitions, on=("span",))
+
+    def per_doc(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False, sort=False).agg(
+            n_spans=("n_spans", "sum"), n_dup=("n_dup", "sum"))
+
+    stats = bucketed_agg(
+        joined, ["id"], per_doc,
+        prepare=lambda df: pd.DataFrame({
+            "id": df["id"].to_numpy(dtype=np.int64),
+            "n_spans": np.ones(len(df), dtype=np.int64),
+            "n_dup": (df["df_cnt"].to_numpy(dtype=np.int64) >= 2
+                      ).astype(np.int64),
+        }),
+        num_buckets=num_buckets)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_spans").to_numpy()
+        d = batch.column("n_dup").to_numpy()
+        frac = np.floor(d / n * 10000 + 0.5).astype(np.int64)
+        return batch.append_column("dup_frac_e4", pa.array(frac))
+
+    return stats.map_batches(finish, batch_format="pyarrow")

@@ -358,3 +358,23 @@ def test_decontaminate_no_substring_leak(ray_session):
     out = decontaminate(ds, ["eval question text"], k=8).to_pandas(
         ).sort_values("doc_id")["contaminated"].tolist()
     assert out == [False, True]
+
+
+def test_dup_span_fraction_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mmore_ray.stages.dedup import dup_span_fraction
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e f g h i",      # shares the first 8-gram w/ 2
+                 "a b c d e f g h j",
+                 "totally different words here now ok fine yes"]}))
+    out = dup_span_fraction(ds, k=8).to_pandas().sort_values(
+        "id").reset_index(drop=True)
+    # docs 1/2 each have 2 spans, 1 duplicated (the shared prefix);
+    # doc 3 has 1 unique span
+    assert out["n_spans"].tolist() == [2, 2, 1]
+    assert out["n_dup"].tolist() == [1, 1, 0]
+    assert out["dup_frac_e4"].tolist() == [5000, 5000, 0]
