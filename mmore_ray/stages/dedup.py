@@ -1004,7 +1004,7 @@ def embedding_near_dup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
 # ---------------------------------------------------------------------------
 
 def decontaminate(ds, benchmark_texts: list[str], text_col: str = "text",
-                  id_col: str = "doc_id", k: int = 8, mode: str = "tag"):
+                  k: int = 8, mode: str = "tag"):
     """Benchmark decontamination: mark (``mode='tag'``, adds a bool
     ``contaminated`` column) or drop (``mode='drop'``) every document
     sharing at least one exact k-word shingle with any benchmark text —
