@@ -33,12 +33,15 @@ import pandas as pd
 
 def curate(ds, text_col: str = "text", id_col: str = "doc_id",
            min_words: int = 20, min_stop_e4: int = 200, lang: str = "en",
-           jaccard: float = 0.5, num_buckets: int = 64):
+           jaccard: float = 0.5, num_buckets: int = 64,
+           carry_cols: tuple[str, ...] = ()):
     """(id, text) Dataset → curated Dataset with columns
     (doc_id, word_count, stop_ratio_e4, lang_pred, n_dupes).
 
     ``n_dupes`` counts the exact-duplicate group size the surviving doc
-    represents (provenance for loss-weighting / dedup accounting)."""
+    represents (provenance for loss-weighting / dedup accounting).
+    ``carry_cols`` names extra input columns to pass through unchanged
+    (e.g. a redaction count from an upstream scrub stage)."""
     from ..stages.dedup import exact_dedup, near_dup_jaccard
     from ..stages.joins import anti_join, lookup_join
     from ..stages.text_analysis import detect_lang_batch, quality_stats
@@ -53,6 +56,8 @@ def curate(ds, text_col: str = "text", id_col: str = "doc_id",
             "stop_ratio_e4": qs["stop_ratio_e4"].to_numpy(),
             "lang_pred": langs,
         })
+        for c in carry_cols:
+            out[c] = df[c].to_numpy()
         keep = ((out["word_count"].to_numpy() >= min_words)
                 & (out["stop_ratio_e4"].to_numpy() >= min_stop_e4)
                 & (langs == lang))
@@ -77,3 +82,27 @@ def curate(ds, text_col: str = "text", id_col: str = "doc_id",
     return kept_cols.map_batches(
         lambda df: df.drop(columns=["text"]).reset_index(drop=True),
         batch_format="pandas")
+
+
+def curate_full(ds, benchmark_texts: list[str], text_col: str = "text",
+                id_col: str = "doc_id", decontam_k: int = 8, **curate_kw):
+    """The FULL published pre-training recipe as one streaming flow:
+    benchmark decontamination (drop) → PII redaction → quality gates →
+    language ID → exact dedup → near-dup dedup.
+
+    Decontamination runs FIRST on raw text (published practice: eval
+    overlap is judged on the original n-grams, before any rewriting);
+    redaction then rewrites text IN PLACE, so every downstream hash /
+    shingle / gate operates on the scrubbed corpus — the output is what
+    the trainer would actually see.  All stages are the engine's
+    oracle-checked operators; the composition is itself SQL-checkable
+    end-to-end (q_curate_full).  Adds ``n_redactions`` to the q_curate
+    output columns."""
+    from ..stages.dedup import decontaminate
+    from ..stages.scrub import redact_pii
+
+    clean = decontaminate(ds, benchmark_texts, text_col=text_col,
+                          k=decontam_k, mode="drop")
+    scrubbed = redact_pii(clean, text_col=text_col)
+    return curate(scrubbed, text_col=text_col, id_col=id_col,
+                  carry_cols=("n_redactions",), **curate_kw)

@@ -2650,6 +2650,33 @@ def q_decontaminate(sf_dir: str):
                          k=8).select_columns(["doc_id", "contaminated"])
 
 
+def _inject_pii(df: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic email/IPv4/phone injection (ONE copy — its
+    constants mirror the SQL oracles' ``src`` CTE verbatim)."""
+    i = df["doc_id"].astype("int64")
+    s = i.astype(str)
+    text = df["text"].astype(str)
+    text = text.where(i % 3 != 0, text + " mail user" + s + "@ex"
+                      + (i % 7).astype(str) + ".org")
+    text = text.where(i % 4 != 0, text + " host 10."
+                      + (i % 200).astype(str) + ".3."
+                      + (i % 250).astype(str))
+    text = text.where(i % 5 != 0, text + " tel +41-22-555-"
+                      + (1000 + i % 9000).astype(str))
+    return pd.DataFrame({"doc_id": i, "text": text})
+
+
+_INJECT_PII_SQL = """
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR)
+                || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END
+        || CASE WHEN doc_id % 4 = 0 THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
+                || '.3.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' tel +41-22-555-'
+                || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END AS text
+      FROM documents"""
+
+
 def q_redact_pii(sf_dir: str):
     """PII redaction (stages/scrub.redact_pii): deterministic
     email/IPv4/phone injection, then the vectorized RE2 scrub —
@@ -2657,21 +2684,8 @@ def q_redact_pii(sf_dir: str):
     DuckDB's RE2 ``regexp_replace(..., 'g')`` on identical patterns."""
     from ..stages.scrub import redact_pii
 
-    def inject(df: pd.DataFrame) -> pd.DataFrame:
-        i = df["doc_id"].astype("int64")
-        s = i.astype(str)
-        text = df["text"].astype(str)
-        text = text.where(i % 3 != 0, text + " mail user" + s + "@ex"
-                          + (i % 7).astype(str) + ".org")
-        text = text.where(i % 4 != 0, text + " host 10."
-                          + (i % 200).astype(str) + ".3."
-                          + (i % 250).astype(str))
-        text = text.where(i % 5 != 0, text + " tel +41-22-555-"
-                          + (1000 + i % 9000).astype(str))
-        return pd.DataFrame({"doc_id": i, "text": text})
-
     src = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        inject, batch_format="pandas")
+        _inject_pii, batch_format="pandas")
     return redact_pii(src).select_columns(
         ["doc_id", "text", "n_redactions"])
 
@@ -2702,29 +2716,34 @@ EXTRA_ORACLES["q_decontaminate"] = """
     SELECT c.doc_id, (h.doc_id IS NOT NULL) AS contaminated
     FROM corpus c LEFT JOIN hits h USING (doc_id)"""
 
+def _redact_sql(src: str) -> str:
+    """(doc_id, text, n_redactions) after the 3-pattern scrub of
+    ``src`` — the SAME patterns in the SAME order as
+    stages/scrub.PII_PATTERNS, each count taken on the text the
+    corresponding replace sees (mirroring redact_pii_batch's fold).
+    Self-contained nested-subquery form so it composes inside any
+    WITH."""
+    from ..stages.scrub import PII_PATTERNS
+
+    (em, ip, ph) = (p for _, p, _ in PII_PATTERNS)
+    return f"""
+      SELECT doc_id,
+             regexp_replace(t2, '{ph}', '<PHONE>', 'g') AS text,
+             n1 + n2 + len(regexp_extract_all(t2, '{ph}')) AS n_redactions
+      FROM (
+        SELECT doc_id, n1,
+               len(regexp_extract_all(t1, '{ip}')) AS n2,
+               regexp_replace(t1, '{ip}', '<IP>', 'g') AS t2
+        FROM (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{em}')) AS n1,
+                 regexp_replace(text, '{em}', '<EMAIL>', 'g') AS t1
+          FROM {src}))"""
+
+
 EXTRA_QUERIES["q_redact_pii"] = q_redact_pii
-EXTRA_ORACLES["q_redact_pii"] = """
-    WITH src AS (
-      SELECT doc_id, text
-        || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR)
-                || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org' ELSE '' END
-        || CASE WHEN doc_id % 4 = 0 THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
-                || '.3.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
-        || CASE WHEN doc_id % 5 = 0 THEN ' tel +41-22-555-'
-                || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END AS text
-      FROM documents),
-    s1 AS (SELECT doc_id,
-             len(regexp_extract_all(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS n1,
-             regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
-           FROM src),
-    s2 AS (SELECT doc_id, n1,
-             len(regexp_extract_all(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n2,
-             regexp_replace(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t2
-           FROM s1)
-    SELECT doc_id,
-           regexp_replace(t2, '\\+\\d{1,3}[-. ]\\d{2,4}[-. ]\\d{3,4}[-. ]\\d{2,4}\\b', '<PHONE>', 'g') AS text,
-           n1 + n2 + len(regexp_extract_all(t2, '\\+\\d{1,3}[-. ]\\d{2,4}[-. ]\\d{3,4}[-. ]\\d{2,4}\\b')) AS n_redactions
-    FROM s2"""
+EXTRA_ORACLES["q_redact_pii"] = (
+    f"WITH src AS ({_INJECT_PII_SQL}) {_redact_sql('src')}")
 
 
 def q_token_budget_mix(sf_dir: str):
@@ -2792,3 +2811,107 @@ EXTRA_ORACLES["q_dup_spans"] = """
                       / count(*) * 10000 + 0.5) AS BIGINT) AS dup_frac_e4
     FROM dsp d JOIN sdf s USING (span)
     GROUP BY d.doc_id"""
+
+
+def q_curate_full(sf_dir: str):
+    """The FULL published curation recipe end-to-end
+    (pipelines/curate.curate_full): decontaminate (drop, 8-gram overlap
+    with every-53rd-doc 'benchmark') → PII redaction → quality/lang
+    gates → exact dedup → near-dup dedup, over the tri-union corpus
+    with injected PII.  Every stage is an already-oracle-checked
+    operator; this checks their COMPOSITION value-exactly."""
+    from ..pipelines.curate import curate_full
+
+    injected = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _inject_pii, batch_format="pandas")
+    bench = [r["text"] for r in
+             _read(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(_inject_pii, batch_format="pandas")
+             .map_batches(lambda t: t.filter(
+                 _mod_eq(t.column("doc_id"), 53)), batch_format="pyarrow")
+             .take_all()]
+
+    def variants(t: pa.Table) -> pa.Table:
+        return pa.concat_tables([t.select(["doc_id", "text"]),
+                                 _exact_copy_rows(t), _near_copy_rows(t)])
+
+    src = injected.map_batches(variants, batch_format="pyarrow")
+    return curate_full(src, bench)
+
+
+def _curate_full_sql() -> str:
+    """The extended ladder in one DuckDB query, composed from the SAME
+    SQL fragments the per-stage oracles use (injection, 8-gram decontam
+    spans, 3-pattern redaction, quality, lang, 3-gram Jaccard)."""
+    return f"""
+      WITH src AS ({_INJECT_PII_SQL}),
+      cdocs AS (
+        SELECT doc_id, text FROM src
+        UNION ALL
+        SELECT doc_id + 500000, text FROM src WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' extradup'
+        FROM src WHERE doc_id % 5 = 0
+      ),
+      bw AS (SELECT string_split(text, ' ') AS ws
+             FROM src WHERE doc_id % 53 = 0),
+      bsp AS (
+        SELECT DISTINCT CASE WHEN len(ws) < 8 THEN array_to_string(ws, ' ')
+                    ELSE array_to_string(ws[i : i+7], ' ') END AS span
+        FROM bw, unnest(range(1, greatest(len(ws) - 7, 1) + 1)) AS t(i)
+      ),
+      dw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM cdocs),
+      dsp AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) < 8 THEN array_to_string(ws, ' ')
+                    ELSE array_to_string(ws[i : i+7], ' ') END AS span
+        FROM dw, unnest(range(1, greatest(len(ws) - 7, 1) + 1)) AS t(i)
+      ),
+      contaminated AS (SELECT DISTINCT d.doc_id
+                       FROM dsp d JOIN bsp b USING (span)),
+      decon AS (SELECT * FROM cdocs
+                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      rdocs AS ({_redact_sql("decon")}),
+      kept AS (
+        SELECT d.doc_id, d.text, d.n_redactions, q.word_count,
+               q.stop_ratio_e4, l.lang_pred
+        FROM rdocs d
+        JOIN ({_quality_sql("rdocs")}) q USING (doc_id)
+        JOIN ({_lang_id_sql("rdocs")}) l USING (doc_id)
+        WHERE q.word_count >= 20 AND q.stop_ratio_e4 >= 200
+          AND l.lang_pred = 'en'
+      ),
+      ex AS (
+        SELECT text, min(doc_id) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_dupes
+        FROM kept GROUP BY text
+      ),
+      surv AS (
+        SELECT k.doc_id, k.text, k.word_count, k.stop_ratio_e4,
+               k.lang_pred, k.n_redactions, e.n_dupes
+        FROM kept k JOIN ex e ON k.doc_id = e.keep_id
+      ),
+      w2 AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM surv),
+      sh AS (
+        SELECT id, list_distinct(list_transform(
+                 range(1, greatest(len(ws) - 1, 1)),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
+        FROM w2
+      ),
+      shrow AS (SELECT id, unnest(shingles) AS s FROM sh),
+      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+               FROM shrow a JOIN shrow b ON a.s = b.s AND a.id < b.id),
+      dropped AS (
+        SELECT DISTINCT c.id_b
+        FROM cand c JOIN sh x ON c.id_a = x.id JOIN sh y ON c.id_b = y.id
+        WHERE CAST(floor(1.0 * len(list_intersect(x.shingles, y.shingles)) /
+              len(list_distinct(list_concat(x.shingles, y.shingles)))
+              * 10000 + 0.5) AS BIGINT) >= 5000
+      )
+      SELECT doc_id, word_count, stop_ratio_e4, lang_pred, n_redactions,
+             n_dupes
+      FROM surv WHERE doc_id NOT IN (SELECT id_b FROM dropped)"""
+
+
+EXTRA_QUERIES["q_curate_full"] = q_curate_full
+EXTRA_ORACLES["q_curate_full"] = _curate_full_sql()

@@ -43,3 +43,28 @@ def test_curate_stage_semantics(ray_session):
     n_ex = sum(1 for i in base_ids if i % 7 == 0)
     n_nr = sum(1 for i in base_ids if i % 5 == 0)
     assert n_in == n_base + n_ex + n_nr
+
+
+def test_curate_full_composition(ray_session):
+    """Decontaminated docs are gone, PII is scrubbed before gates, and
+    n_redactions rides through to the output."""
+    import pyarrow as pa
+    import ray.data
+
+    from mmore_ray.pipelines.curate import curate_full
+
+    good = ("the cat and the dog is a fine pair of animals that like "
+            "to play in the yard all day long with the ball")
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [good,
+                 good + " mail me a@b.cc ok",   # survives with 1 redaction
+                 "benchmark overlap text that should be dropped by decontamination here today ok"],
+    }))
+    bench = ["benchmark overlap text that should be dropped by "
+             "decontamination here today"]
+    out = curate_full(ds, bench, min_words=5, min_stop_e4=100,
+                      jaccard=0.99).to_pandas().sort_values("doc_id")
+    assert 3 not in out["doc_id"].tolist()          # decontaminated
+    got = dict(zip(out["doc_id"], out["n_redactions"]))
+    assert got[1] == 0 and got[2] == 1              # scrub count carried
