@@ -104,5 +104,8 @@ def curate_full(ds, benchmark_texts: list[str], text_col: str = "text",
     clean = decontaminate(ds, benchmark_texts, text_col=text_col,
                           k=decontam_k, mode="drop")
     scrubbed = redact_pii(clean, text_col=text_col)
+    # merge caller carry_cols rather than shadowing them (passing both
+    # through **curate_kw would raise "multiple values for carry_cols")
+    carry = ("n_redactions", *curate_kw.pop("carry_cols", ()))
     return curate(scrubbed, text_col=text_col, id_col=id_col,
-                  carry_cols=("n_redactions",), **curate_kw)
+                  carry_cols=carry, **curate_kw)

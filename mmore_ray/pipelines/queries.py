@@ -462,17 +462,19 @@ def q_dedup_jaccard(sf_dir: str):
     return near_dup_jaccard(_docs_with_near_copies(sf_dir), threshold=0.3)
 
 
+def _tri_union(t: pa.Table) -> pa.Table:
+    """base ∪ exact copies (+500000, every 7th) ∪ near copies
+    (+1000000, ' extradup', every 5th) — the ONE copy of the curate
+    oracles' ``cdocs`` union."""
+    return pa.concat_tables([t.select(["doc_id", "text"]),
+                             _exact_copy_rows(t), _near_copy_rows(t)])
+
+
 def _docs_curate_input(sf_dir: str):
-    """documents ∪ exact copies (+500000, every 7th) ∪ near copies
-    (+1000000, ' extradup', every 5th) — makes every curation stage do
-    real work (plain documents have no duplicates)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def variants(t: pa.Table) -> pa.Table:
-        return pa.concat_tables([t.select(["doc_id", "text"]),
-                                 _exact_copy_rows(t), _near_copy_rows(t)])
-
-    return ds.map_batches(variants, batch_format="pyarrow")
+    """documents through :func:`_tri_union` — makes every curation
+    stage do real work (plain documents have no duplicates)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _tri_union, batch_format="pyarrow")
 
 
 def q_curate(sf_dir: str):
@@ -1588,24 +1590,22 @@ QUERIES["q_filter_quality"] = q_filter_quality
 ORACLES["q_filter_quality"] = _filter_quality_sql()
 
 
-def _curate_sql() -> str:
-    """The whole curation ladder as one DuckDB query, composed from the
-    SAME SQL the per-stage oracles use (quality, lang, shingle Jaccard)
-    over the same tri-union input."""
-    return f"""
-      WITH cdocs AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 500000, text FROM documents WHERE doc_id % 7 = 0
-        UNION ALL
-        SELECT doc_id + 1000000, text || ' extradup'
-        FROM documents WHERE doc_id % 5 = 0
-      ),
+def _curate_ladder_sql(docs: str, extras: tuple[str, ...] = ()) -> str:
+    """The gates→exact-dedup→near-dup ladder over a (doc_id, text
+    [, extras]) CTE named ``docs`` — the ONE copy both curate oracles
+    compose (q_curate over the raw tri-union, q_curate_full over the
+    decontaminated+redacted corpus).  Emitted as the TAIL of a WITH
+    (leading comma); ``extras`` names carried columns."""
+    ek = "".join(f", d.{c}" for c in extras)
+    es = "".join(f", k.{c}" for c in extras)
+    ef = "".join(f", {c}" for c in extras)
+    return f""",
       kept AS (
-        SELECT d.doc_id, d.text, q.word_count, q.stop_ratio_e4, l.lang_pred
-        FROM cdocs d
-        JOIN ({_quality_sql("cdocs")}) q USING (doc_id)
-        JOIN ({_lang_id_sql("cdocs")}) l USING (doc_id)
+        SELECT d.doc_id, d.text{ek}, q.word_count, q.stop_ratio_e4,
+               l.lang_pred
+        FROM {docs} d
+        JOIN ({_quality_sql(docs)}) q USING (doc_id)
+        JOIN ({_lang_id_sql(docs)}) l USING (doc_id)
         WHERE q.word_count >= 20 AND q.stop_ratio_e4 >= 200
           AND l.lang_pred = 'en'
       ),
@@ -1616,7 +1616,7 @@ def _curate_sql() -> str:
       ),
       surv AS (
         SELECT k.doc_id, k.text, k.word_count, k.stop_ratio_e4,
-               k.lang_pred, e.n_dupes
+               k.lang_pred{es}, e.n_dupes
         FROM kept k JOIN ex e ON k.doc_id = e.keep_id
       ),
       w2 AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM surv),
@@ -1636,8 +1636,23 @@ def _curate_sql() -> str:
               len(list_distinct(list_concat(x.shingles, y.shingles)))
               * 10000 + 0.5) AS BIGINT) >= 5000
       )
-      SELECT doc_id, word_count, stop_ratio_e4, lang_pred, n_dupes
+      SELECT doc_id, word_count, stop_ratio_e4, lang_pred{ef}, n_dupes
       FROM surv WHERE doc_id NOT IN (SELECT id_b FROM dropped)"""
+
+
+def _curate_sql() -> str:
+    """The whole curation ladder as one DuckDB query, composed from the
+    SAME SQL the per-stage oracles use (quality, lang, shingle Jaccard)
+    over the same tri-union input."""
+    return f"""
+      WITH cdocs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 500000, text FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' extradup'
+        FROM documents WHERE doc_id % 5 = 0
+      ){_curate_ladder_sql("cdocs")}"""
 
 
 QUERIES["q_curate"] = q_curate
@@ -2824,18 +2839,16 @@ def q_curate_full(sf_dir: str):
 
     injected = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         _inject_pii, batch_format="pandas")
+    # benchmark gather: filter BEFORE injecting (injection is per-row
+    # on doc_id, so it commutes) — only 1/53 of the corpus pays the
+    # second injection pass
     bench = [r["text"] for r in
              _read(sf_dir, "documents", ["doc_id", "text"])
-             .map_batches(_inject_pii, batch_format="pandas")
              .map_batches(lambda t: t.filter(
                  _mod_eq(t.column("doc_id"), 53)), batch_format="pyarrow")
+             .map_batches(_inject_pii, batch_format="pandas")
              .take_all()]
-
-    def variants(t: pa.Table) -> pa.Table:
-        return pa.concat_tables([t.select(["doc_id", "text"]),
-                                 _exact_copy_rows(t), _near_copy_rows(t)])
-
-    src = injected.map_batches(variants, batch_format="pyarrow")
+    src = injected.map_batches(_tri_union, batch_format="pyarrow")
     return curate_full(src, bench)
 
 
@@ -2871,46 +2884,8 @@ def _curate_full_sql() -> str:
                        FROM dsp d JOIN bsp b USING (span)),
       decon AS (SELECT * FROM cdocs
                 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-      rdocs AS ({_redact_sql("decon")}),
-      kept AS (
-        SELECT d.doc_id, d.text, d.n_redactions, q.word_count,
-               q.stop_ratio_e4, l.lang_pred
-        FROM rdocs d
-        JOIN ({_quality_sql("rdocs")}) q USING (doc_id)
-        JOIN ({_lang_id_sql("rdocs")}) l USING (doc_id)
-        WHERE q.word_count >= 20 AND q.stop_ratio_e4 >= 200
-          AND l.lang_pred = 'en'
-      ),
-      ex AS (
-        SELECT text, min(doc_id) AS keep_id,
-               CAST(count(*) AS BIGINT) AS n_dupes
-        FROM kept GROUP BY text
-      ),
-      surv AS (
-        SELECT k.doc_id, k.text, k.word_count, k.stop_ratio_e4,
-               k.lang_pred, k.n_redactions, e.n_dupes
-        FROM kept k JOIN ex e ON k.doc_id = e.keep_id
-      ),
-      w2 AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM surv),
-      sh AS (
-        SELECT id, list_distinct(list_transform(
-                 range(1, greatest(len(ws) - 1, 1)),
-                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingles
-        FROM w2
-      ),
-      shrow AS (SELECT id, unnest(shingles) AS s FROM sh),
-      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-               FROM shrow a JOIN shrow b ON a.s = b.s AND a.id < b.id),
-      dropped AS (
-        SELECT DISTINCT c.id_b
-        FROM cand c JOIN sh x ON c.id_a = x.id JOIN sh y ON c.id_b = y.id
-        WHERE CAST(floor(1.0 * len(list_intersect(x.shingles, y.shingles)) /
-              len(list_distinct(list_concat(x.shingles, y.shingles)))
-              * 10000 + 0.5) AS BIGINT) >= 5000
-      )
-      SELECT doc_id, word_count, stop_ratio_e4, lang_pred, n_redactions,
-             n_dupes
-      FROM surv WHERE doc_id NOT IN (SELECT id_b FROM dropped)"""
+      rdocs AS ({_redact_sql("decon")}
+      ){_curate_ladder_sql("rdocs", extras=("n_redactions",))}"""
 
 
 EXTRA_QUERIES["q_curate_full"] = q_curate_full

@@ -179,6 +179,20 @@ def _hashed_windows(texts, k: int):
     return g, widx, n_short
 
 
+def _distinct_doc_windows(batch: pa.Table, text_col: str,
+                          k: int) -> tuple[np.ndarray, np.ndarray]:
+    """The batch's DISTINCT (doc, k-window-hash) pairs as (doc-row
+    indices, int64 hashes) — shared by every hash-blocked explode
+    (jaccard posting lists, dup-span counting).  Per-doc distinct via
+    hash-based dedup (np.unique(axis=) lexsorts structured rows —
+    measured 5x slower)."""
+    texts = batch.column(text_col).cast(pa.string())
+    g, widx, _ = _hashed_windows(texts, k)
+    uniq = pd.DataFrame({"d": widx, "g": g.view(np.int64)}
+                        ).drop_duplicates()
+    return uniq["d"].to_numpy(), uniq["g"].to_numpy()
+
+
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 3) -> np.ndarray:
     """n_perm minhashes of ONE doc's shingle set (universal hashing
     modulo a Mersenne prime, vectorized over shingles × perms).
@@ -319,6 +333,20 @@ def near_dup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
                                 num_buckets=num_buckets)
 
 
+def _typed_pairs(df: pd.DataFrame,
+                 extra: tuple[str, ...] = ()) -> pd.DataFrame:
+    """Normalize a gathered pair frame: an EMPTY ``map_groups`` output
+    loses its schema entirely (zero groups → zero columns), so a
+    dup-free corpus — the normal case for a clean post-exact-dedup
+    crawl — would KeyError every downstream groupby/verify.  Non-empty
+    frames pass through untouched."""
+    cols = ("id_a", "id_b", *extra)
+    if all(c in df.columns for c in cols):
+        return df
+    assert df.empty, f"pair frame missing {cols}: {list(df.columns)}"
+    return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+
 def _distinct_pairs(pairs, num_buckets: int, small_limit: int = 5_000_000):
     """Distinct (id_a, id_b) rows — driver-side pandas when the raw
     pair list is small (one cheap gather instead of a groupby shuffle;
@@ -328,7 +356,8 @@ def _distinct_pairs(pairs, num_buckets: int, small_limit: int = 5_000_000):
 
     mat = pairs.materialize()
     if mat.count() <= small_limit:
-        return mat.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
+        return _typed_pairs(mat.to_pandas()).drop_duplicates(
+            subset=["id_a", "id_b"])
     return bucketed_agg(
         mat, ["id_a", "id_b"],
         lambda df, keys: df.drop_duplicates(subset=["id_a", "id_b"]),
@@ -440,6 +469,15 @@ def _verify_broadcast(pairs, id_set: set, source, id_col: str,
     import pyarrow.compute as pc
     import ray
 
+    if not id_set:
+        # dup-free corpus: no candidates — return the typed empty
+        # result without scanning (an empty inferred pa.array is
+        # null-typed and would break the is_in kernel)
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard_e4": pa.array([], pa.int64())}))
+
     # broadcast as an Arrow array: the pick filter below scans the FULL
     # corpus, so membership must be the vectorized is_in kernel, not a
     # per-row Python set probe.  Type is inferred (ids may be strings —
@@ -543,18 +581,11 @@ def near_dup_jaccard(ds, text_col: str = "text", id_col: str = "doc_id",
         # a shingle always share its hash, so hash-blocked candidates
         # are a superset of string-blocked ones and the exact
         # verification makes the final output identical — while the
-        # shuffle moves int64s instead of n-gram strings.  Vectorized
-        # window hashes via the shared kernel; per-doc distinct via a
-        # hash-based dedup (np.unique(axis=) lexsorts structured rows —
-        # measured 5x slower).
-        texts = batch.column(text_col).cast(pa.string())
+        # shuffle moves int64s instead of n-gram strings.
         ids = batch.column(id_col).to_numpy()
-        g, widx, _ = _hashed_windows(texts, k)
-        uniq = pd.DataFrame({"d": widx, "g": g.view(np.int64)}
-                            ).drop_duplicates()
-        ud = uniq["d"].to_numpy()
+        ud, hashes = _distinct_doc_windows(batch, text_col, k)
         out = {"id": pa.array(ids[ud], pa.int64()),
-               "shingle": pa.array(uniq["g"].to_numpy(), pa.int64())}
+               "shingle": pa.array(hashes, pa.int64())}
         if counted:
             # per-doc distinct-shingle-set size, repeated per row (docs
             # never span batches, so the per-batch count is global);
@@ -654,6 +685,10 @@ def _bound_filter_pairs(pairs, ex, threshold: float, num_buckets: int):
         return pa.Table.from_pandas(d, preserve_index=False)
 
     if isinstance(pairs, pd.DataFrame):
+        if pairs.empty:
+            # dup-free corpus: skip the size gather (its all-empty
+            # blocks come back schema-less from to_pandas)
+            return pairs.loc[:, ["id_a", "id_b"]]
         cand = np.unique(np.concatenate([pairs["id_a"].to_numpy(),
                                          pairs["id_b"].to_numpy()]))
         cand_ref = ray.put(pa.array(cand, pa.int64()))
@@ -711,7 +746,7 @@ def _sum_pair_counts(pairs, num_buckets: int, small_limit: int = 5_000_000):
 
     mat = pairs.materialize()
     if mat.count() <= small_limit:
-        return combine(mat.to_pandas())
+        return combine(_typed_pairs(mat.to_pandas(), extra=("c",)))
     # materialized: the groupby's pending all-to-all must not share an
     # execution plan with downstream JoinOperators (_bound_filter_pairs
     # large path) — same starvation rule as _verify_join
@@ -1094,14 +1129,11 @@ def dup_span_fraction(ds, text_col: str = "text", id_col: str = "doc_id",
     source = ds.select_columns([id_col, text_col])
 
     def explode(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).cast(pa.string())
         ids = batch.column(id_col).to_numpy()
-        g, widx, _ = _hashed_windows(texts, k)
-        uniq = pd.DataFrame({"d": widx, "g": g.view(np.int64)}
-                            ).drop_duplicates()
+        ud, hashes = _distinct_doc_windows(batch, text_col, k)
         return pa.table({
-            "id": pa.array(ids[uniq["d"].to_numpy()], pa.int64()),
-            "span": pa.array(uniq["g"].to_numpy(), pa.int64()),
+            "id": pa.array(ids[ud], pa.int64()),
+            "span": pa.array(hashes, pa.int64()),
         })
 
     # consumed twice (per-span df count + join back): materialize so

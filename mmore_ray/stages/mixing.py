@@ -31,7 +31,11 @@ def sample_to_token_budget(ds, group_col: str, budget: int,
     (budget ≥ 1).  Token counts come from ``token_col`` when given,
     else from the shared BPE-ish tokenizer over ``text_col``
     (text_analysis.count_tokens_batch — same kernel and SQL expression
-    q_token_count pins).  Returns (id, group, n_tokens) rows."""
+    q_token_count pins).  Ids must be NON-NEGATIVE (the same contract
+    as every multiplicative-id-hash site here — q_sample_hash,
+    _cap_group_members: a negative id wraps differently in numpy
+    uint64 than in SQL's signed ``%``).  Returns (id, group, n_tokens)
+    rows."""
     from .groupby import bucketed_window
     from .text_analysis import count_tokens_batch
 
@@ -49,7 +53,11 @@ def sample_to_token_budget(ds, group_col: str, budget: int,
 
     def window(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([group_col, "_h", id_col], kind="stable")
-        run = df.groupby(group_col, sort=False)["n_tokens"].cumsum()
+        # dropna=False: a NULL group is its own budgeted partition
+        # (SQL PARTITION BY semantics) — pandas' default would NaN the
+        # cumsum and silently discard every null-group row
+        run = df.groupby(group_col, sort=False,
+                         dropna=False)["n_tokens"].cumsum()
         keep = (run - df["n_tokens"]) < budget
         return df.loc[keep, [id_col, group_col, "n_tokens"]]
 

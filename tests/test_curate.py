@@ -68,3 +68,11 @@ def test_curate_full_composition(ray_session):
     assert 3 not in out["doc_id"].tolist()          # decontaminated
     got = dict(zip(out["doc_id"], out["n_redactions"]))
     assert got[1] == 0 and got[2] == 1              # scrub count carried
+
+    # caller-supplied carry_cols merge with the implicit n_redactions
+    ds2 = ray.data.from_arrow(pa.table({
+        "doc_id": [1], "text": [good], "src": ["web"]}))
+    out2 = curate_full(ds2, [], min_words=5, min_stop_e4=100,
+                       carry_cols=("src",)).to_pandas()
+    assert out2["src"].tolist() == ["web"]
+    assert out2["n_redactions"].tolist() == [0]

@@ -378,3 +378,25 @@ def test_dup_span_fraction_semantics(ray_session):
     assert out["n_spans"].tolist() == [2, 2, 1]
     assert out["n_dup"].tolist() == [1, 1, 0]
     assert out["dup_frac_e4"].tolist() == [5000, 5000, 0]
+
+
+def test_near_dup_ops_on_dup_free_corpus(ray_session):
+    """A corpus with ZERO candidate pairs (the normal case for a clean
+    post-exact-dedup crawl) must yield empty results, not KeyError —
+    an empty map_groups output loses its schema entirely."""
+    import pyarrow as pa
+    import ray.data
+
+    from mmore_ray.stages.dedup import (near_dup_jaccard,
+                                        near_dup_minhash,
+                                        near_dup_simhash)
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": ["alpha beta gamma delta epsilon",
+                 "one two three four five six"]}))
+    for fn in (lambda: near_dup_jaccard(ds, threshold=0.3),
+               lambda: near_dup_minhash(ds),
+               lambda: near_dup_simhash(ds)):
+        out = fn()
+        assert (out.count() if hasattr(out, "count") else len(out)) == 0

@@ -35,37 +35,3 @@ def test_redact_pii_dataset_replaces_in_place(ray_session):
     assert out["text"].tolist() == ["mail <EMAIL> now", "clean"]
     assert out["n_redactions"].tolist() == [1, 0]
     assert out["other"].tolist() == ["x", "y"]  # untouched columns survive
-
-
-def test_sample_to_token_budget_semantics(ray_session):
-    """Boundary doc included; every non-empty group keeps >=1 doc;
-    token_col shortcut equals text-derived counts."""
-    import ray.data
-
-    from mmore_ray.stages.mixing import sample_to_token_budget
-
-    t = pa.table({
-        "doc_id": [1, 2, 3, 10, 11],
-        "grp": ["a", "a", "a", "b", "b"],
-        "text": ["one two three", "four five", "six", "seven", "x " * 50],
-    })
-    ds = ray.data.from_arrow(t)
-    out = sample_to_token_budget(ds, "grp", budget=4, id_col="doc_id"
-                                 ).to_pandas().sort_values("doc_id")
-    # group a in hash order of ids; cumulative-before < 4 keeps the
-    # crosser; group b's first doc always survives
-    assert (out.groupby("grp").size() >= 1).all()
-    assert out["n_tokens"].sum() >= 4  # boundary doc included
-    # tiny budget: exactly one doc per group
-    one = sample_to_token_budget(ds, "grp", budget=1).to_pandas()
-    assert one.groupby("grp").size().tolist() == [1, 1]
-    # pre-computed token column path agrees with the text path
-    import numpy as np
-    from mmore_ray.stages.text_analysis import count_tokens_batch
-    import pandas as pd
-    tok = count_tokens_batch(pd.Series(t.column("text").to_pylist()))
-    t2 = t.append_column("tok", pa.array(tok, pa.int64()))
-    via_col = sample_to_token_budget(
-        ray.data.from_arrow(t2), "grp", budget=4, token_col="tok"
-    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
-    assert via_col.equals(out.reset_index(drop=True))
