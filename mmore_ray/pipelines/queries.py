@@ -2890,3 +2890,64 @@ def _curate_full_sql() -> str:
 
 EXTRA_QUERIES["q_curate_full"] = q_curate_full
 EXTRA_ORACLES["q_curate_full"] = _curate_full_sql()
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Nearest-centroid assignment (stages/clustering.kmeans_assign)
+    with FIXED centroids — the first 4 embedding rows — so the
+    assignment half of k-means is SQL-checkable value-for-value
+    (cosine argmax, ties → lowest centroid id, the knn family's e4
+    rounding).  The iterative fit half is q_kmeans (rows-only) + the
+    numpy-differential pytest."""
+    import pyarrow.compute as pc
+
+    from ..stages.clustering import kmeans_assign
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    rows = sorted(ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("vec_id"), 4)),
+        batch_format="pyarrow").take_all(), key=lambda r: r["vec_id"])
+    cents = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return kmeans_assign(ds, cents).select_columns(
+        ["vec_id", "cluster", "cos_e4"])
+
+
+def q_kmeans(sf_dir: str):
+    """Full distributed k-means (stages/clustering.kmeans_fit: seeded
+    sample init + 3 Lloyd passes over every vector, k=8) → cluster
+    SIZES.  Iterative → no SQL oracle (rows-only driver check); the
+    fit is pinned exactly against a driver-side reference Lloyd in
+    tests/test_clustering.py."""
+    from ..stages.clustering import kmeans_assign, kmeans_fit
+    from ..stages.groupby import bucketed_agg
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C = kmeans_fit(ds, n_clusters=8, iters=3)
+    assigned = kmeans_assign(ds, C).select_columns(["cluster"])
+    # agg is idempotent (applied per batch AND per bucket): the count
+    # column keeps ONE name end to end so re-aggregation sums partials
+    return bucketed_agg(
+        assigned, ["cluster"],
+        lambda df, keys: df.groupby("cluster", as_index=False, sort=False
+                                    ).agg(n_vectors=("n_vectors", "sum")),
+        prepare=lambda df: df.assign(n_vectors=np.int64(1)),
+        num_buckets=8)
+
+
+EXTRA_QUERIES["q_kmeans_assign"] = q_kmeans_assign
+EXTRA_ORACLES["q_kmeans_assign"] = """
+    WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+               FROM embeddings WHERE vec_id < 4),
+    s AS (SELECT e.vec_id, c.cid,
+                 list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS sim
+          FROM embeddings e JOIN c ON TRUE),
+    r AS (SELECT vec_id, cid, sim,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, cid) AS rn
+          FROM s)
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+           CAST(floor(sim * 10000 + 0.5) AS BIGINT) AS cos_e4
+    FROM r WHERE rn = 1"""
+
+EXTRA_QUERIES["q_kmeans"] = q_kmeans
+EXTRA_NO_ORACLE.add("q_kmeans")
