@@ -36,6 +36,20 @@ def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarra
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
+def _replicate_spans(span: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized variable-count row replication: (idx, pos) where row
+    i appears ``span[i]`` times (idx) at positions 0..span[i]-1 (pos).
+    The ONE copy of the tricky repeat/cumsum idiom shared by hopping
+    windows and interval joins.  Negative spans (malformed intervals —
+    they contain no points by definition) clamp to zero replicas;
+    np.repeat would crash on a negative count."""
+    span = np.maximum(span, 0).astype(np.int64)
+    idx = np.repeat(np.arange(len(span)), span)
+    pos = np.arange(int(span.sum())) - np.repeat(np.cumsum(span) - span,
+                                                 span)
+    return idx, pos
+
+
 def _restore_key_dtypes(out: pd.DataFrame, src: pd.DataFrame,
                         keys: list[str]) -> pd.DataFrame:
     """pandas groupby(dropna=False) re-infers key dtypes: a block whose
@@ -163,7 +177,9 @@ def grouped_count_distinct(ds, keys: list[str], col: str, out_col: str,
     pair = keys + [col]
 
     def partial(df: pd.DataFrame) -> pa.Table:
-        g = df[pair].drop_duplicates()
+        # SQL COUNT(DISTINCT col) ignores NULLs — drop them before the
+        # dedup or every null-bearing key counts one phantom value
+        g = df.loc[df[col].notna(), pair].drop_duplicates()
         g = g.copy()
         g[_BUCKET] = _bucket_of(g, pair, num_buckets)
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -203,7 +219,12 @@ def grouped_median(ds, keys: list[str], col: str, out_col: str,
     n_col = "_n"
 
     def prepare(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[keys + [col]].copy()
+        # SQL quantile_cont ignores NULLs: a NaN value would sort last,
+        # inflate the rank (shifting the median) and crash the int cast
+        # when selected.  All-NULL groups are omitted from the output
+        # (SQL would emit the key with a NULL median — callers needing
+        # that row can left-join the key set back).
+        out = df.loc[df[col].notna(), keys + [col]].copy()
         out[n_col] = np.int64(1)
         return out
 
@@ -268,10 +289,7 @@ def hopping_window_agg(ds, *, ts_col: str, keys: list[str],
         us = df[ts_col].to_numpy(dtype=np.int64)
         k1 = us // step
         k0 = (us - width) // step + 1
-        span = k1 - k0 + 1
-        idx = np.repeat(np.arange(len(df)), span)
-        pos = np.arange(int(span.sum())) - np.repeat(np.cumsum(span) - span,
-                                                     span)
+        idx, pos = _replicate_spans(k1 - k0 + 1)
         out = pd.DataFrame({window_col: (k0[idx] + pos) * step,
                             **{k: df[k].to_numpy()[idx] for k in keys},
                             **{c: df[c].to_numpy()[idx] for c in sum_cols}})
@@ -317,7 +335,10 @@ def grouped_quantiles_sketch(ds, keys: list[str], col: str,
             # quantiles ignore NULLs — drop them
             df = df[ok]
             v = v[ok]
-        b = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        # clip in FLOAT space before the int cast: +inf / out-of-range
+        # values cast to INT64_MIN and would land in bin 0 instead of
+        # clamping to the documented edge bin
+        b = np.clip((v - lo) / width, 0, bins - 1).astype(np.int64)
         codes, uniq = pd.factorize(
             pd.MultiIndex.from_frame(df[keys]) if len(keys) > 1
             else df[keys[0]])
@@ -375,19 +396,19 @@ def topk_per_group(ds, keys: list[str], sort_cols: list[str], k: int,
         descending = [descending] * len(sort_cols)
     ascending = [not d for d in descending]
 
-    def local(df: pd.DataFrame) -> pa.Table:
-        out = (df.sort_values(sort_cols, ascending=ascending, kind="stable")
-               .groupby(keys, sort=False, dropna=False).head(k))
-        return pa.Table.from_pandas(out, preserve_index=False)
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(sort_cols, ascending=ascending,
+                               kind="stable")
+                .groupby(keys, sort=False, dropna=False).head(k))
 
     def partial(df: pd.DataFrame) -> pa.Table:
-        t = local(df)
-        g = t.to_pandas()
+        g = local(df).copy()
         g[_BUCKET] = _bucket_of(g, keys, num_buckets)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def final(df: pd.DataFrame) -> pa.Table:
-        return local(df.drop(columns=[_BUCKET]))
+        return pa.Table.from_pandas(local(df.drop(columns=[_BUCKET])),
+                                    preserve_index=False)
 
     return (ds.map_batches(partial, batch_format="pandas",
                            batch_size=batch_size)
@@ -532,6 +553,9 @@ def grouped_count_distinct_approx(ds, keys: list[str], col: str,
             pd.util.hash_pandas_object(s, index=False).to_numpy())
 
     def _registers(df: pd.DataFrame) -> pd.DataFrame:
+        # SQL COUNT(DISTINCT) ignores NULLs — a NaN would hash into a
+        # register like any value (same rule as the exact path)
+        df = df[df[col].notna()]
         h = _hash_col(df[col])
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
         rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)

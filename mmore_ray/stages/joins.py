@@ -91,16 +91,22 @@ def anti_join(left_ds, right_ds, left_key: str, right_key: str,
         right_ds = right_ds.materialize()
     keys_ds = right_ds.select_columns([right_key])
     if right_ds.count() <= broadcast_limit:
-        keys: set = set()
-        for b in keys_ds.iter_batches(batch_format="pyarrow"):
-            keys.update(b.column(right_key).to_pylist())
-        ref = ray.put(keys)
+        chunks = [b.column(right_key).combine_chunks()
+                  for b in keys_ds.iter_batches(batch_format="pyarrow")]
+        if not chunks:
+            return left_ds  # empty right side: nothing to drop
+        # broadcast an Arrow value set (zero-copy from plasma) and
+        # filter with the vectorized is_in kernel — a Python set would
+        # re-unpickle per task and probe per row.  Default is_in null
+        # semantics equal the previous pandas isin (probed): a null
+        # left key drops iff the right side contains a null.
+        ref = ray.put(pc.unique(pa.chunked_array(chunks)))
 
-        def drop(df: pd.DataFrame) -> pd.DataFrame:
-            ks = ray.get(ref)
-            return df[~df[left_key].isin(ks)].reset_index(drop=True)
+        def drop(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t.column(left_key), value_set=ray.get(ref))
+            return t.filter(pc.invert(m))
 
-        return left_ds.map_batches(drop, batch_format="pandas")
+        return left_ds.map_batches(drop, batch_format="pyarrow")
 
     from .groupby import _BUCKET, _bucket_of
 
@@ -261,7 +267,7 @@ def interval_agg_join(points_ds, intervals_ds, *, point_on: str,
     different bands of the same interval are summed by one final
     bounded ``bucketed_sum`` shuffle.
     """
-    from .groupby import bucketed_sum
+    from .groupby import _replicate_spans, bucketed_sum
 
     out_cols = [count_col, *sum_cols]
 
@@ -282,12 +288,9 @@ def interval_agg_join(points_ds, intervals_ds, *, point_on: str,
         ids = df[interval_id].to_numpy(dtype=np.int64)
         tb0 = start // bucket_width
         tb1 = (end - 1) // bucket_width
-        # malformed intervals (end < start ⇒ negative span) contain no
-        # points by definition: replicate them zero times instead of
-        # crashing np.repeat with a negative count
-        span = np.maximum(tb1 - tb0 + 1, 0).astype(np.int64)
-        idx = np.repeat(np.arange(len(df)), span)
-        pos = np.arange(span.sum()) - np.repeat(np.cumsum(span) - span, span)
+        # negative spans (malformed end < start) clamp to zero replicas
+        # inside the shared helper
+        idx, pos = _replicate_spans(tb1 - tb0 + 1)
         out = pd.DataFrame({"_tb": tb0[idx] + pos, interval_id: ids[idx],
                             interval_start: start[idx],
                             interval_end: end[idx]})

@@ -89,6 +89,15 @@ class SessionState:
 SessionActor = ray.remote(SessionState) if ray is not None else None
 
 
+def _user_bucket(uids: pd.Series, num_buckets: int) -> np.ndarray:
+    """Hash-spread user→bucket assignment (same fixed-key siphash as
+    groupby._bucket_of).  Raw ``user_id % n`` collapses structured id
+    spaces — all-even ids would feed only half the buckets, halving
+    parallelism and doubling per-bucket memory."""
+    h = pd.util.hash_pandas_object(uids, index=False).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
 def _number_sessions(out: pd.DataFrame) -> pd.DataFrame:
     """Per-user 1-based numbering in session start order (sessions of a
     user all live in one bucket, so per-bucket numbering is global)."""
@@ -122,8 +131,7 @@ def streaming_sessionize_ds(events_ds, num_buckets: int = 8,
             "ts_us": _to_us(df["ts"]),
             "value_e2": _int_scale(df["value"], 100),
         })
-        out["_bucket"] = (
-            out["user_id"].to_numpy() % num_buckets).astype(np.int64)
+        out["_bucket"] = _user_bucket(out["user_id"], num_buckets)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     def run_bucket(df: pd.DataFrame) -> pa.Table:
@@ -165,7 +173,7 @@ def streaming_sessionize(events: pd.DataFrame, num_buckets: int = 4,
         pending = []
         for start in range(0, len(df), micro_batch):
             chunk = df.iloc[start:start + micro_batch]
-            bucket = (chunk["user_id"].to_numpy() % num_buckets)
+            bucket = _user_bucket(chunk["user_id"], num_buckets)
             for b in range(num_buckets):
                 sub = chunk[bucket == b]
                 if len(sub):

@@ -70,3 +70,54 @@ def test_hot_key_sorted_partitions_stay_balanced(ray_session, tmp_path):
                        ("subj", "pred", "obj", "content_sha256")]):
             assert prev is None or prev <= r
             prev = r
+
+
+def test_null_semantics_match_sql(ray_session):
+    """NULL handling of the aggregate family == SQL: quantile_cont and
+    COUNT(DISTINCT) ignore NULLs (a NaN previously shifted the median
+    rank — or crashed the int cast when selected — and counted as a
+    phantom distinct value)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from mmore_ray.stages.groupby import (grouped_count_distinct,
+                                          grouped_count_distinct_approx,
+                                          grouped_median)
+
+    t = pa.table({
+        "g": ["a", "a", "a", "b", "b", "c"],
+        "v": pa.array([1.0, 2.0, None, 5.0, None, None], pa.float64()),
+    })
+    ds = ray.data.from_arrow(t)
+    med = grouped_median(ds, ["g"], "v", "med_e2").to_pandas()
+    got = dict(zip(med["g"], med["med_e2"]))
+    assert got == {"a": 150, "b": 500}  # all-NULL group c omitted
+
+    cd = grouped_count_distinct(ds, ["g"], "v", "n_distinct").to_pandas()
+    got = dict(zip(cd["g"], cd["n_distinct"]))
+    assert got == {"a": 2, "b": 1}  # NULL never counts as a value
+
+    hll = grouped_count_distinct_approx(ds, ["g"], "v", "n_approx"
+                                        ).to_pandas()
+    got = dict(zip(hll["g"], hll["n_approx"]))
+    assert got.get("a") == 2 and got.get("b") == 1
+
+
+def test_quantile_sketch_clamps_inf_to_top_bin(ray_session):
+    """+inf / out-of-range values must clamp to the EDGE bin (the
+    documented behavior), not int64-overflow into bin 0."""
+    import pyarrow as pa
+    import ray.data
+
+    from mmore_ray.stages.groupby import grouped_quantiles_sketch
+
+    t = pa.table({"g": ["a"] * 6,
+                  "v": pa.array([1.0, 2.0, 3.0, 4.0, float("inf"), 1e300],
+                                pa.float64())})
+    out = grouped_quantiles_sketch(
+        ray.data.from_arrow(t), ["g"], "v", [0.99], lo=0.0, hi=10.0,
+        bins=10).to_pandas()
+    # 2 of 6 values clamp to the top bin: q0.99 must read from it
+    assert out["q099"].iloc[0] >= 9.0
