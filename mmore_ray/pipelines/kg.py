@@ -42,7 +42,7 @@ import ray.data
 
 from ..functions.hashing import stable_u64
 from ..stages.canonicalize import build_canonical_map
-from ..stages.linking import default_alias_dict
+from ..stages.linking import default_alias_dict, normalize_alias
 from ..stages.triples import (
     doc_triples,
     explode_edges,
@@ -60,8 +60,11 @@ _BATCH_SIZE = 256
 
 
 def canonical_alias_map(alias: dict[str, str] | None = None) -> dict[str, str]:
-    """Compose link + canonicalize into one surface_key → canonical map."""
-    alias = alias if alias is not None else default_alias_dict()
+    """Compose link + canonicalize into one surface_key → canonical
+    map.  User-supplied alias keys are re-keyed by the entity_key
+    transform (normalize_alias) so they actually match mention rows."""
+    alias = (normalize_alias(alias) if alias is not None
+             else default_alias_dict())
     canon = build_canonical_map(list(alias.items()))
     keys = set(alias) | set(canon)
     return {k: canon.get(alias.get(k, k), alias.get(k, k)) for k in keys}
@@ -116,19 +119,38 @@ def extract_docs(corpus_ds, gazetteer=None, concurrency=_SCAN_CONCURRENCY,
     )
 
 
+#: per-worker-process memo for broadcast dicts: ray.get of a local ref
+#: avoids a network fetch but still UNPICKLES the whole dict on every
+#: call — at 10⁵–10⁶ alias surfaces that is multi-MB of deserialization
+#: per 8192-row batch on the hot path.  Keyed by ref hex; a run holds
+#: 2 refs, so the cap just bounds pathological many-run workers.
+_REF_CACHE: dict[str, object] = {}
+
+
+def _cached_get(ref):
+    key = ref.hex()
+    v = _REF_CACHE.get(key)
+    if v is None:
+        if len(_REF_CACHE) > 16:
+            _REF_CACHE.clear()
+        v = ray.get(ref)
+        _REF_CACHE[key] = v
+    return v
+
+
 def _link_mentions_fn(batch: pa.Table, alias_ref, canon_ref) -> pa.Table:
     """Fused link + canonicalize over exploded mention rows.
 
     Stateless task stage: the alias dict / canonical map are broadcast
-    once via ``ray.put`` and fetched from the local object store per
-    task (``ray.get`` of a local ref is cheap; no per-batch reshipping).
-    """
+    once via ``ray.put`` and fetched through the per-process memo
+    (:data:`_REF_CACHE`) — one deserialization per worker, not one per
+    batch."""
     import pandas as pd
 
     from ..stages.linking import trigram_jaccard
 
-    alias = ray.get(alias_ref)
-    canon = ray.get(canon_ref)
+    alias = _cached_get(alias_ref)
+    canon = _cached_get(canon_ref)
     batch = explode_mentions(batch)
     keys = pd.Series(batch.column("entity_key").to_pandas())
     # vectorized per distinct key: map through small lookup frames
@@ -153,7 +175,7 @@ def _doc_triples_fn(batch: pa.Table, canon_ref) -> pa.Table:
     """Fused explode-edges + canonical relabel + per-doc triple merge."""
     import pandas as pd
 
-    canon = ray.get(canon_ref)
+    canon = _cached_get(canon_ref)
     batch = explode_edges(batch)
     for col, out in (("src", "src_canonical"), ("dst", "dst_canonical")):
         s = batch.column(col).to_pandas()
@@ -176,7 +198,8 @@ def kg_datasets(corpus_ds, gazetteer=None, alias: dict[str, str] | None = None,
     """
     surface_canon = canonical_alias_map(alias)
     canon_ref = ray.put(surface_canon)
-    alias_ref = ray.put(alias if alias is not None else default_alias_dict())
+    alias_ref = ray.put(normalize_alias(alias) if alias is not None
+                        else default_alias_dict())
 
     if docs is None:
         docs = extract_docs(corpus_ds, gazetteer, concurrency)
@@ -232,6 +255,30 @@ def _shard_filter(bucket: int, num_shards: int):
     return fn
 
 
+def _config_digest(gazetteer, alias) -> str:
+    """Digest of every parameter that changes EXTRACTION SEMANTICS —
+    gazetteer entries, alias dict, scanner provider.  Resuming an
+    out_dir under a different digest would silently mix extraction
+    semantics across shards (completed shards keep the old gazetteer's
+    mentions, new shards get the new one's), so resume refuses on
+    mismatch — same corruption class as the num_shards guard."""
+    import hashlib
+
+    h = hashlib.sha256()
+    if gazetteer is None:
+        h.update(b"default-gazetteer")
+    else:
+        for s, t, k in sorted(gazetteer):
+            h.update(f"{s}\t{t}\t{k}\n".encode())
+    h.update(b"|alias|")
+    src = normalize_alias(alias) if alias is not None else default_alias_dict()
+    for k in sorted(src):
+        h.update(f"{k}\t{src[k]}\n".encode())
+    h.update(b"|scanner|")
+    h.update(os.environ.get("MMORE_RAY_MENTION_SCANNER", "").encode())
+    return h.hexdigest()
+
+
 def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
            gazetteer=None, alias: dict[str, str] | None = None,
            concurrency=_SCAN_CONCURRENCY, max_concurrent_shards: int = 2,
@@ -284,7 +331,8 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
 
     surface_canon = canonical_alias_map(alias)
     canon_ref = ray.put(surface_canon)
-    alias_ref = ray.put(alias if alias is not None else default_alias_dict())
+    alias_ref = ray.put(normalize_alias(alias) if alias is not None
+                        else default_alias_dict())
 
     # Sorted-write partition boundaries, fixed BEFORE the main pass by a
     # cheap warmup scan (sample-then-range-partition, TeraSort-style):
@@ -306,18 +354,16 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
                          "obj": g.column("obj"),
                          "n": g.column("weight_count")})
 
+    config = _config_digest(gazetteer, alias)
     bounds_file = out_dir / mf.MANIFEST_DIR / "sort_bounds.json"
     if bounds_file.exists():
-        saved = json.loads(bounds_file.read_text())
-        if isinstance(saved, list):
-            # legacy format (bare bounds list, written before the
-            # num_shards guard existed): those runs had no guard at
-            # all, so resuming with the caller's num_shards preserves
-            # the old behavior while upgrading the file in place
-            saved = {"num_shards": num_shards, "bounds": saved}
-            tmp = bounds_file.with_suffix(".json.tmp")
-            tmp.write_text(json.dumps(saved))
-            os.replace(tmp, bounds_file)
+        raw = json.loads(bounds_file.read_text())
+        # legacy format (bare bounds list, written before the
+        # num_shards guard existed): those runs had no guard at all,
+        # so resuming with the caller's values preserves the old
+        # behavior while upgrading the file in place
+        saved = {"num_shards": num_shards, "bounds": raw} \
+            if isinstance(raw, list) else raw
         # resuming with a different shard count would re-partition the
         # corpus by a different hash modulus: docs already in completed
         # shards would be extracted AGAIN into new shards and finalize
@@ -327,15 +373,35 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
                 f"resume with num_shards={num_shards} but this output dir "
                 f"was started with num_shards={saved['num_shards']}; reuse "
                 "the original value or start a fresh out_dir")
+        # extraction-semantics guard: a resume under a different
+        # gazetteer / alias dict / scanner provider would mix
+        # semantics across shards (see _config_digest)
+        if saved.get("config", config) != config:
+            raise ValueError(
+                "resume with a different extraction config (gazetteer / "
+                "alias / scanner) than this output dir was started with; "
+                "re-run with the original config or start a fresh out_dir")
+        if "config" not in saved:  # stamp pre-guard files in place
+            saved["config"] = config
+            tmp = bounds_file.with_suffix(".json.tmp")
+            tmp.write_text(json.dumps(saved))
+            os.replace(tmp, bounds_file)
         bounds = np.array(saved["bounds"], dtype=object)
     else:
-        warm = extract_docs(shard_corpus(0).limit(warm_docs), gazetteer,
-                            concurrency)
-        rollup = warm.map_batches(
-            _doc_triples_fn, fn_kwargs={"canon_ref": canon_ref},
-            batch_format="pyarrow",
-        ).map_batches(_key_counts_kernel, batch_format="pyarrow")
-        parts = rollup.take_all()  # vocabulary-bounded: tiny
+        # warmup sample: shard 0 first, falling back to later shards —
+        # an empty shard-0 file group would yield zero boundaries and
+        # collapse the ENTIRE sorted write into one merge partition
+        parts: list = []
+        for warm_shard in range(num_shards):
+            warm = extract_docs(shard_corpus(warm_shard).limit(warm_docs),
+                                gazetteer, concurrency)
+            rollup = warm.map_batches(
+                _doc_triples_fn, fn_kwargs={"canon_ref": canon_ref},
+                batch_format="pyarrow",
+            ).map_batches(_key_counts_kernel, batch_format="pyarrow")
+            parts = rollup.take_all()  # vocabulary-bounded: tiny
+            if parts:
+                break
         agg: dict[tuple[str, str, str], float] = {}
         for r in parts:
             k = (r["subj"], r["pred"], r["obj"])
@@ -348,7 +414,8 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
         # mid-write must not leave truncated JSON that bricks resume
         tmp = bounds_file.with_suffix(".json.tmp")
         tmp.write_text(json.dumps(
-            {"num_shards": num_shards, "bounds": list(bounds)}))
+            {"num_shards": num_shards, "bounds": list(bounds),
+             "config": config}))
         os.replace(tmp, bounds_file)
     n_sorted_parts = len(bounds) + 1
 

@@ -180,14 +180,14 @@ def connected_components(edges_ds, src: str = "src", dst: str = "dst",
         total = label_ds.map_batches(chk, batch_format="pandas").sum("chk")
         return None if total is None else total % _CHK_MOD
 
-    def double_fn(df: pd.DataFrame) -> pa.Table:
-        # left_outer nulls coerce int64 to float64; coalesce then cast
-        # back to the label dtype
-        lab = df["_plabel"].where(df["_plabel"].notna(), df["label"])
-        lab = lab.astype(df["label"].dtype)
-        return pa.Table.from_pandas(
-            pd.DataFrame({"node": df["node"], "label": lab}),
-            preserve_index=False)
+    def double_fn(t: pa.Table) -> pa.Table:
+        # coalesce IN ARROW: a pandas batch would coerce the nullable
+        # int64 _plabel through float64, silently corrupting any label
+        # above 2^53 (hash-derived 64-bit node ids)
+        import pyarrow.compute as pc
+
+        lab = pc.coalesce(t.column("_plabel"), t.column("label"))
+        return pa.table({"node": t.column("node"), "label": lab})
 
     edges = edges_ds.select_columns([src, dst])
     # static node-perspective adjacency (both directions), built once
@@ -231,7 +231,7 @@ def connected_components(edges_ds, src: str = "src", dst: str = "dst",
             new_labels.rename_columns({"node": "_pn", "label": "_plabel"}),
             join_type="left_outer", num_partitions=join_partitions,
             on=("label",), right_on=("_pn",),
-        ).map_batches(double_fn, batch_format="pandas").materialize()
+        ).map_batches(double_fn, batch_format="pyarrow").materialize()
         prev_chk = checksum(labels)
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "

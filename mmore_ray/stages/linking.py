@@ -25,12 +25,23 @@ try:  # allow pure-python unit tests without a Ray session
 except ImportError:  # pragma: no cover
     ray = None
 
+from ..functions.textfns import clean_str
 from ..sources.corpus import GAZETTEER
 
 
+def normalize_alias(alias: dict[str, str]) -> dict[str, str]:
+    """Re-key an alias dict by the SAME transform mention rows use for
+    ``entity_key`` — ``clean_str(surface.upper())``.  A raw-upper key
+    whose surface clean_str alters (leading space, control char, HTML
+    entity) would otherwise never match any mention: the lookup falls
+    back to identity and the mislink is silent."""
+    return {str(clean_str(k.upper())): v for k, v in alias.items()}
+
+
 def default_alias_dict() -> dict[str, str]:
-    """surface_key (uppercase) → kb_id, from the gazetteer."""
-    return {s.upper(): kb for s, _, kb in GAZETTEER}
+    """surface_key (uppercased CLEANED form — the entity_key contract)
+    → kb_id, from the gazetteer."""
+    return {str(clean_str(s.upper())): kb for s, _, kb in GAZETTEER}
 
 
 def trigram_jaccard(a: str, b: str) -> float:
@@ -64,9 +75,9 @@ class EntityLinker:
         score_for: str | None = "entity_key",
     ):
         if alias_ref is not None:
-            self._alias = ray.get(alias_ref)
+            self._alias = normalize_alias(ray.get(alias_ref))
         elif alias is not None:
-            self._alias = alias
+            self._alias = normalize_alias(alias)
         else:
             self._alias = default_alias_dict()
         self._columns = columns or {"entity_key": "kb_id"}

@@ -19,6 +19,7 @@ past extraction), exploded downstream by
 
 from __future__ import annotations
 
+import logging
 import re
 
 import pyarrow as pa
@@ -30,6 +31,8 @@ from .parser import (
     DocGraph,
     parse_extraction,
 )
+
+logger = logging.getLogger(__name__)
 
 MENTION_STRUCT = pa.struct(
     [
@@ -57,12 +60,15 @@ def load_gazetteer(path: str) -> list[tuple[str, str, str]]:
     """Gazetteer file loader (the config-surface analogue of the
     reference's prompt/types files, ``ner/extractor.py:26-33``): TSV
     lines ``surface<TAB>entity_type<TAB>kb_id``; blank lines and ``#``
-    comments ignored."""
+    comment lines ignored.  A comment is a '#'-leading line WITHOUT a
+    tab — '#include<TAB>MACRO<TAB>KB:x' is a legitimate code-entity
+    data row, not a comment."""
     rows: list[tuple[str, str, str]] = []
     with open(path) as f:
         for line in f:
             line = line.rstrip("\n")
-            if not line.strip() or line.lstrip().startswith("#"):
+            if not line.strip() or (
+                    line.lstrip().startswith("#") and "\t" not in line):
                 continue
             surface, etype, kb_id = line.split("\t")
             if not surface:
@@ -173,6 +179,20 @@ class MentionScanner:
         for s, t, _ in gaz:
             if s:  # empty surfaces match zero-width everywhere — drop
                 first_type.setdefault(s, t)
+        # a surface containing a delimiter cannot round-trip the
+        # extraction record format (the render→parse channel truncates
+        # it at the delimiter, then _rows KeyErrors on the full-surface
+        # key; the reference's LLM tuple format could not express it
+        # either) — drop it loudly rather than crash the extract job
+        bad = [s for s in first_type
+               if tuple_delimiter in s or record_delimiter in s]
+        if bad:
+            logger.warning(
+                "mention scanner: dropped %d gazetteer surface(s) "
+                "containing the tuple/record delimiter: %s",
+                len(bad), bad[:3])
+            for s in bad:
+                del first_type[s]
         ordered = sorted(first_type.items(), key=lambda x: (-len(x[0]), x[0]))
         self._type_of = dict(ordered)
         # prefix-trie-factored pattern: longest match at shared prefixes,
@@ -235,6 +255,24 @@ class MentionScanner:
             for s, t in ordered
         }
         self._co_occurs = str(clean_str(CO_OCCURS_PRED))
+        # prefix-surface bookkeeping for _scan: the trie returns the
+        # LONGEST surface at a position, so a surface that is a proper
+        # PREFIX of another would lose its occurrence at a shared start
+        # (infix/suffix overlaps are already found by the start+1 step).
+        # Memoized lazily per matched surface — corpora hit few
+        # distinct surfaces, so this costs ~nothing when (as in the
+        # default gazetteer) no surface prefixes another.
+        self._surface_lens = sorted({len(s) for s in self._type_of})
+        self._prefix_memo: dict[str, tuple[str, ...]] = {}
+
+    def _prefixes_of(self, s: str) -> tuple[str, ...]:
+        """Proper-prefix surfaces of ``s`` (shortest first), memoized."""
+        r = self._prefix_memo.get(s)
+        if r is None:
+            r = tuple(s[:n] for n in self._surface_lens
+                      if n < len(s) and s[:n] in self._type_of)
+            self._prefix_memo[s] = r
+        return r
 
     def _graph_of(self, found: list[tuple[str, str]]):
         """DocGraph of a found list — closed form when no surface can
@@ -266,11 +304,13 @@ class MentionScanner:
         # overlap-correct enumeration: restart the search one char past
         # each match START (not its end), so a DIFFERENT surface
         # overlapping the previous match is found too ('AB','BC' in
-        # 'ABC' both count); at most one surface matches per position
-        # (gazetteer surfaces are pairwise non-substring).  Occurrences
-        # of the SAME surface that overlap its own previous counted
-        # occurrence are skipped (last_end gate): per-surface counts
-        # are left-to-right NON-overlapping — exactly the SQL oracle's
+        # 'ABC' both count).  The trie yields the LONGEST surface at a
+        # position, so proper-PREFIX surfaces of the match are credited
+        # at the same start (each under its own gate) — 'Ray' at the
+        # head of 'RayCluster' counts for both.  Occurrences of the
+        # SAME surface that overlap its own previous counted occurrence
+        # are skipped (last_end gate): per-surface counts are
+        # left-to-right NON-overlapping — exactly the SQL oracle's
         # replace-based n_occ ('neon' in 'neoneon' counts once).
         last_end: dict[str, int] = {}
         search = self._pattern.search
@@ -282,15 +322,16 @@ class MentionScanner:
             s = m.group(0)
             p = m.start()
             pos = p + 1
-            if p < last_end.get(s, 0):
-                continue  # self-overlap: already counted
-            last_end[s] = p + len(s)
-            slot = counts.get(s)
-            if slot is None:
-                counts[s] = [1, p]
-                order.append(s)
-            else:
-                slot[0] += 1
+            for surf in (s, *self._prefixes_of(s)):
+                if p < last_end.get(surf, 0):
+                    continue  # self-overlap: already counted
+                last_end[surf] = p + len(surf)
+                slot = counts.get(surf)
+                if slot is None:
+                    counts[surf] = [1, p]
+                    order.append(surf)
+                else:
+                    slot[0] += 1
         found = [(s, self._type_of[s]) for s in order]
         return self._rows(found, counts)
 

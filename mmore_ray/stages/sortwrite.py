@@ -98,10 +98,15 @@ def compute_boundaries(key_counts: list[tuple[tuple[str, str, str], float]],
 
 
 def encode_table_keys(batch: pa.Table) -> np.ndarray:
-    """Encoded sort keys of an Arrow triple batch (object ndarray)."""
-    cols = [batch.column(c).to_numpy(zero_copy_only=False)
-            for c in SORT_COLS]
-    return np.array([SEP.join(t) for t in zip(*cols)], dtype=object)
+    """Encoded sort keys of an Arrow triple batch (object ndarray).
+    The join runs in the Arrow C++ kernel — a Python per-row
+    ``SEP.join`` on the spill tee would put per-triple Python string
+    assembly on the 100-TB hot path."""
+    import pyarrow.compute as pc
+
+    joined = pc.binary_join_element_wise(
+        *(batch.column(c).cast(pa.string()) for c in SORT_COLS), SEP)
+    return joined.to_numpy(zero_copy_only=False)
 
 
 def bucket_spill(batch: pa.Table, bounds: np.ndarray,
@@ -188,7 +193,6 @@ def write_sorted(triples_ds, key_counts, out_dir: str | Path,
     real multi-node cluster the spill dir must be shared or replaced by
     object-store refs — documented partitioning assumption).
     """
-    import ray
     import shutil
 
     out_dir = Path(out_dir)
@@ -201,39 +205,14 @@ def write_sorted(triples_ds, key_counts, out_dir: str | Path,
     bounds = np.array(compute_boundaries(key_counts, num_partitions))
     n_parts = len(bounds) + 1
 
+    # composed from the SAME primitives the spill-at-extract path uses
+    # (bucket_spill + merge_sorted_spills) — one copy of the
+    # partitioning logic, not a parallel re-implementation
     def spill(batch: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
-        part = np.searchsorted(bounds, encode_table_keys(batch),
-                               side="right")
-        tag = _batch_tag(batch)
-        counts = []
-        for p in np.unique(part):
-            sub = batch.filter(pa.array(part == p))
-            d = spill_dir / f"p={int(p):05d}"
-            d.mkdir(parents=True, exist_ok=True)
-            pq.write_table(sub, d / f"{tag}.parquet")
-            counts.append((int(p), sub.num_rows))
-        return pa.table({"part": pa.array([c[0] for c in counts], pa.int64()),
-                         "rows": pa.array([c[1] for c in counts], pa.int64())})
+        bucket_spill(batch, bounds, spill_dir, _batch_tag(batch))
+        return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
 
     triples_ds.map_batches(spill, batch_format="pyarrow",
                            batch_size=65536).count()
-
-    @ray.remote
-    def merge(p: int) -> int:
-        import pyarrow.parquet as pq
-
-        d = spill_dir / f"p={p:05d}"
-        if not d.is_dir():
-            return 0
-        tables = [pq.read_table(f) for f in sorted(d.glob("*.parquet"))]
-        tbl = pa.concat_tables(tables).sort_by(
-            [(c, "ascending") for c in SORT_COLS])
-        pq.write_table(tbl, out_dir / f"part-{p:05d}.parquet")
-        return tbl.num_rows
-
-    ray.get([merge.remote(p) for p in range(n_parts)])
-    import shutil
-
+    merge_sorted_spills([spill_dir], n_parts, out_dir)
     shutil.rmtree(spill_dir, ignore_errors=True)

@@ -107,3 +107,23 @@ def test_connected_components_raises_when_not_converged(ray_session):
     ds = ray.data.from_arrow(t).repartition(32)
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(ds, "src", "dst", max_rounds=1)
+
+
+def test_connected_components_labels_above_2_53(ray_session):
+    """Pointer doubling must coalesce IN ARROW: routing nullable int64
+    labels through pandas float64 corrupts any id above 2^53."""
+    import pyarrow as pa
+    import ray.data
+
+    from mmore_ray.stages.canonicalize import connected_components
+
+    base = 1 << 60  # not float64-representable neighborhood-exact
+    edges = [(base + 1, base + 3), (base + 3, base + 5),
+             (base + 10, base + 12)]
+    ds = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([a for a, _ in edges], pa.int64()),
+        "id_b": pa.array([b for _, b in edges], pa.int64())}))
+    out = connected_components(ds, "id_a", "id_b").to_pandas()
+    lab = dict(zip(out["node"], out["label"]))
+    assert lab[base + 1] == lab[base + 3] == lab[base + 5] == base + 1
+    assert lab[base + 10] == lab[base + 12] == base + 10

@@ -44,10 +44,32 @@ def test_fastpath_handles_colliding_cleaned_names():
     _graphs_equal(fast, slow)
 
 
-def test_fastpath_disabled_when_surface_contains_delimiter():
-    gaz = [("a<|>b", "ORGANIZATION", "AB"), ("Paris", "LOCATION", "PARIS")]
+def test_delimiter_surface_dropped_not_crashed():
+    # a surface containing a delimiter cannot round-trip the extraction
+    # record format — it is DROPPED (warned), never a KeyError mid-scan
+    gaz = [("a<|>b", "ORGANIZATION", "AB"), ("Paris", "LOCATION", "PARIS"),
+           ("x##y", "LOCATION", "XY")]
     sc = MentionScanner(gazetteer=gaz)
-    assert not sc._fastpath  # falls back to the render+parse roundtrip
+    mentions, _ = sc._scan("a<|>b went to Paris via x##y")
+    assert [m["surface"] for m in mentions] == ["Paris"]
+
+
+def test_fastpath_disabled_when_type_contains_delimiter():
+    # TYPES can still carry delimiters — that perturbs record
+    # tokenization, so the render+parse roundtrip stays in force
+    gaz = [("Paris", "LOC<|>X", "PARIS")]
+    sc = MentionScanner(gazetteer=gaz)
+    assert not sc._fastpath
+
+
+def test_prefix_surfaces_counted_at_shared_start():
+    # the trie yields the longest match; prefix surfaces must still be
+    # credited at the shared start (SQL replace-formula parity)
+    sc = MentionScanner(gazetteer=[("Ray", "T", "K1"),
+                                   ("RayCluster", "T", "K2")])
+    m, _ = sc._scan("use RayCluster and Ray here")
+    got = {r["surface"]: (r["n_occ"], r["first_pos"]) for r in m}
+    assert got == {"RayCluster": (1, 5), "Ray": (2, 5)}
 
 
 def test_scan_memo_identical_on_duplicate_content():

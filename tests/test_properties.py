@@ -296,14 +296,12 @@ def test_scanner_n_occ_matches_sql_replace_formula(data):
     from mmore_ray.stages.mentions import MentionScanner
 
     alphabet = "ABCD"
+    # substring-related surfaces ALLOWED: the trie yields the longest
+    # match per position, prefix surfaces are credited at shared
+    # starts, infix/suffix overlaps are found by the start+1 step
     surfaces = data.draw(st.lists(
         st.text(alphabet=alphabet, min_size=2, max_size=4),
         min_size=1, max_size=4, unique=True))
-    # pairwise non-substring (the corpus invariant the trie relies on)
-    surfaces = [s for i, s in enumerate(surfaces)
-                if not any(s in t for j, t in enumerate(surfaces) if i != j)]
-    if not surfaces:
-        return
     content = data.draw(st.text(alphabet=alphabet, min_size=0, max_size=60))
 
     sc = MentionScanner(gazetteer=[(s, "X", f"K{i}")

@@ -210,3 +210,19 @@ def test_batch_tag_is_chunk_layout_independent():
     two = pa.concat_tables([one.slice(0, 1), one.slice(1, 2)])
     assert two.column("a").num_chunks > 1  # genuinely different layout
     assert _batch_tag(one) == _batch_tag(two)
+
+
+def test_resume_with_different_extraction_config_refuses(read_corpus,
+                                                         tmp_path):
+    """Resuming under a different gazetteer would mix extraction
+    semantics across shards (completed shards keep the old one's
+    mentions) — same corruption class as the num_shards guard."""
+    out = tmp_path / "kg"
+    run_kg(read_corpus, out, num_shards=2)
+    (out / "_manifest" / "extract_00001.json").unlink()
+    with pytest.raises(ValueError, match="extraction config"):
+        run_kg(read_corpus, out, num_shards=2,
+               gazetteer=[("Paris", "LOCATION", "KB:PARIS")])
+    # the original config still resumes cleanly
+    run_kg(read_corpus, out, num_shards=2)
+    assert _lineage_rows(out) == 200
