@@ -60,6 +60,11 @@ def kmeans_fit(ds, n_clusters: int = 16, iters: int = 5,
         ref = ray.put(C)
 
         def partial(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:  # (0, 1) placeholder would break the gemm
+                return pa.table({
+                    "cluster": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.list_(pa.float64())),
+                    "n": pa.array([], pa.int64())})
             _, V = _ids_and_vectors(batch, id_col, vec_col)
             cen = ray.get(ref)
             a = np.argmax(V @ cen.T, axis=1)
@@ -97,6 +102,10 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding",
     ref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
 
     def assign(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # (0, 1) placeholder would break the gemm
+            return batch.append_column(
+                out_col, pa.array([], pa.int64())).append_column(
+                "cos_e4", pa.array([], pa.int64()))
         _, V = _ids_and_vectors(batch, id_col, vec_col)
         S = V @ ray.get(ref).T
         a = np.argmax(S, axis=1)

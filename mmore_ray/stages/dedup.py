@@ -128,10 +128,15 @@ def _word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     """Shared tokenize+hash preamble of every sketch kernel: Arrow
     space-split → flat word array → per-word siphash (pandas C kernel,
     fixed key ⇒ process-stable).  Returns (word_hashes uint64, words
-    per doc int64) — one hash family for all sketches."""
+    per doc int64) — one hash family for all sketches.  Null text rows
+    hash as '' — the SAME convention as exact_dedup's sha256 of null
+    (hashing.sha256_column); without the fill, a single null document
+    NaN-poisons the count array and crashes np.repeat in
+    _hashed_windows, killing every sketch operator on raw crawl
+    input."""
     import pyarrow.compute as pc
 
-    lists = pc.split_pattern(texts, " ")
+    lists = pc.split_pattern(pc.fill_null(texts, ""), " ")
     counts = pc.list_value_length(lists).to_numpy().astype(np.int64)
     words = pd.Series(pc.list_flatten(lists).to_pandas(), copy=False)
     wh = pd.util.hash_pandas_object(words, index=False).to_numpy()
@@ -149,6 +154,9 @@ def _hashed_windows(texts, k: int):
     (nondecreasing), and how many short docs were appended (their
     windows sort back in by the stable argsort below only when
     present)."""
+    import pyarrow.compute as pc
+
+    texts = pc.fill_null(texts, "")  # null rows hash as '' (see _word_hashes)
     wh, counts = _word_hashes(texts)
     doc_idx = np.repeat(np.arange(len(counts)), counts)
     n = len(wh)
@@ -262,6 +270,13 @@ def near_dup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
     driver."""
     from .groupby import bucketed_agg
 
+    if not 1 <= bands <= n_perm or n_perm % bands:
+        # bands > n_perm makes every band an empty-slice sum (all docs
+        # collide in every band: quadratic blow-up + silent recall loss
+        # after the cap); a non-dividing bands silently discards the
+        # remainder permutations, voiding the (1-s^r)^b miss-rate math
+        raise ValueError(
+            f"bands must divide n_perm: got n_perm={n_perm}, bands={bands}")
     rows = n_perm // bands
     a, b = _stable_rng_params(n_perm)
     source = ds.select_columns([id_col, text_col])
@@ -792,11 +807,20 @@ def near_dup_simhash(ds, text_col: str = "text", id_col: str = "doc_id",
                      group_cap: int | None = DEFAULT_GROUP_CAP):
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole banding: split the 64-bit hash into 4 × 16-bit chunks —
-    any pair within hamming 3 matches exactly on ≥1 chunk, so a
-    groupby per (chunk_idx, chunk_value) finds all candidates; exact
-    hamming verification follows."""
+    Pigeonhole banding: split the 64-bit hash into ``max_hamming + 1``
+    near-equal chunks — a pair within the hamming budget cannot differ
+    in every chunk, so a groupby per (chunk_idx, chunk_value) finds
+    ALL candidates (a FIXED 4-chunk split would silently lose recall
+    for max_hamming ≥ 4); exact hamming verification follows."""
     from .groupby import _BUCKET, _bucket_of
+
+    n_chunks = max_hamming + 1
+    if not 1 <= n_chunks <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63]: {max_hamming}")
+    widths = np.full(n_chunks, 64 // n_chunks, dtype=np.int64)
+    widths[: 64 % n_chunks] += 1
+    shifts = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.uint64)
+    masks = np.array([(1 << int(w)) - 1 for w in widths], dtype=np.uint64)
 
     def sketch(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -804,14 +828,15 @@ def near_dup_simhash(ds, text_col: str = "text", id_col: str = "doc_id",
                              for k in ("id", "chunk", "value", "sim")})
         ids = batch.column(id_col).to_numpy()
         sh = _simhash_batch(batch.column(text_col).cast(pa.string()))
-        chunk = np.tile(np.arange(4, dtype=np.int64), len(sh))
-        value = ((np.repeat(sh, 4) >> (chunk.view(np.uint64) << np.uint64(4)))
-                 & np.uint64(0xFFFF)).view(np.int64)
+        chunk = np.tile(np.arange(n_chunks, dtype=np.int64), len(sh))
+        value = ((np.repeat(sh, n_chunks) >> np.tile(shifts, len(sh)))
+                 & np.tile(masks, len(sh))).view(np.int64)
         return pa.table({
-            "id": pa.array(np.repeat(ids, 4), pa.int64()),
+            "id": pa.array(np.repeat(ids, n_chunks), pa.int64()),
             "chunk": pa.array(chunk, pa.int64()),
             "value": pa.array(value, pa.int64()),
-            "sim": pa.array(np.repeat(sh.view(np.int64), 4), pa.int64()),
+            "sim": pa.array(np.repeat(sh.view(np.int64), n_chunks),
+                            pa.int64()),
         })
 
     bands = ds.select_columns([id_col, text_col]).map_batches(
@@ -900,17 +925,30 @@ def embedding_near_dup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     column (per-batch bincount partials combined on the driver —
     ``n_centroids`` values, no shuffle)."""
     from .groupby import bucketed_agg
-    from .similarity import train_centroids
+    from .similarity import _trained_centroids
 
-    sample = ds.select_columns([vec_col]).limit(train_sample).to_pandas()
-    Vs = np.array(sample[vec_col].tolist(), dtype=np.float64)
-    C = train_centroids(Vs, min(n_centroids, len(Vs)))
+    # ORDER-STABLE bounded sample (similarity._trained_centroids):
+    # limit() takes whichever blocks arrive first, so centroids — and
+    # therefore probe assignments and the emitted pair set — would
+    # differ run-to-run on identical data
+    C = _trained_centroids(ds, n_centroids, vec_col, id_col, train_sample)
+    if len(C) == 0:
+        # empty input: zero pairs, like every sibling operator
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cos_e3": pa.array([], pa.int64())}))
     c_ref = ray.put(C)
-    dim = Vs.shape[1]
+    dim = C.shape[1]
 
     def assign(batch: pa.Table) -> pa.Table:
         from .similarity import _ids_and_vectors
 
+        if len(batch) == 0:  # (0, 1) placeholder would break the gemm
+            return pa.table({
+                "bucket": pa.array([], pa.int64()),
+                "id": pa.array([], pa.int64()),
+                "vec": pa.array([], pa.list_(pa.float64(), dim))})
         Cn = ray.get(c_ref)
         # Arrow-native extraction (list_flatten → reshape, no per-float
         # Python objects) — this runs over every corpus vector
@@ -1084,9 +1122,10 @@ def decontaminate(ds, benchmark_texts: list[str], text_col: str = "text",
         cand = np.unique(widx[np.isin(g, hset)])
         if len(cand):
             sset = ray.get(strings_ref)
-            # exact string verify only on the (rare) hash-hit rows
+            # exact string verify only on the (rare) hash-hit rows;
+            # null text verifies as '' (the hash convention)
             ok = [any(s in sset for s in
-                      shingle_set(texts[int(d)].as_py(), k))
+                      shingle_set(texts[int(d)].as_py() or "", k))
                   for d in cand]
             hit[cand[ok]] = True
         if mode == "drop":

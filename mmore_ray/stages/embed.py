@@ -93,8 +93,15 @@ def index_documents(ds, out_dir: str, concurrency=(1, 4),
     (``mmore_ray.models``): default = deterministic fakes; a real
     checkpoint is ``dense_provider="sentence-transformers"`` (or the
     ``MMORE_RAY_DENSE_EMBEDDER`` env var) — no other code changes."""
+    import shutil
+
     from ..models import provider_class
 
+    # sink convention (colvision.py / build_ivf_index): write_parquet
+    # APPENDS uniquely-named files, so a re-index into an existing
+    # collection dir would silently merge stale and new rows and
+    # retrieve() would return ghost/duplicate hits
+    shutil.rmtree(out_dir, ignore_errors=True)
     dense_cls = provider_class("dense_embedder", dense_provider)
     sparse_cls = provider_class("sparse_embedder", sparse_provider)
     out = (
@@ -170,12 +177,14 @@ def retrieve(collection_dir: str, query_text: str, k: int = 5,
 
     # per-process singleton instances: a real checkpoint loads once per
     # process, not once per query (RetrieverSession serves many)
-    dense_q = get_instance("dense_embedder",
-                           dense_provider).embed_one(query_text)
+    dense_q = np.asarray(get_instance(
+        "dense_embedder", dense_provider).embed_one(query_text),
+        dtype=np.float64)
     sq_idx, sq_val = get_instance("sparse_embedder",
                                   sparse_provider).embed_one(query_text)
-    sparse_q = dict(zip(sq_idx, sq_val))
-    q_ref = ray.put((dense_q, sparse_q))
+    _o = np.argsort(np.asarray(sq_idx, dtype=np.int64))
+    q_ref = ray.put((dense_q, np.asarray(sq_idx, np.int64)[_o],
+                     np.asarray(sq_val, np.float64)[_o]))
 
     def score(batch: pa.Table) -> pa.Table:
         # the collection MUST carry sample_id (index_documents writes
@@ -184,16 +193,33 @@ def retrieve(collection_dir: str, query_text: str, k: int = 5,
         keep = batch.select(["sample_id", "text"])
         if batch.num_rows == 0:  # empty block: (0,) @ (dim,) raises
             return keep.append_column("score", pa.array([], pa.float64()))
-        dq, sq = ray.get(q_ref)
-        dense = np.array(batch.column("dense_embedding").to_pylist())
+        import pyarrow.compute as pc
+
+        dq, sidx, sval = ray.get(q_ref)
+        # Arrow-native extraction (list_flatten → reshape): this scans
+        # the whole collection per query — to_pylist would allocate a
+        # Python float per vector element
+        dense = pc.list_flatten(batch.column("dense_embedding")) \
+            .to_numpy(zero_copy_only=False).astype(np.float64) \
+            .reshape(batch.num_rows, -1)
         d_cos = dense @ dq
-        s_dot = []
-        for idxs, vals in zip(batch.column("sparse_indices").to_pylist(),
-                              batch.column("sparse_values").to_pylist()):
-            s_dot.append(sum(sq.get(i, 0.0) * v for i, v in zip(idxs, vals)))
-        hybrid = dense_weight * d_cos + (1 - dense_weight) * np.array(s_dot)
-        return keep.append_column("score",
-                                  pa.array(hybrid.tolist(), pa.float64()))
+        # vectorized sparse dot: flatten the per-row index/value lists,
+        # look each index up in the SORTED query arrays (searchsorted),
+        # multiply, and segment-sum back per row
+        flat_i = pc.list_flatten(batch.column("sparse_indices")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_v = pc.list_flatten(batch.column("sparse_values")) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        counts = pc.list_value_length(batch.column("sparse_indices")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        s_dot = np.zeros(batch.num_rows, np.float64)
+        if len(flat_i) and len(sidx):
+            pos = np.minimum(np.searchsorted(sidx, flat_i), len(sidx) - 1)
+            qw = np.where(sidx[pos] == flat_i, sval[pos], 0.0)
+            np.add.at(s_dot, np.repeat(np.arange(batch.num_rows), counts),
+                      qw * flat_v)
+        hybrid = dense_weight * d_cos + (1 - dense_weight) * s_dot
+        return keep.append_column("score", pa.array(hybrid, pa.float64()))
 
     from mmore_ray.sources.readers import read_parquet_clean
 

@@ -60,9 +60,14 @@ def _make_block(ref, k: int, id_col: str, vec_col: str):
     top-k candidate rows (query_id, neighbor_id, cos_e4)."""
 
     def block(batch: pa.Table) -> pa.Table:
+        out = {"query_id": [], "neighbor_id": [], "cos_e4": []}
+        if len(batch) == 0:
+            # empty block: _ids_and_vectors' (0, 1) placeholder would
+            # dimension-mismatch the gemm below
+            return pa.table({n: pa.array(v, pa.int64())
+                             for n, v in out.items()})
         qids, Qn, Cn, prob = ray.get(ref)
         ids, V = _ids_and_vectors(batch, id_col, vec_col)
-        out = {"query_id": [], "neighbor_id": [], "cos_e4": []}
 
         def emit(qi: int, sub_ids: np.ndarray, scores: np.ndarray) -> None:
             row_e4 = np.floor(scores * 10000 + 0.5).astype(np.int64)
@@ -166,7 +171,12 @@ def _trained_centroids(ds, n_centroids: int, vec_col: str, id_col: str,
             return batch.filter(pa.array(ids * K <= thr))
 
         src = src.map_batches(keep, batch_format="pyarrow")
-    sample = src.to_pandas().sort_values(id_col).head(train_sample)
+    df = src.to_pandas()
+    if df.empty:
+        # empty input loses its schema through to_pandas; callers
+        # degrade to zero buckets / zero pairs
+        return np.empty((0, 0))
+    sample = df.sort_values(id_col).head(train_sample)
     V = np.array(sample[vec_col].tolist(), dtype=np.float64)
     return train_centroids(V, n_centroids)
 
@@ -245,6 +255,8 @@ def build_ivf_index(ds, index_dir, n_centroids: int = 16,
     def assign_and_spill(batch: pa.Table) -> pa.Table:
         import hashlib
 
+        if len(batch) == 0:  # (0, 1) placeholder would break the gemm
+            return pa.table({"rows": pa.array([0], pa.int64())})
         Cn = ray.get(c_ref)
         ids, V = _ids_and_vectors(batch, id_col, vec_col)
         bucket = np.argmax(V @ Cn.T, axis=1)
