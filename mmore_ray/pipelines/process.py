@@ -24,7 +24,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..sources.crawler import crawl_table, read_contents
-from ..stages.processors import process_batch
+from ..stages.processors import SAMPLE_SCHEMA, process_batch
 
 PROCESSED_AT_COL = "processed_at"
 
@@ -41,10 +41,22 @@ def load_previous(path: str | Path) -> pa.Table | None:
     path = Path(path)
     if not path.exists():
         return None
-    prev = pq.read_table(path).to_pandas()
-    latest = prev.groupby("file_path")[PROCESSED_AT_COL].transform("max")
-    prev = prev[prev[PROCESSED_AT_COL] == latest]
-    return pa.Table.from_pandas(prev, preserve_index=False)
+    import pyarrow.compute as pc
+
+    # Arrow-native max-per-key: a pandas round-trip degrades types
+    # (an all-empty modalities list<struct> comes back list<null>), so
+    # reused.parquet would carry a different schema than the new files
+    # written beside it
+    prev = pq.read_table(path)
+    latest = prev.group_by("file_path").aggregate(
+        [(PROCESSED_AT_COL, "max")])
+    # index_in + take instead of a join: Table.join rejects the
+    # list<struct> modalities payload column
+    pos = pc.index_in(prev.column("file_path"),
+                      value_set=latest.column("file_path").combine_chunks())
+    maxed = latest.column(f"{PROCESSED_AT_COL}_max").take(pos)
+    mask = pc.equal(prev.column(PROCESSED_AT_COL), maxed)
+    return prev.filter(mask)
 
 
 def split_incremental(crawled: pa.Table, previous: pa.Table | None
@@ -116,17 +128,25 @@ def run_process(root_dirs: list[str], out_dir: str | Path,
     ds = ds.map_batches(stamp_rows, batch_format="pyarrow")
     new = ds.materialize()
 
+    import os
     import shutil
 
+    # write the new collection COMPLETELY into a temp dir, then swap:
+    # deleting merged/ before the write succeeds would destroy the
+    # previous results on a crash mid-write — and previous_results
+    # commonly points AT merged/ (the resume usage)
     merged_dir = out_dir / "merged"
-    shutil.rmtree(merged_dir, ignore_errors=True)
+    tmp_dir = out_dir / "merged.tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
     # an all-reused run writes zero new rows — the sink may then never
     # create the directory, so make it exist before both writes
-    merged_dir.mkdir(parents=True, exist_ok=True)
-    new.write_parquet(str(merged_dir))
+    tmp_dir.mkdir(parents=True, exist_ok=True)
+    new.write_parquet(str(tmp_dir))
     if reused.num_rows:
         # align schemas: reused rows already carry processed_at
-        pq.write_table(reused, merged_dir / "reused.parquet")
+        pq.write_table(reused, tmp_dir / "reused.parquet")
+    shutil.rmtree(merged_dir, ignore_errors=True)
+    os.replace(tmp_dir, merged_dir)
     return {
         "crawled": crawled.num_rows,
         "processed": new.count(),
@@ -142,10 +162,10 @@ def run_process(root_dirs: list[str], out_dir: str | Path,
 def samples_to_jsonl(table: pa.Table, path: str | Path) -> None:
     """Write sample rows in the reference's MultimodalSample JSONL shape
     so reference tooling can consume our output."""
+    # derived from the ONE schema: a hand-copied name list here would
+    # silently misroute any future base column into the metadata bag
     tag_cols = [c for c in table.column_names
-                if c not in ("sample_id", "document_id", "text", "modalities",
-                             "file_path", "file_name", "processor_type",
-                             "metadata_json")]
+                if c not in SAMPLE_SCHEMA.names]
     with open(path, "w") as f:
         for row in table.to_pylist():
             extra = {c: row[c] for c in tag_cols if row.get(c) is not None}
@@ -175,16 +195,21 @@ def jsonl_to_table(path: str | Path) -> pa.Table:
 
     _KNOWN_META = ("file_path", "file_name", "processed_at",
                    "processor_type")
-    rows = {k: [] for k in ("sample_id", "document_id", "text", "modalities",
-                            "file_path", "file_name", "processor_type",
-                            "metadata_json")}
+    rows = {k: [] for k in (*SAMPLE_SCHEMA.names, PROCESSED_AT_COL)}
     for line in Path(path).read_text().splitlines():
         d = json.loads(line)
         meta = d.get("metadata") or {}
         fp = meta.get("file_path") or ""
-        rows["sample_id"].append(str(d.get("id", "")))
-        rows["document_id"].append(str(d.get("document_id", "")))
+        sid = str(d.get("id", ""))
+        rows["sample_id"].append(sid)
+        # fall back to the sample id — the writer's own convention; a
+        # '' default would break every join keyed on document_id for
+        # reference-produced JSONL that lacks the field
+        rows["document_id"].append(str(d.get("document_id") or sid))
         rows["text"].append(d.get("text") or "")
+        # round-trip the incremental timestamp: dropping it would
+        # defeat reuse for any flow fed from re-imported JSONL
+        rows[PROCESSED_AT_COL].append(meta.get("processed_at"))
         rows["modalities"].append(d.get("modalities") or [])
         rows["file_path"].append(fp)
         # file_name: from metadata when present (our writer), else
@@ -207,4 +232,5 @@ def jsonl_to_table(path: str | Path) -> pa.Table:
         "file_name": pa.array(rows["file_name"], pa.string()),
         "processor_type": pa.array(rows["processor_type"], pa.string()),
         "metadata_json": pa.array(rows["metadata_json"], pa.string()),
+        PROCESSED_AT_COL: pa.array(rows[PROCESSED_AT_COL], pa.string()),
     })

@@ -94,6 +94,12 @@ def chunk_prose(text: str, chunk_size: int = 2, unit: str = "sentence") -> list[
         return out
     if unit == "semantic":
         return chunk_semantic(text, max_sentences=max(chunk_size, 1))
+    if unit not in ("sentence", "word"):
+        # an unknown unit silently falling through to word chunking
+        # would make a YAML typo ('sentences') produce wrong chunks
+        # with no error — same contract as chunk_table's mode check
+        raise ValueError(f"unknown chunk unit {unit!r}: expected "
+                         "sentence|word|token|semantic")
     parts = split_sentences(text) if unit == "sentence" else text.split()
     sep = " "
     return [sep.join(parts[i:i + chunk_size])
@@ -196,6 +202,11 @@ def chunk_document(text: str, chunk_size: int = 2, unit: str = "sentence",
     tail = "\n".join(lines[cursor:])
     chunks.extend((c, False, "", 0)
                   for c in chunk_prose(tail, chunk_size, unit))
+    if not chunks:
+        # empty / whitespace-only document: keep ONE empty chunk so the
+        # doc stays in the output and the incremental manifest — a doc
+        # that vanishes entirely is re-crawled and re-processed forever
+        chunks.append(("", False, "", 0))
     return chunks
 
 
@@ -219,7 +230,9 @@ def chunk_batch(batch: pa.Table, chunk_size: int = 2, unit: str = "sentence",
         sample_id = cols["sample_id"][r]
         modalities = list(cols["modalities"][r] or [])
         mod_cursor = 0
-        pieces = chunk_document(cols["text"][r], chunk_size, unit,
+        # null text chunks as '' (the repo-wide null-text convention;
+        # None.splitlines() would kill the whole map task)
+        pieces = chunk_document(cols["text"][r] or "", chunk_size, unit,
                                 table_mode, max_rows)
         for i, (ctext, is_table, header, dup_tags) in enumerate(pieces):
             # tags minus the replicated-header copies: only tags from

@@ -135,9 +135,10 @@ class HTMLProcessor(ProcessorBase):
     def parse(cls, file_name: str, payload: str) -> dict:
         modalities: list[dict] = []
         # non-rendered content FIRST: an <img> inside <script>/<style>
-        # must not become a phantom modality that shifts every later
-        # tag→modality binding
-        text = re.sub(r"<(script|style)[^>]*>.*?</\1>", "", payload,
+        # or an HTML COMMENT must not become a phantom modality that
+        # shifts every later tag→modality binding
+        text = re.sub(r"<!--.*?-->", "", payload, flags=re.DOTALL)
+        text = re.sub(r"<(script|style)[^>]*>.*?</\1>", "", text,
                       flags=re.IGNORECASE | re.DOTALL)
 
         def img(m: re.Match) -> str:
@@ -242,7 +243,14 @@ class SpreadsheetProcessor(ProcessorBase):
                 return v.text
             if t == "b":
                 return bool(int(v.text))
-            num = float(v.text)
+            try:
+                num = float(v.text)
+            except ValueError:
+                # error-typed cells (t="e": '#DIV/0!', '#REF!', …)
+                # carry their literal in <v> — return it like the
+                # reference's openpyxl path would, instead of failing
+                # the whole workbook on one bad formula
+                return v.text
             return int(num) if num.is_integer() else num
 
         def col_index(ref: str) -> int:
@@ -257,7 +265,13 @@ class SpreadsheetProcessor(ProcessorBase):
         for sheet in wb.find(f"{_XLSX_S}sheets") or []:
             name = sheet.get("name") or ""
             target = rels.get(sheet.get(rns) or "", "")
-            part = "xl/" + target.lstrip("/") if not target.startswith("xl/") else target
+            # strip any leading '/' BEFORE the prefix check: absolute
+            # rel targets ('/xl/worksheets/sheet1.xml', emitted by
+            # several non-Excel generators) would double-prefix to
+            # 'xl/xl/...' and the KeyError below silently drops the
+            # whole sheet
+            t2 = target.lstrip("/")
+            part = t2 if t2.startswith("xl/") else "xl/" + t2
             try:
                 root = ET.fromstring(zf.read(part))
             except KeyError:
@@ -554,7 +568,10 @@ class PPTXProcessor(ProcessorBase):
                 (tgt for tgt, typ in rels.values()
                  if tgt and typ.endswith("/notesSlide")), None)
             if notes_part:
-                notes_name = "ppt/" + notes_part.replace("../", "")
+                # same absolute-target normalization as the xlsx sheet
+                # resolution: avoid a double 'ppt/ppt/...' prefix
+                np2 = notes_part.replace("../", "").lstrip("/")
+                notes_name = np2 if np2.startswith("ppt/") else "ppt/" + np2
                 try:
                     nroot = ET.fromstring(zf.read(notes_name))
                 except KeyError:

@@ -394,3 +394,86 @@ def test_incremental_reuse_modified_new_deleted(ray_session, tmp_path):
     # b.md, c.html unchanged → reused; a.txt modified + e.txt new → processed
     assert s2["reused"] == 2
     assert s2["processed"] == 2
+
+
+def test_html_comment_img_is_not_a_modality():
+    """An <img> inside an HTML comment must not create a phantom
+    modality that shifts every later tag->modality binding."""
+    out = HTMLProcessor.parse("x.html", (
+        '<p>start</p><!-- <img src="a.png"> --><p>mid</p>'
+        '<img src="b.png">'))
+    assert [m["value"] for m in out["modalities"]] == ["b.png"]
+    assert out["text"].count(ATTACHMENT_TAG) == 1
+
+
+def test_chunker_empty_text_keeps_one_row_and_null_text_ok():
+    from mmore_ray.stages.chunker import chunk_document
+
+    assert chunk_document("") == [("", False, "", 0)]
+    assert chunk_document("   \n  ") == [("", False, "", 0)]
+    t = pa.table({
+        "sample_id": ["s1"], "document_id": ["d1"],
+        "text": pa.array([None], pa.string()),
+        "modalities": pa.array([[]], pa.list_(pa.struct(
+            [("type", pa.string()), ("value", pa.string())]))),
+        "file_path": ["/a"], "file_name": ["a"],
+        "processor_type": ["TextProcessor"], "metadata_json": ["{}"]})
+    from mmore_ray.stages.chunker import chunk_batch
+
+    out = chunk_batch(t)
+    assert out.num_rows == 1 and out.column("text").to_pylist() == [""]
+
+
+def test_chunk_prose_unknown_unit_raises():
+    from mmore_ray.stages.chunker import chunk_prose
+
+    with pytest.raises(ValueError, match="unknown chunk unit"):
+        chunk_prose("One sentence here. Two.", 2, "sentences")
+
+
+def test_xlsx_error_cell_and_absolute_rel_target(tmp_path):
+    import zipfile
+
+    # workbook with an absolute sheet target and one error-typed cell
+    p = tmp_path / "t.xlsx"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml",
+                   '<workbook xmlns="http://schemas.openxmlformats.org/'
+                   'spreadsheetml/2006/main" xmlns:r="http://schemas.'
+                   'openxmlformats.org/officeDocument/2006/relationships">'
+                   '<sheets><sheet name="S1" sheetId="1" r:id="rId1"/>'
+                   '</sheets></workbook>')
+        z.writestr("xl/_rels/workbook.xml.rels",
+                   '<Relationships xmlns="http://schemas.openxmlformats.org/'
+                   'package/2006/relationships"><Relationship Id="rId1" '
+                   'Type="w" Target="/xl/worksheets/sheet1.xml"/>'
+                   '</Relationships>')
+        z.writestr("xl/worksheets/sheet1.xml",
+                   '<worksheet xmlns="http://schemas.openxmlformats.org/'
+                   'spreadsheetml/2006/main"><sheetData>'
+                   '<row r="1"><c r="A1" t="e"><v>#DIV/0!</v></c>'
+                   '<c r="B1"><v>7</v></c></row></sheetData></worksheet>')
+    out = SpreadsheetProcessor.parse(str(p), p.read_bytes())
+    assert "#DIV/0!" in out["text"] and "7" in out["text"]
+
+
+def test_jsonl_roundtrip_processed_at_and_document_id_fallback(tmp_path):
+    import json as _json
+
+    from mmore_ray.pipelines.process import jsonl_to_table, samples_to_jsonl
+
+    t = pa.table({
+        "sample_id": ["s1"], "document_id": ["d1"], "text": ["x"],
+        "modalities": pa.array([[]], pa.list_(pa.struct(
+            [("type", pa.string()), ("value", pa.string())]))),
+        "file_path": ["/a/b.txt"], "file_name": ["b.txt"],
+        "processor_type": ["TextProcessor"], "metadata_json": ["{}"],
+        "processed_at": ["2026-08-18T00:00:00"]})
+    p = tmp_path / "x.jsonl"
+    samples_to_jsonl(t, p)
+    back = jsonl_to_table(p)
+    assert back.column("processed_at").to_pylist() == ["2026-08-18T00:00:00"]
+    p2 = tmp_path / "y.jsonl"
+    p2.write_text(_json.dumps(
+        {"text": "t", "modalities": [], "metadata": {}, "id": "ID9"}) + "\n")
+    assert jsonl_to_table(p2).column("document_id").to_pylist() == ["ID9"]
