@@ -98,15 +98,17 @@ def run_process(root_dirs: list[str], out_dir: str | Path,
     with streaming between stages instead of full-list barriers
     (pipeline.py:99-120).
 
-    ``stamp`` defaults to NOW (local ISO, matching the crawl's
-    ``modified_at`` convention): the reuse invariant is
-    ``mtime ≤ processed_at``, so a fixed past stamp defeats reuse for
-    newer files and a forward-dated one reuses stale content; override
-    only in tests that need determinism."""
+    ``stamp`` defaults to NOW in UTC (matching the crawl's
+    ``modified_at`` convention — both sides of the lexical
+    ``mtime ≤ processed_at`` reuse gate MUST share one timezone, or a
+    DST fall-back hour silently reuses stale files): a fixed past
+    stamp defeats reuse for newer files and a forward-dated one reuses
+    stale content; override only in tests that need determinism."""
     if stamp is None:
         import datetime as _dt
 
-        stamp = _dt.datetime.now().isoformat(timespec="seconds")
+        stamp = _dt.datetime.now(_dt.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S")
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 

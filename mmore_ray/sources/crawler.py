@@ -50,8 +50,13 @@ def crawl_table(root_dirs: list[str | Path],
                 rows["file_path"].append(full)
                 rows["file_name"].append(name)
                 rows["file_size"].append(st.st_size)
-                rows["modified_at"].append(
-                    dt.datetime.fromtimestamp(st.st_mtime).isoformat())
+                # UTC, not naive local time: the incremental reuse
+                # gate compares this LEXICALLY against processed_at
+                # (same convention in run_process) — a DST fall-back
+                # hour or TZ change would silently reuse stale files
+                rows["modified_at"].append(dt.datetime.fromtimestamp(
+                    st.st_mtime, dt.timezone.utc
+                ).strftime("%Y-%m-%dT%H:%M:%S"))
                 rows["extension"].append(ext)
     return pa.table({
         "file_path": pa.array(rows["file_path"], pa.string()),

@@ -31,37 +31,52 @@ def _keep(batch: pa.Table, mask: list[bool]) -> pa.Table:
 
 
 def length_filter(min_words: int = 1, max_words: int = 1_000_000) -> Callable:
-    """Gopher-style doc-length gate."""
+    """Gopher-style doc-length gate.  Vectorized word counts via the
+    exact Python-``str.split()`` whitespace class (taggers._WORD_RUN);
+    null text counts 0 words (never crashes the batch)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        mask = [min_words <= len(t.split()) <= max_words
-                for t in batch.column("text").to_pylist()]
-        return _keep(batch, mask)
+        import pyarrow.compute as pc
+
+        from .taggers import _WORD_RUN
+
+        wc = pc.count_substring_regex(
+            pc.fill_null(batch.column("text"), ""), _WORD_RUN)
+        return batch.filter(pc.and_(pc.greater_equal(wc, min_words),
+                                    pc.less_equal(wc, max_words)))
 
     return fn
 
 
 def alpha_ratio_filter(min_ratio: float = 0.5) -> Callable:
-    """C4/gopher-style: fraction of words containing ≥1 alphabetic char."""
+    """C4/gopher-style: fraction of words containing ≥1 alphabetic
+    char.  Vectorized: total words and letter-bearing words are two
+    RE2 counts (``\\pL`` == Python ``isalpha`` — both are the Unicode
+    letter categories); null/empty text has ratio 0.0."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        mask = []
-        for t in batch.column("text").to_pylist():
-            ws = t.split()
-            ok = sum(1 for w in ws if any(c.isalpha() for c in w))
-            mask.append((ok / len(ws) if ws else 0.0) >= min_ratio)
-        return _keep(batch, mask)
+        import pyarrow.compute as pc
+
+        from .taggers import _PY_WS, _WORD_RUN
+
+        texts = pc.fill_null(batch.column("text"), "")
+        wc = pc.count_substring_regex(texts, _WORD_RUN).to_numpy()
+        aw = pc.count_substring_regex(
+            texts, f"[^{_PY_WS}]*\\pL[^{_PY_WS}]*").to_numpy()
+        ratio = np.where(wc > 0, aw / np.maximum(wc, 1), 0.0)
+        return batch.filter(pa.array(ratio >= min_ratio))
 
     return fn
 
 
 def repetition_filter(max_dup_line_frac: float = 0.5) -> Callable:
-    """Gopher repetition signal: fraction of duplicate lines."""
+    """Gopher repetition signal: fraction of duplicate lines.  Null
+    text has no lines (kept, like empty text)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         mask = []
         for t in batch.column("text").to_pylist():
-            lines = [ln for ln in t.splitlines() if ln.strip()]
+            lines = [ln for ln in (t or "").splitlines() if ln.strip()]
             if not lines:
                 mask.append(True)
                 continue
@@ -73,11 +88,12 @@ def repetition_filter(max_dup_line_frac: float = 0.5) -> Callable:
 
 
 def regex_filter(pattern: str, keep_matching: bool = False) -> Callable:
-    """≙ datatrove RegexFilter: drop (or keep) docs matching pattern."""
+    """≙ datatrove RegexFilter: drop (or keep) docs matching pattern.
+    Null text never matches (kept unless keep_matching)."""
     rx = re.compile(pattern)
 
     def fn(batch: pa.Table) -> pa.Table:
-        mask = [bool(rx.search(t)) == keep_matching
+        mask = [bool(rx.search(t or "")) == keep_matching
                 for t in batch.column("text").to_pylist()]
         return _keep(batch, mask)
 
@@ -150,6 +166,7 @@ def url_filter(blocked_domains: frozenset | set = frozenset(),
     def fn(batch: pa.Table) -> pa.Table:
         mask = []
         for u in batch.column(url_col).to_pylist():
+            u = u or ""  # null url: no domain, nothing blocklisted
             # the authority ends at the first of / ? # — a no-path URL
             # like 'http://evil.com?x=@good.com' must not smuggle a
             # fake '@userinfo' in via its query string
@@ -319,6 +336,13 @@ def fasttext_like_filter(keep_label: str, threshold: float = 0.5,
             "fasttext_like_filter needs a pre-trained `classifier` or "
             "(`train_texts`, `train_labels`) pairs — with neither, fit() "
             "would die on an empty feature stack")
+    if classifier is None and len(train_texts or []) != len(train_labels or []):
+        # short labels would silently train all-zero targets for the
+        # unlabeled rows (wrong keep/drop decisions, no error); missing
+        # labels would die in a cryptic numpy reduction error
+        raise ValueError(
+            f"train_texts ({len(train_texts or [])}) and train_labels "
+            f"({len(train_labels or [])}) must pair up one-to-one")
     clf = classifier or HashingTextClassifier().fit(
         train_texts or [], train_labels or [])
     if keep_label not in clf.labels:
@@ -350,13 +374,3 @@ ALL_FILTERS = {
     "gopher_quality": gopher_quality_filter,
     "fasttext_like": fasttext_like_filter,
 }
-
-
-def stopword_mask(texts: list[str], stopwords: set[str],
-                  min_hits: int = 2) -> np.ndarray:
-    """Gopher stopword signal helper (≥ min_hits stopwords present)."""
-    out = np.zeros(len(texts), dtype=bool)
-    for i, t in enumerate(texts):
-        hits = sum(1 for w in t.split() if w in stopwords)
-        out[i] = hits >= min_hits
-    return out

@@ -62,7 +62,7 @@ class ImageFeatureExtractor:
     def _decode(self, payload: bytes) -> np.ndarray:
         """FAKE decode: 32 deterministic moments from the payload's
         sha256 stream.  Replace with a real decoder to go live."""
-        digest = hashlib.sha256(payload).digest()
+        digest = hashlib.sha256(payload or b"").digest()
         return np.frombuffer(digest, dtype=np.uint8).astype(np.float64) / 255.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -88,6 +88,7 @@ class FrameSampler:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for payload in batch.column("video_bytes").to_pylist():
+            payload = payload or b""
             step = max(1, len(payload) // self._n)
             out.append([payload[i * step:(i + 1) * step][:64]
                         for i in range(self._n)])
@@ -130,10 +131,15 @@ def extract_audio_track(batch: pa.Table,
     embedded audio track out of FAKEVID payloads."""
     out = []
     for payload in batch.column(video_col).to_pylist():
-        if payload.startswith(b"FAKEVID:"):
-            _, secs, alen, rest = payload.split(b":", 3)
-            out.append(rest[:int(alen)])
-        else:
+        # null / truncated / malformed payloads take the unknown-codec
+        # fallback instead of killing the whole batch task
+        try:
+            if payload and payload.startswith(b"FAKEVID:"):
+                _, secs, alen, rest = payload.split(b":", 3)
+                out.append(rest[:int(alen)])
+            else:
+                out.append(b"")
+        except ValueError:
             out.append(b"")
     return batch.append_column("audio_bytes", pa.array(out, pa.binary()))
 
@@ -163,9 +169,12 @@ class AsrTranscriber:
         """FAKE decode: recover the transcript embedded in the fake
         payload; unknown payloads transcribe to '' (the reference's
         error path also yields '', media_processor.py:182-184)."""
-        if payload.startswith(b"FAKEAUD:"):
-            _, secs, tlen, rest = payload.split(b":", 3)
-            return rest[:int(tlen)].decode("utf-8")
+        try:
+            if payload and payload.startswith(b"FAKEAUD:"):
+                _, secs, tlen, rest = payload.split(b":", 3)
+                return rest[:int(tlen)].decode("utf-8")
+        except (ValueError, UnicodeDecodeError):
+            pass  # truncated/malformed: the reference error path is ''
         return ""
 
     # public provider contract (models.py asr role; WhisperTranscriber
@@ -189,11 +198,14 @@ class AsrTranscriber:
 def attach_audio_meta(batch: pa.Table) -> pa.Table:
     metas = []
     for payload in batch.column("audio_bytes").to_pylist():
-        if payload.startswith(b"FAKEAUD:"):
-            secs = int(payload.split(b":", 2)[1])
-            metas.append({"format": "fake", "seconds": secs})
-        else:
-            metas.append({"format": "unknown", "seconds": 0})
+        try:
+            if payload and payload.startswith(b"FAKEAUD:"):
+                secs = int(payload.split(b":", 2)[1])
+                metas.append({"format": "fake", "seconds": secs})
+                continue
+        except (ValueError, IndexError):
+            pass  # truncated header: unknown, not a crashed batch
+        metas.append({"format": "unknown", "seconds": 0})
     return batch.append_column("audio_meta",
                                pa.array(metas, AUDIO_META_STRUCT))
 
@@ -202,12 +214,15 @@ def attach_image_meta(batch: pa.Table) -> pa.Table:
     """Parse the typed metadata of fake payloads (format/width/height)."""
     metas = []
     for payload in batch.column("image_bytes").to_pylist():
-        if payload.startswith(b"FAKEIMG:"):
-            dims = payload.split(b":", 2)[1].decode()
-            w, h = (int(x) for x in dims.split("x"))
-            metas.append({"format": "fake", "width": w, "height": h})
-        else:
-            metas.append({"format": "unknown", "width": 0, "height": 0})
+        try:
+            if payload and payload.startswith(b"FAKEIMG:"):
+                dims = payload.split(b":", 2)[1].decode()
+                w, h = (int(x) for x in dims.split("x"))
+                metas.append({"format": "fake", "width": w, "height": h})
+                continue
+        except (ValueError, IndexError, UnicodeDecodeError):
+            pass  # truncated header: unknown, not a crashed batch
+        metas.append({"format": "unknown", "width": 0, "height": 0})
     return batch.append_column("image_meta", pa.array(metas, IMAGE_META_STRUCT))
 
 
@@ -231,10 +246,11 @@ def clean_image_filter(min_side: int = 512,
         mask = []
         for m, payload in zip(metas, payloads):
             ok = m["width"] >= min_side and m["height"] >= min_side
-            if ok and payload is not None and payload.startswith(b"FAKEIMG:"):
-                plane = payload.split(b":", 2)[2]
-                gray = np.frombuffer(plane, dtype=np.uint8)
-                ok = float(gray.var()) >= min_variance
+            if ok and payload and payload.startswith(b"FAKEIMG:"):
+                parts = payload.split(b":", 2)
+                if len(parts) == 3 and len(parts[2]):
+                    gray = np.frombuffer(parts[2], dtype=np.uint8)
+                    ok = float(gray.var()) >= min_variance
             mask.append(ok)
         return batch.filter(pa.array(mask, pa.bool_()))
 

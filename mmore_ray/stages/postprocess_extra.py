@@ -134,8 +134,16 @@ def translator(target_lang: str = "en", confidence: float = 0.0,
                 translate_fn(s, lang, target_lang) for s in segments)
             out_texts.append(translated)
             originals.append(t)
-        batch = batch.append_column(
-            "original_text", pa.array(originals, pa.string()))
+        # re-applied stage / resumed output: replace an existing
+        # original_text instead of appending a duplicate field (a
+        # twice-present column KeyErrors every later select)
+        if "original_text" in batch.column_names:
+            oidx = batch.schema.get_field_index("original_text")
+            batch = batch.set_column(oidx, "original_text",
+                                     pa.array(originals, pa.string()))
+        else:
+            batch = batch.append_column(
+                "original_text", pa.array(originals, pa.string()))
         idx = batch.schema.get_field_index("text")
         return batch.set_column(idx, "text", pa.array(out_texts, pa.string()))
 

@@ -41,11 +41,15 @@ def publish(out_dir: str | Path, step: str, shard: int, payload: dict[str, Any])
     """Atomically publish a completed-partition manifest entry."""
     path = _manifest_path(out_dir, step, shard)
     path.parent.mkdir(parents=True, exist_ok=True)
+    # payload FIRST: a forwarded stats dict that happens to carry a
+    # 'step'/'shard' key must not overwrite the authoritative record
+    # (the filename-based resume would still work, but all_entries()
+    # would attribute the work to the wrong step/shard)
     record = {
+        **payload,
         "step": step,
         "shard": shard,
         "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
-        **payload,
     }
     tmp = path.with_suffix(".json.tmp")
     # fsync before the rename: without it a power loss can journal the

@@ -142,3 +142,34 @@ def test_fasttext_like_via_yaml_registry(ray_session):
 
     out = fn(pa.table({"text": ["alpha beta good", "zzz spammy junk"]}))
     assert out.num_rows == 1
+
+
+def test_filters_tolerate_null_rows():
+    """Null text/url rows must filter cleanly (drop or keep per each
+    filter's empty-text behavior), never crash the batch task."""
+    import pyarrow as pa
+
+    from mmore_ray.stages.filters import (alpha_ratio_filter, length_filter,
+                                          regex_filter, repetition_filter,
+                                          url_filter)
+
+    t = pa.table({"text": pa.array([None, "a good doc here", ""],
+                                   pa.string())})
+    assert length_filter(2, 10)(t).num_rows == 1
+    assert alpha_ratio_filter(0.5)(t).num_rows == 1
+    assert repetition_filter()(t).num_rows == 3  # no lines -> kept
+    assert regex_filter("bad")(t).num_rows == 3  # null never matches
+    u = pa.table({"url": pa.array([None, "http://ok.com/x"], pa.string())})
+    assert url_filter({"evil.com"})(u).num_rows == 2
+
+
+def test_fasttext_like_label_length_validation():
+    import pytest
+
+    from mmore_ray.stages.filters import fasttext_like_filter
+
+    with pytest.raises(ValueError, match="one-to-one"):
+        fasttext_like_filter("x", train_texts=["a b", "c d"])
+    with pytest.raises(ValueError, match="one-to-one"):
+        fasttext_like_filter("x", train_texts=["a b", "c d"],
+                             train_labels=["x"])
