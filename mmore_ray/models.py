@@ -301,28 +301,34 @@ def _hf_ner_scanner() -> type:
 
             counts: dict[str, list[int]] = {}
             order: list[str] = []
-            seen_starts: set[int] = set()  # overlap re-detections
             pos, n = 0, len(content)
+            prev_end = 0  # previous window's global end (0 = none)
             while pos < n:
                 end = min(pos + self.WINDOW_CHARS, n)
                 chunk = content[pos:end]
                 for ent in self._ner(chunk):
-                    # an entity touching a non-final window's cut may be
-                    # TRUNCATED — drop it here; the next window (which
-                    # starts OVERLAP_CHARS before the cut) re-detects it
-                    # whole.  Without this, the truncated surface claims
-                    # the start offset and the full re-detection is
-                    # skipped as a duplicate.
-                    if end < n and int(ent["end"]) >= len(chunk):
-                        continue
-                    start = pos + int(ent["start"])
-                    if start in seen_starts:
-                        continue
-                    seen_starts.add(start)
+                    # accept an entity from its FIRST fully-containing
+                    # window: fully inside this window (a cut-touching
+                    # detection may be a truncated fragment — the next
+                    # window, which starts OVERLAP_CHARS earlier,
+                    # re-detects it whole) AND extending past the
+                    # previous window (else the previous window already
+                    # counted it — and a leading FRAGMENT of an entity
+                    # cut by this window's start would otherwise be
+                    # re-counted at a new offset as a phantom mention).
+                    # Entities longer than OVERLAP_CHARS that straddle a
+                    # cut fit no window and are dropped — size OVERLAP
+                    # to the longest expected surface.
+                    g_start = pos + int(ent["start"])
+                    g_end = pos + int(ent["end"])
+                    if end < n and g_end >= end:
+                        continue  # may be end-truncated
+                    if prev_end and g_end <= prev_end:
+                        continue  # previous window's territory
                     s, t = str(ent["word"]), str(ent["entity_group"])
                     slot = counts.get(s)
                     if slot is None:
-                        counts[s] = [1, start]
+                        counts[s] = [1, g_start]
                         order.append(s)
                         self._type_of[s] = t
                         self._entity_of[s] = (
@@ -333,6 +339,7 @@ def _hf_ner_scanner() -> type:
                         slot[0] += 1
                 if end >= n:
                     break
+                prev_end = end
                 pos = end - self.OVERLAP_CHARS
             return self._rows([(s, self._type_of[s]) for s in order], counts)
 

@@ -70,22 +70,34 @@ class FakeChatLLM:
 
 def rag_answer(collection_dir: str, queries: dict[str, str], k: int = 3,
                dense_weight: float = 0.5, llm=None,
-               prompt: str = DEFAULT_PROMPT) -> pd.DataFrame:
+               prompt: str = DEFAULT_PROMPT,
+               dense_provider: str | None = None,
+               sparse_provider: str | None = None) -> pd.DataFrame:
     """Answer ``queries`` ({query_id: question}) against an indexed
     parquet collection (built by ``stages/embed.index_documents``).
+
+    Query embedders resolve through the model-provider registry so
+    they MATCH the providers that built the collection (the same rule
+    embed.retrieve documents — a fake 16-dim query against a real
+    384-dim collection would dimension-mismatch the matmul).
 
     Returns (query_id, question, answer, context, n_docs) — small,
     driver-side, like the reference's API response."""
     import ray.data  # noqa: F401 — also binds `ray` in function scope
 
-    from ..stages.embed import FakeDenseEmbedder, FakeSparseEmbedder
+    from ..models import get_instance
 
     llm = llm or FakeChatLLM()
     q_ids = sorted(queries)
-    dense = FakeDenseEmbedder()
-    sparse = FakeSparseEmbedder()
-    Q = np.stack([dense.embed_one(queries[q]) for q in q_ids])
-    SQ = [dict(zip(*sparse.embed_one(queries[q]))) for q in q_ids]
+    dense = get_instance("dense_embedder", dense_provider)
+    sparse = get_instance("sparse_embedder", sparse_provider)
+    Q = np.stack([np.asarray(dense.embed_one(queries[q]), dtype=np.float64)
+                  for q in q_ids])
+    SQ = []
+    for q in q_ids:
+        si, sv = sparse.embed_one(queries[q])
+        o = np.argsort(np.asarray(si, dtype=np.int64))
+        SQ.append((np.asarray(si, np.int64)[o], np.asarray(sv, np.float64)[o]))
     q_ref = ray.put((Q, SQ))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -93,29 +105,49 @@ def rag_answer(collection_dir: str, queries: dict[str, str], k: int = 3,
             return pa.table({   # crash the matmul
                 "qi": pa.array([], pa.int64()),
                 "text": pa.array([], pa.string()),
-                "score": pa.array([], pa.float64()),
+                "score": pa.array([], pa.int64()),
             })
+        import pyarrow.compute as pc
+
         Qm, SQm = ray.get(q_ref)
-        D = np.array(batch.column("dense_embedding").to_pylist())
+        # Arrow-native extraction + vectorized sparse dot — the same
+        # kernels as embed.retrieve (to_pylist would allocate a Python
+        # float per vector element on the whole-collection scan)
+        D = pc.list_flatten(batch.column("dense_embedding")) \
+            .to_numpy(zero_copy_only=False).astype(np.float64) \
+            .reshape(batch.num_rows, -1)
         d_cos = Qm @ D.T  # (nq, nb)
-        sp_i = batch.column("sparse_indices").to_pylist()
-        sp_v = batch.column("sparse_values").to_pylist()
-        texts = batch.column("text").to_pylist()
+        flat_i = pc.list_flatten(batch.column("sparse_indices")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_v = pc.list_flatten(batch.column("sparse_values")) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        counts = pc.list_value_length(batch.column("sparse_indices")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        rows_rep = np.repeat(np.arange(batch.num_rows), counts)
+        texts = np.asarray(batch.column("text").to_pylist(), dtype=object)
+        # lexical rank of each text: the deterministic tie-break key
+        # (block-local top-k must use the SAME total order the final
+        # driver sort uses, or tie survivors depend on block splits)
+        tcodes = np.unique(texts, return_inverse=True)[1]
         out = {"qi": [], "text": [], "score": []}
-        for qi, sq in enumerate(SQm):
-            s_dot = np.array([
-                sum(sq.get(i, 0.0) * v for i, v in zip(idxs, vals))
-                for idxs, vals in zip(sp_i, sp_v)])
+        for qi, (sidx, sval) in enumerate(SQm):
+            s_dot = np.zeros(batch.num_rows, np.float64)
+            if len(flat_i) and len(sidx):
+                pos = np.minimum(np.searchsorted(sidx, flat_i),
+                                 len(sidx) - 1)
+                qw = np.where(sidx[pos] == flat_i, sval[pos], 0.0)
+                np.add.at(s_dot, rows_rep, qw * flat_v)
             hybrid = dense_weight * d_cos[qi] + (1 - dense_weight) * s_dot
-            top = np.argsort(-hybrid)[:k]  # local top-k per query
+            e4 = np.floor(hybrid * 10000 + 0.5).astype(np.int64)
+            top = np.lexsort((tcodes, -e4))[:k]
             for c in top:
                 out["qi"].append(qi)
                 out["text"].append(texts[c])
-                out["score"].append(float(hybrid[c]))
+                out["score"].append(int(e4[c]))
         return pa.table({
             "qi": pa.array(out["qi"], pa.int64()),
             "text": pa.array(out["text"], pa.string()),
-            "score": pa.array(out["score"], pa.float64()),
+            "score": pa.array(out["score"], pa.int64()),
         })
 
     from mmore_ray.sources.readers import read_parquet_clean

@@ -117,6 +117,10 @@ class IndexJobQueue:
 
     def submit(self, file_id: str, filename: str,
                work_fn: Callable[[str], dict]) -> str:
+        if getattr(self, "_closed", False):
+            # a silent post-shutdown accept would return a job id that
+            # can never run (no slots; _dispatch is a no-op)
+            raise RuntimeError("queue is shut down")
         self._poll()
         if file_id in self._reserved:
             raise DuplicateJobError(file_id)
@@ -145,7 +149,29 @@ class IndexJobQueue:
             time.sleep(0.05)
         return self.get(job_id)
 
-    def shutdown(self) -> None:
+    def shutdown(self, wait: bool = True) -> None:
+        """Drain in-flight jobs (the reference's
+        ``executor.shutdown(wait=True)``) then release the slots.
+        ``wait=False`` hard-kills mid-job — in-flight jobs are marked
+        FAILED rather than left PROCESSING forever.  Either way the
+        queue refuses further submits."""
+        self._closed = True
+        if wait:
+            # one final poll per in-flight ref, blocking: records land
+            # in their terminal state and file_ids are released
+            refs = [slot[0] for slot in self._inflight.values()
+                    if slot is not None]
+            if refs:
+                ray.wait(refs, num_returns=len(refs))
+            self._poll()
+        else:
+            for idx, slot in self._inflight.items():
+                if slot is not None:
+                    job = self._jobs[slot[1]]
+                    job.status = JobStatus.FAILED
+                    job.error = "shutdown(wait=False) killed the slot"
+                    job.finished_at = time.time()
+                    self._reserved.discard(job.file_id)
         for actor, _ in self._slots:
             ray.kill(actor)
         self._slots = []
@@ -211,10 +237,15 @@ class RetrieverSession:
 
     def __init__(self, collection_dir: str,
                  dense_provider: str | None = None,
-                 sparse_provider: str | None = None):
+                 sparse_provider: str | None = None,
+                 reranker_provider: str | None = None):
         self._dir = collection_dir
         self._dense = dense_provider
         self._sparse = sparse_provider
+        # the rerank seam must ride along with the embedder seams — a
+        # real-model session would otherwise silently rerank with the
+        # token-overlap fake
+        self._reranker = reranker_provider
 
     def query(self, text: str, k: int = 5, dense_weight: float = 0.5,
               rerank: bool = False) -> list[dict]:
@@ -222,7 +253,8 @@ class RetrieverSession:
 
         hits = retrieve(self._dir, text, k=k, dense_weight=dense_weight,
                         rerank=rerank, dense_provider=self._dense,
-                        sparse_provider=self._sparse)
+                        sparse_provider=self._sparse,
+                        reranker_provider=self._reranker)
         return hits.to_pandas().to_dict("records")
 
     def get_by_ids(self, ids: list[str]) -> list[dict]:

@@ -92,12 +92,25 @@ def maxsim_retrieve(pages_ds, queries: dict[int, list[list[float]]],
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
         pages = [np.asarray(p, dtype=np.float64)
                  for p in batch.column(patch_col).to_pylist()]
+        # ONE flat gemm per query over the whole batch instead of an
+        # nq × n_pages Python loop of tiny matmuls: stack every patch
+        # row, score flat, segment-max back per page via reduceat
+        # (ragged patch counts welcome; milvuscolvision.py:230 MaxSim)
+        npatch = np.array([len(P) for P in pages], dtype=np.int64)
+        flat = (np.concatenate([P for P in pages if len(P)])
+                if npatch.sum() else np.zeros((0, 1)))
+        nz = npatch > 0
+        starts = np.concatenate([[0], np.cumsum(npatch[nz])[:-1]]).astype(int)
         out = {"query_id": [], "page_id": [], "score_e4": []}
         for qi in range(len(qids)):
             Qm = Qs[qi]  # (nq_sub, d)
-            scores = np.array([
-                (Qm @ P.T).max(axis=1).sum() if len(P) else 0.0
-                for P in pages])  # MaxSim per page (milvuscolvision.py:230)
+            scores = np.zeros(len(pages), np.float64)
+            if len(flat) and len(Qm):
+                S = Qm @ flat.T  # (nq_sub, total_patches)
+                # per-page max over each query vector, then sum over
+                # the query vectors — MaxSim late interaction
+                mx = np.maximum.reduceat(S, starts, axis=1)
+                scores[nz] = mx.sum(axis=0)
             s_e4 = np.floor(scores * 10000 + 0.5).astype(np.int64)
             order = np.lexsort((ids, -s_e4))[:k]
             for c in order:
@@ -142,4 +155,9 @@ def index_pages(pages_ds, out_dir, n_patches: int = 4,
     embedded.write_parquet(str(out_dir))
     import ray.data
 
-    return ray.data.read_parquet(str(out_dir))
+    # read_parquet_clean: strips the b'pandas' schema metadata that
+    # makes pa.Schema unhashable (slow-path unify + log spam in every
+    # downstream task) — same helper as every other collection read
+    from ..sources.readers import read_parquet_clean
+
+    return read_parquet_clean(str(out_dir))

@@ -145,15 +145,25 @@ def repair_json_text(text: str) -> str:
 
 
 def parse_judge_response(text: str) -> dict:
-    """Strict-then-repaired JSON object extraction (first ``{...}``
-    span); raises ``json.JSONDecodeError`` when hopeless — the loop
-    maps that to a PROCEED parse_error_fallback."""
-    m = re.search(r"\{.*\}", text, re.DOTALL)
-    snippet = m.group(0) if m else text
+    """JSON object extraction: raw_decode the FIRST complete object
+    (the reference's ``_judge_json_snippet`` shape — a greedy
+    first-{-to-last-} span would swallow brace-containing commentary
+    after a valid decision and fail), then strict-then-repaired on the
+    first-{ suffix; raises ``json.JSONDecodeError`` when hopeless —
+    the loop maps that to a PROCEED parse_error_fallback."""
+    start = text.find("{")
+    snippet = text[start:] if start >= 0 else text
     try:
-        obj = json.loads(snippet)
+        obj, _ = json.JSONDecoder().raw_decode(snippet)
     except json.JSONDecodeError:
-        obj = json.loads(repair_json_text(snippet))
+        try:
+            obj = json.loads(repair_json_text(snippet))
+        except json.JSONDecodeError:
+            # last resort: the old greedy span through the repair pass
+            # (recovers objects whose PREFIX is malformed but whose
+            # full span repairs clean)
+            m = re.search(r"\{.*\}", text, re.DOTALL)
+            obj = json.loads(repair_json_text(m.group(0) if m else text))
     if not isinstance(obj, dict):
         raise json.JSONDecodeError("not an object", snippet, 0)
     return obj

@@ -281,3 +281,17 @@ def test_hits_from_table_preserves_rerank_order():
     hits = hits_from_table(df)
     assert [h["id"] for h in hits] == ["b", "a"]  # cross-encoder wins
     assert hits[0]["rank"] == 1
+
+
+def test_parse_judge_response_object_followed_by_commentary():
+    """A valid decision object followed by brace-containing commentary
+    must parse (raw_decode of the FIRST complete object — the greedy
+    first-{-to-last-} span swallowed the commentary and degraded a
+    valid corrective decision to PROCEED)."""
+    from mmore_ray.stages.judge import parse_judge_response
+
+    r = parse_judge_response(
+        '{"decision": "RE_RETRIEVE", "retrieve_params": {"k": 8}}\n'
+        'Note: the {metrics} looked low')
+    assert r["decision"] == "RE_RETRIEVE"
+    assert r["retrieve_params"]["k"] == 8

@@ -225,3 +225,45 @@ def test_gazetteer_with_incompatible_provider_raises(ray_session,
     with pytest.raises(ValueError, match="gazetteer-capable"):
         extract_docs(corpus, gazetteer=[("A", "ORGANIZATION", "kb:A")],
                      scanner="nogaz-test")
+
+
+def test_hf_ner_window_overlap_no_phantom_fragments():
+    """Window-overlap acceptance: an entity is counted by its FIRST
+    fully-containing window only — a leading fragment re-detected at
+    the next window's start must not become a phantom mention, and an
+    entity straddling a cut is counted once (by the later window)."""
+    import re as _re
+
+    from mmore_ray.models import _hf_ner_scanner
+    from mmore_ray.stages.mentions import MentionScanner
+
+    cls = _hf_ner_scanner()
+    sc = cls.__new__(cls)
+    MentionScanner.__init__(sc, gazetteer=[])
+
+    def fake_ner(chunk):
+        out = []
+        for m in _re.finditer("John Smith", chunk):
+            out.append({"word": "John Smith", "entity_group": "PER",
+                        "start": m.start(), "end": m.end()})
+        # emulate the model seeing a LEADING FRAGMENT when the window
+        # starts mid-entity
+        if chunk.startswith("Smith"):
+            out.append({"word": "Smith", "entity_group": "PER",
+                        "start": 0, "end": 5})
+        return out
+
+    sc._ner = fake_ner
+    # entity at [1795, 1805): window 1 = [0, 2000) contains it whole;
+    # window 2 = [1800, 3800) starts mid-entity and sees 'Smith'
+    content = ("x" * 1795 + "John Smith" + " y" * 600)
+    mentions, _ = sc._scan(content)
+    got = {m["surface"]: m["n_occ"] for m in mentions}
+    assert got == {"John Smith": 1}, got
+
+    # entity straddling the first cut at 2000: [1995, 2005) — window 1
+    # drops it (may be truncated), window 2 counts it whole, once
+    content2 = ("x" * 1995 + "John Smith" + " y" * 600)
+    mentions2, _ = sc._scan(content2)
+    got2 = {m["surface"]: m["n_occ"] for m in mentions2}
+    assert got2 == {"John Smith": 1}, got2
