@@ -27,24 +27,86 @@ Scale shape per stage:
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 import numpy as np
 import pandas as pd
+
+
+class _SpillPoint:
+    """A two-consumer intermediate checkpointed to parquet, re-read
+    lazily (with per-consumer column pruning) instead of pinned in the
+    object store.
+
+    ``Dataset.materialize()`` here would hold the full TEXT-bearing
+    corpus in the object store (~1× corpus bytes spilled at 100 TB);
+    writing it to parquet once and re-reading streams each consumer
+    from disk, so peak store usage is streaming-block-scale.  Ray
+    writes NO files for an empty dataset, so that case falls back to
+    ``materialize()`` — free at zero rows, and schema propagation keeps
+    working exactly as the in-memory path did."""
+
+    def __init__(self, ds, path: str):
+        ds.write_parquet(path)
+        has_files = os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path))
+        self._path = path if has_files else None
+        self._mat = None if has_files else ds.materialize()
+
+    @property
+    def is_empty(self) -> bool:
+        # zero files written ⇔ zero rows (the only case that falls back)
+        return self._path is None
+
+    @property
+    def column_names(self) -> list[str]:
+        if self._path is None:
+            return list(self._mat.schema().names)
+        from ..sources.readers import clean_schema
+
+        return list(clean_schema(self._path).names)
+
+    def read(self, columns: list[str] | None = None):
+        if self._path is None:
+            return (self._mat.select_columns(columns)
+                    if columns is not None else self._mat)
+        from ..sources.readers import read_parquet_clean
+
+        return read_parquet_clean(self._path, columns=columns)
 
 
 def curate(ds, text_col: str = "text", id_col: str = "doc_id",
            min_words: int = 20, min_stop_e4: int = 200, lang: str = "en",
            jaccard: float = 0.5, num_buckets: int = 64,
-           carry_cols: tuple[str, ...] = ()):
+           carry_cols: tuple[str, ...] = (),
+           group_cap="default",
+           scratch_dir: str | None = None):
     """(id, text) Dataset → curated Dataset with columns
     (doc_id, word_count, stop_ratio_e4, lang_pred, n_dupes).
 
     ``n_dupes`` counts the exact-duplicate group size the surviving doc
     represents (provenance for loss-weighting / dedup accounting).
     ``carry_cols`` names extra input columns to pass through unchanged
-    (e.g. a redaction count from an upstream scrub stage)."""
-    from ..stages.dedup import exact_dedup, near_dup_jaccard
+    (e.g. a redaction count from an upstream scrub stage).
+
+    ``group_cap`` forwards to the near-dup blocking stage
+    (stages/dedup._cap_group_members): the production default bounds
+    quadratic pair emission per blocking group; pass ``None`` for the
+    exact (uncapped) pair set — the oracle-checked query wrappers do,
+    so the SQL comparison stays apples-to-apples on ANY corpus.
+
+    ``scratch_dir``: where the two text-bearing intermediates spill as
+    parquet (kept across the run for inspection); default a private
+    temp dir removed before returning."""
+    from ..stages.dedup import (DEFAULT_GROUP_CAP, exact_dedup,
+                                near_dup_jaccard)
     from ..stages.joins import anti_join, lookup_join
     from ..stages.text_analysis import detect_lang_batch, quality_stats
+
+    if group_cap == "default":
+        group_cap = DEFAULT_GROUP_CAP
 
     def annotate(df: pd.DataFrame) -> pd.DataFrame:
         qs = quality_stats(df, text_col)
@@ -63,25 +125,71 @@ def curate(ds, text_col: str = "text", id_col: str = "doc_id",
                 & (langs == lang))
         return out[keep].reset_index(drop=True)
 
-    kept = ds.map_batches(annotate, batch_format="pandas").materialize()
+    own_scratch = scratch_dir is None
+    spill_root = scratch_dir or tempfile.mkdtemp(prefix="mmore_ray_curate_")
+    try:
+        # checkpoint the annotated corpus to parquet, not the object
+        # store: both consumers below re-read it streaming, and the
+        # dedup scan prunes to (doc_id, text)
+        kept = _SpillPoint(ds.map_batches(annotate, batch_format="pandas"),
+                           os.path.join(spill_root, "annotated"))
+        if kept.is_empty:
+            # a blockless empty dataset loses its schema through the
+            # bucketed dedup aggregations — build the (empty) output
+            # with the contract schema directly
+            import pyarrow as pa
+            import ray.data
 
-    # exact dedup: keep the minimum id per content; n_dupes rides along
-    groups = exact_dedup(kept, text_col="text", id_col="doc_id",
-                         num_buckets=num_buckets)
-    survivors = lookup_join(
-        kept, groups.select_columns(["keep_id", "n_dupes"]),
-        "doc_id", "keep_id").materialize()
+            schema = kept._mat.schema()
+            if schema is not None and schema.names:
+                # pandas-backed blocks report object columns as the
+                # PYTHON type `object`, not an Arrow DataType — those
+                # are the string columns (text/lang_pred/carries)
+                fields = [(n, t if isinstance(t, pa.DataType) else pa.string())
+                          for n, t in zip(schema.names, schema.types)
+                          if n != "text"]
+            else:  # blockless input: fall back to the contract dtypes
+                fields = [("doc_id", pa.int64()), ("word_count", pa.int64()),
+                          ("stop_ratio_e4", pa.int64()),
+                          ("lang_pred", pa.string())]
+                fields += [(c, pa.string()) for c in carry_cols]
+            fields += [("n_dupes", pa.int64())]
+            empty = pa.table({n: pa.array([], t) for n, t in fields})
+            # from_arrow(0-row table) drops the schema (blockless);
+            # routing it through one dummy block keeps a real 0-row
+            # Arrow block so downstream consumers see the columns
+            return ray.data.from_items([{"_": 0}]).map_batches(
+                lambda _b: empty, batch_format="pyarrow")
 
-    # near-dup: exact Jaccard pairs; drop every id_b (id_a < id_b).
-    # anti_join keeps the drop set distributed (broadcast only when
-    # small; a dup-heavy corpus's pair ids never gather on the driver)
-    pairs = near_dup_jaccard(survivors, text_col="text", id_col="doc_id",
-                             threshold=jaccard, num_buckets=num_buckets)
-    kept_cols = anti_join(survivors, pairs.select_columns(["id_b"]),
-                          "doc_id", "id_b")
-    return kept_cols.map_batches(
-        lambda df: df.drop(columns=["text"]).reset_index(drop=True),
-        batch_format="pandas")
+        # exact dedup: keep the minimum id per content; n_dupes rides
+        # along
+        groups = exact_dedup(kept.read(["doc_id", "text"]),
+                             text_col="text", id_col="doc_id",
+                             num_buckets=num_buckets)
+        survivors = _SpillPoint(
+            lookup_join(kept.read(),
+                        groups.select_columns(["keep_id", "n_dupes"]),
+                        "doc_id", "keep_id"),
+            os.path.join(spill_root, "survivors"))
+
+        # near-dup: exact Jaccard pairs; drop every id_b (id_a < id_b).
+        # anti_join keeps the drop set distributed (broadcast only when
+        # small; a dup-heavy corpus's pair ids never gather on the
+        # driver) and runs on the TEXT-FREE projection — text never
+        # enters the final exchange
+        pairs = near_dup_jaccard(survivors.read(["doc_id", "text"]),
+                                 text_col="text", id_col="doc_id",
+                                 threshold=jaccard, num_buckets=num_buckets,
+                                 group_cap=group_cap)
+        meta_cols = [c for c in survivors.column_names if c != "text"]
+        out = anti_join(survivors.read(meta_cols),
+                        pairs.select_columns(["id_b"]), "doc_id", "id_b")
+        # the result is metadata-width (no text): materializing it pins
+        # metadata-scale bytes only, and lets the scratch dir go away
+        return out.materialize()
+    finally:
+        if own_scratch:
+            shutil.rmtree(spill_root, ignore_errors=True)
 
 
 def curate_full(ds, benchmark_texts: list[str], text_col: str = "text",

@@ -75,6 +75,15 @@ def split_incremental(crawled: pa.Table, previous: pa.Table | None
     for path, mtime in zip(crawled.column("file_path").to_pylist(),
                            crawled.column("modified_at").to_pylist()):
         cached = prev_at.get(path)
+        # stamps without the 'Z' UTC marker predate the UTC switch
+        # (naive LOCAL time): in a UTC+X zone they read X hours late
+        # against the crawl's UTC mtimes, silently reusing files
+        # modified up to X hours after that run — untrusted, reprocess
+        # once (the rerun writes a marked stamp)
+        if cached is not None and cached.endswith("Z"):
+            cached = cached[:-1]
+        else:
+            cached = None
         if cached is not None and mtime <= cached:
             mask_process.append(False)
             reuse_paths.add(path)
@@ -109,6 +118,10 @@ def run_process(root_dirs: list[str], out_dir: str | Path,
 
         stamp = _dt.datetime.now(_dt.timezone.utc).strftime(
             "%Y-%m-%dT%H:%M:%S")
+    # 'Z' tags the stamp as UTC-convention: split_incremental refuses to
+    # trust markerless stamps (pre-UTC-switch runs wrote local time)
+    if not stamp.endswith("Z"):
+        stamp += "Z"
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 

@@ -447,10 +447,16 @@ def q_dedup_exact(sf_dir: str):
 
 
 def q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH near-dup pairs, exact-Jaccard verified (≥ 0.5)."""
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (≥ 0.5).
+
+    ``group_cap=None`` on every oracle-checked near-dup wrapper: the
+    production blocking-group cap makes the Ray pair set an
+    under-approximation on mega-cluster corpora while the DuckDB oracle
+    stays exact — uncapped keeps the comparison apples-to-apples on ANY
+    corpus (production callers get the capped default)."""
     from ..stages.dedup import near_dup_minhash
 
-    return near_dup_minhash(_docs_with_near_copies(sf_dir))
+    return near_dup_minhash(_docs_with_near_copies(sf_dir), group_cap=None)
 
 
 def q_dedup_jaccard(sf_dir: str):
@@ -459,7 +465,8 @@ def q_dedup_jaccard(sf_dir: str):
     join-based exact verify (stages/dedup.py near_dup_jaccard)."""
     from ..stages.dedup import near_dup_jaccard
 
-    return near_dup_jaccard(_docs_with_near_copies(sf_dir), threshold=0.3)
+    return near_dup_jaccard(_docs_with_near_copies(sf_dir), threshold=0.3,
+                            group_cap=None)  # oracle parity: see q_dedup_minhash
 
 
 def _tri_union(t: pa.Table) -> pa.Table:
@@ -484,7 +491,8 @@ def q_curate(sf_dir: str):
     SQL-checkable because every stage is an oracle-green operator."""
     from .curate import curate
 
-    return curate(_docs_curate_input(sf_dir))
+    return curate(_docs_curate_input(sf_dir),
+                  group_cap=None)  # oracle parity: see q_dedup_minhash
 
 
 def _embeddings_with_near_copies(sf_dir: str):
@@ -745,7 +753,8 @@ def q_dedup_simhash(sf_dir: str):
     bit-level sketch, not SQL-expressible; invariants tested in pytest."""
     from ..stages.dedup import near_dup_simhash
 
-    return near_dup_simhash(_docs_with_exact_copies(sf_dir))
+    return near_dup_simhash(_docs_with_exact_copies(sf_dir),
+                            group_cap=None)  # pytest-pinned values: uncapped
 
 
 def q_chunk_fixed(sf_dir: str):
@@ -906,7 +915,8 @@ def q_dedup_clusters(sf_dir: str):
     from ..stages.canonicalize import connected_components
     from ..stages.dedup import near_dup_minhash
 
-    pairs = near_dup_minhash(_docs_with_near_copies(sf_dir))
+    pairs = near_dup_minhash(_docs_with_near_copies(sf_dir),
+                             group_cap=None)  # oracle parity: see q_dedup_minhash
     labels = connected_components(
         pairs.select_columns(["id_a", "id_b"]), src="id_a", dst="id_b")
 
@@ -2849,7 +2859,8 @@ def q_curate_full(sf_dir: str):
              .map_batches(_inject_pii, batch_format="pandas")
              .take_all()]
     src = injected.map_batches(_tri_union, batch_format="pyarrow")
-    return curate_full(src, bench)
+    return curate_full(src, bench,
+                       group_cap=None)  # oracle parity: see q_dedup_minhash
 
 
 def _curate_full_sql() -> str:

@@ -95,6 +95,7 @@ class IndexJobQueue:
     def __init__(self, devices: list[str], jobs_per_gpu: int = 1,
                  max_queue_size: int | None = None):
         self.devices = list(devices)
+        self._closed = False
         self.n_workers = len(self.devices) * jobs_per_gpu
         self.max_queue_size = (max_queue_size if max_queue_size is not None
                                else self.n_workers * 10)
@@ -153,12 +154,16 @@ class IndexJobQueue:
         """Drain in-flight jobs (the reference's
         ``executor.shutdown(wait=True)``) then release the slots.
         ``wait=False`` hard-kills mid-job — in-flight jobs are marked
-        FAILED rather than left PROCESSING forever.  Either way the
-        queue refuses further submits."""
+        FAILED rather than left PROCESSING forever.  Still-QUEUED jobs
+        are FAILED too in both modes (``_dispatch`` is a no-op once
+        closed, so they could never run), releasing their file_id
+        reservations.  Either way the queue refuses further submits."""
         self._closed = True
         if wait:
             # one final poll per in-flight ref, blocking: records land
             # in their terminal state and file_ids are released
+            # (_closed stops _poll's trailing dispatch from launching
+            # queued jobs onto the freed slots just before ray.kill)
             refs = [slot[0] for slot in self._inflight.values()
                     if slot is not None]
             if refs:
@@ -172,6 +177,13 @@ class IndexJobQueue:
                     job.error = "shutdown(wait=False) killed the slot"
                     job.finished_at = time.time()
                     self._reserved.discard(job.file_id)
+        for job_id, _work_fn in self._pending:
+            job = self._jobs[job_id]
+            if not job.status.is_terminal:
+                job.status = JobStatus.FAILED
+                job.error = "cancelled: queue shut down before dispatch"
+                job.finished_at = time.time()
+                self._reserved.discard(job.file_id)
         for actor, _ in self._slots:
             ray.kill(actor)
         self._slots = []
@@ -204,6 +216,11 @@ class IndexJobQueue:
     def _dispatch(self) -> None:
         """FIFO jobs onto free slots; a job transitions QUEUED →
         PROCESSING (device bound, started_at stamped) only here."""
+        if self._closed:
+            # shutdown() owns the fate of still-pending jobs; launching
+            # them onto slots about to be ray.kill'ed would strand them
+            # PROCESSING forever with their file_ids reserved
+            return
         for idx in self._inflight:
             if not self._pending:
                 return

@@ -93,15 +93,13 @@ def index_documents(ds, out_dir: str, concurrency=(1, 4),
     (``mmore_ray.models``): default = deterministic fakes; a real
     checkpoint is ``dense_provider="sentence-transformers"`` (or the
     ``MMORE_RAY_DENSE_EMBEDDER`` env var) — no other code changes."""
+    import os
     import shutil
 
     from ..models import provider_class
 
-    # sink convention (colvision.py / build_ivf_index): write_parquet
-    # APPENDS uniquely-named files, so a re-index into an existing
-    # collection dir would silently merge stale and new rows and
-    # retrieve() would return ghost/duplicate hits
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # resolve providers BEFORE touching the existing collection: a bad
+    # provider name / env var raises here with the old index intact
     dense_cls = provider_class("dense_embedder", dense_provider)
     sparse_cls = provider_class("sparse_embedder", sparse_provider)
     out = (
@@ -110,7 +108,17 @@ def index_documents(ds, out_dir: str, concurrency=(1, 4),
         .map_batches(sparse_cls, batch_format="pyarrow",
                      batch_size=EMBED_BATCH, concurrency=concurrency)
     )
-    out.write_parquet(out_dir)
+    # sink convention (colvision.py / build_ivf_index): write_parquet
+    # APPENDS uniquely-named files, so a re-index into an existing
+    # collection dir would silently merge stale and new rows and
+    # retrieve() would return ghost/duplicate hits.  Write-then-swap:
+    # a failed or interrupted re-index leaves the old collection
+    # untouched (same tmp+replace shape as run_process's merged sink).
+    tmp_dir = out_dir.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    out.write_parquet(tmp_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp_dir, out_dir)
 
 
 class FakeReranker:

@@ -76,3 +76,55 @@ def test_curate_full_composition(ray_session):
                        carry_cols=("src",)).to_pandas()
     assert out2["src"].tolist() == ["web"]
     assert out2["n_redactions"].tolist() == [0]
+
+
+def test_curate_all_filtered_out_is_empty_not_crash(ray_session):
+    """Every doc failing the gates exercises the spill fallback: Ray
+    writes ZERO parquet files for an empty dataset, so the checkpoint
+    must fall back to the in-memory path instead of crashing on a
+    missing read path."""
+    import pyarrow as pa
+    import ray.data
+
+    from mmore_ray.pipelines.curate import curate
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2], "text": ["too short", "also short"]}))
+    out = curate(ds, min_words=50)
+    assert out.count() == 0
+    # to_pandas() drops 0-row blocks entirely; the contract columns
+    # live on the Arrow block itself
+    blocks = [ray.get(r) for r in out.to_arrow_refs()]
+    names = {n for b in blocks for n in b.schema.names}
+    assert {"doc_id", "n_dupes", "word_count"} <= names
+
+
+def test_curate_spill_scratch_dir_and_cleanup(ray_session, tmp_path):
+    """With an explicit scratch_dir the two text-bearing checkpoints
+    land on disk (annotated + survivors) and are KEPT; the default
+    private temp dir is removed before returning."""
+    import glob
+
+    import pyarrow as pa
+    import ray.data
+
+    from mmore_ray.pipelines.curate import curate
+
+    good = ("the cat and the dog is a fine pair of animals that like "
+            "to play in the yard all day long with the ball")
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2], "text": [good, good + " extra tail words here"]}))
+    scratch = tmp_path / "spill"
+    out = curate(ds, min_words=5, min_stop_e4=100, jaccard=0.99,
+                 scratch_dir=str(scratch)).to_pandas()
+    assert len(out) == 2
+    assert glob.glob(str(scratch / "annotated" / "*.parquet"))
+    assert glob.glob(str(scratch / "survivors" / "*.parquet"))
+    # text never reaches the output; metadata columns all present
+    assert "text" not in out.columns
+    assert {"doc_id", "word_count", "stop_ratio_e4",
+            "lang_pred", "n_dupes"} <= set(out.columns)
+
+    before = set(glob.glob("/tmp/mmore_ray_curate_*"))
+    curate(ds, min_words=5, min_stop_e4=100).to_pandas()
+    assert set(glob.glob("/tmp/mmore_ray_curate_*")) == before

@@ -235,3 +235,29 @@ def test_clean_image_variance_drops_flat_images(ray_session):
            .map_batches(clean_image_filter(min_side=512),
                         batch_format="pyarrow")).to_pandas()
     assert out.image_id.tolist() == [0]
+
+
+def test_failed_reindex_preserves_old_collection(ray_session, tmp_path):
+    """A re-index that fails (bad provider name) must leave the previous
+    collection intact — the old index_documents rmtree'd the collection
+    BEFORE provider resolution, so a typo'd env var destroyed it with
+    nothing written (write-then-swap now)."""
+    import pandas as pd
+    import pytest
+    import ray
+
+    from mmore_ray.stages.embed import index_documents, retrieve
+
+    docs = pd.DataFrame({"sample_id": ["a", "b"],
+                         "text": ["alpha words", "beta words"]})
+    coll = tmp_path / "coll"
+    index_documents(ray.data.from_pandas(docs), str(coll))
+    before = sorted(retrieve(str(coll), "alpha", k=2)
+                    .to_pandas()["sample_id"])
+
+    with pytest.raises(KeyError):
+        index_documents(ray.data.from_pandas(docs), str(coll),
+                        dense_provider="no-such-provider")
+    after = sorted(retrieve(str(coll), "alpha", k=2)
+                   .to_pandas()["sample_id"])
+    assert after == before == ["a", "b"]

@@ -477,3 +477,48 @@ def test_jsonl_roundtrip_processed_at_and_document_id_fallback(tmp_path):
     p2.write_text(_json.dumps(
         {"text": "t", "modalities": [], "metadata": {}, "id": "ID9"}) + "\n")
     assert jsonl_to_table(p2).column("document_id").to_pylist() == ["ID9"]
+
+
+def test_markerless_processed_at_stamp_is_untrusted(ray_session, tmp_path):
+    """processed_at stamps written before the UTC switch carry naive
+    LOCAL time with no marker: in a UTC+X zone they read X hours late,
+    so files modified shortly after that run would silently reuse
+    stale. Markerless stamps must force a one-time reprocess; the rerun
+    writes a 'Z'-marked stamp that is trusted again."""
+    import pyarrow.parquet as _pq
+
+    from mmore_ray.pipelines.process import run_process
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.txt").write_text("hello stamp world")
+    out = tmp_path / "out"
+    s1 = run_process([str(d)], out, stamp="2030-01-01T00:00:00")
+    assert s1["processed"] == 1
+    merged = out / "merged"
+    # every new stamp carries the UTC marker
+    t = _pq.read_table(merged)
+    assert all(s.endswith("Z") for s in t.column("processed_at").to_pylist())
+
+    # strip the marker in place — simulates results from a pre-change run
+    import pyarrow as _pa
+    stripped = t.set_column(
+        t.schema.get_field_index("processed_at"), "processed_at",
+        _pa.array([s[:-1] for s in t.column("processed_at").to_pylist()],
+                  _pa.string()))
+    import shutil
+    shutil.rmtree(merged)
+    merged.mkdir()
+    _pq.write_table(stripped, merged / "old.parquet")
+
+    # markerless stamp (even a future one) → untrusted → reprocess once
+    s2 = run_process([str(d)], tmp_path / "out2",
+                     previous_results=str(merged),
+                     stamp="2031-01-01T00:00:00")
+    assert s2["processed"] == 1 and s2["reused"] == 0
+
+    # the rerun's marked stamp is trusted → reuse
+    s3 = run_process([str(d)], tmp_path / "out3",
+                     previous_results=str(tmp_path / "out2" / "merged"),
+                     stamp="2032-01-01T00:00:00")
+    assert s3["processed"] == 0 and s3["reused"] == 1

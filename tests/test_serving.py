@@ -162,3 +162,33 @@ def test_free_device_picks_up_queued_job_not_bound_to_busy_slot(ray_session):
         q.wait(j1)
     finally:
         q.shutdown()
+
+
+def test_shutdown_wait_fails_queued_jobs_and_releases_reservations(ray_session):
+    """shutdown(wait=True) with a QUEUED backlog: the drain poll must
+    NOT dispatch queued jobs onto the freed slots (ray.kill would strand
+    them PROCESSING forever) — they end FAILED with their file_ids
+    released, while the in-flight job drains to DONE."""
+    q = IndexJobQueue(devices=["dev:0"])
+    j1 = q.submit("f1", "a", _make_slow())
+    j2 = q.submit("f2", "b", _make_work())
+    q.shutdown(wait=True)
+    assert q.get(j1).status == JobStatus.DONE
+    snap = q.get(j2)
+    assert snap.status == JobStatus.FAILED
+    assert "shut down" in snap.error
+    assert snap.finished_at is not None
+    assert "f2" not in q._reserved
+
+
+def test_shutdown_nowait_fails_queued_and_inflight(ray_session):
+    """shutdown(wait=False): both the killed in-flight job and the
+    never-dispatched queued job must reach a terminal state with
+    reservations released (neither stays PROCESSING/QUEUED forever)."""
+    q = IndexJobQueue(devices=["dev:0"])
+    j1 = q.submit("f1", "a", _make_slow())
+    j2 = q.submit("f2", "b", _make_work())
+    q.shutdown(wait=False)
+    assert q.get(j1).status == JobStatus.FAILED
+    assert q.get(j2).status == JobStatus.FAILED
+    assert q._reserved == set()
