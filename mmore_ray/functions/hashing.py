@@ -39,6 +39,38 @@ def sha256_column(values: Iterable[str]) -> list[str]:
             for v in values]
 
 
+def stable_u64_of_string_array(arr) -> "np.ndarray":
+    """:func:`stable_u64` over an Arrow string array, without
+    materializing Python str copies: rows are hashed as memoryview
+    slices of the utf-8 data buffer (same trick as
+    :func:`sha256_of_string_array`), so the value per row is EXACTLY
+    ``stable_u64(row)`` — shard assignments derived from it stay
+    compatible with layouts produced by the scalar form."""
+    import numpy as np
+    import pyarrow as pa
+
+    chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
+    out = np.empty(len(arr), dtype=np.uint64)
+    pos = 0
+    for chunk in chunks:
+        if chunk.null_count:  # nulls hash as '' (scalar-form contract)
+            for v in chunk.to_pylist():
+                out[pos] = stable_u64(v or "")
+                pos += 1
+            continue
+        width = np.int64 if pa.types.is_large_string(chunk.type) else np.int32
+        _, offsets_buf, data_buf = chunk.buffers()
+        offsets = np.frombuffer(offsets_buf, dtype=width)[
+            chunk.offset:chunk.offset + len(chunk) + 1]
+        mv = memoryview(data_buf)
+        for i in range(len(chunk)):
+            out[pos] = int.from_bytes(
+                hashlib.sha1(mv[offsets[i]:offsets[i + 1]]).digest()[:8],
+                "big")
+            pos += 1
+    return out
+
+
 def sha256_of_string_array(arr) -> list[str]:
     """sha256 hex per row of an Arrow string array WITHOUT materializing
     Python str/bytes copies: rows are hashed as memoryview slices of

@@ -246,12 +246,20 @@ def lineage_rows(batch: pa.Table) -> pa.Table:
 
 
 def _shard_filter(bucket: int, num_shards: int):
+    """Hash-carve one shard out of the full corpus (the zero-arg-factory
+    fallback; the sharded factory never pays this).  The key join runs
+    in the Arrow C++ kernel and the per-row sha1 hashes memoryview
+    slices of the utf-8 buffer — no to_pylist / f-string per row; the
+    values equal ``stable_u64(f"{repo}\\x00{path}")`` exactly, so
+    existing shard layouts resume compatibly."""
+    from ..functions.hashing import stable_u64_of_string_array
+
     def fn(batch: pa.Table) -> pa.Table:
-        repos = batch.column("repo").to_pylist()
-        paths = batch.column("path").to_pylist()
-        mask = [stable_u64(f"{r}\x00{p}") % num_shards == bucket
-                for r, p in zip(repos, paths)]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        keys = pc.binary_join_element_wise(
+            batch.column("repo").cast(pa.string()),
+            batch.column("path").cast(pa.string()), "\x00")
+        h = stable_u64_of_string_array(keys)
+        return batch.filter(pa.array(h % num_shards == bucket))
     return fn
 
 
