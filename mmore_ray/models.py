@@ -346,6 +346,155 @@ def _hf_ner_scanner() -> type:
     return HFNERScanner
 
 
+# ---------------------------------------------------------------------------
+# Chat / text-generation role (reference ``rag/llm.py``)
+# ---------------------------------------------------------------------------
+
+#: reference name tables (``rag/llm.py:25-87``): the provider of a chat
+#: model is inferred from its name, falling back to HF for local
+#: checkpoints.  The API-backed providers themselves are out of scope
+#: here (network clients — this engine runs offline); the inference and
+#: generation-kwarg mapping are pure logic and keep config parity, so a
+#: reference YAML names the same provider under both systems.
+_OPENAI_MODELS = frozenset({
+    "gpt-5.4", "gpt-5.4-mini", "gpt-5.4-nano", "gpt-5.2", "gpt-5",
+    "gpt-5-mini", "gpt-4", "gpt-4-turbo", "gpt-4o", "gpt-4o-mini",
+    "gpt-4.1", "o3", "o3-mini", "o4-mini", "gpt-3.5-turbo",
+})
+_ANTHROPIC_MODELS = frozenset({
+    "claude-opus-4-6", "claude-sonnet-4-6", "claude-haiku-4-5",
+    "claude-3-5-sonnet", "claude-3-5-haiku", "claude-3-opus",
+    "claude-3-sonnet", "claude-3-haiku",
+})
+_MISTRAL_MODELS = frozenset({
+    "mistral-small-4", "mistral-large-3", "mistral-medium-3.1",
+    "mistral-small-3.2", "ministral-3-14b", "ministral-3-8b",
+    "ministral-3-3b", "codestral", "codestral-latest",
+    "mistral-small-latest", "mistral-medium-latest",
+    "mistral-large-latest",
+})
+_COHERE_MODELS = frozenset({
+    "command-a-03-2025", "command-a-translate-08-2025",
+    "command-a-reasoning-08-2025", "command-a-vision-07-2025",
+    "command-r7b-12-2024", "command-r-08-2024",
+    "command-r-plus-08-2024",
+})
+
+
+def infer_llm_provider(llm_name: str,
+                       base_url: str | None = None) -> str | None:
+    """Provider inference (``rag/llm.py:106-128`` LLMConfig.__post_init__):
+    name tables first, then HF for local names WITHOUT a base_url; a
+    base_url with an unknown name means a self-hosted OpenAI-compatible
+    endpoint (provider None, reference's vLLM example)."""
+    if llm_name in _OPENAI_MODELS:
+        return "OPENAI"
+    if llm_name in _ANTHROPIC_MODELS:
+        return "ANTHROPIC"
+    if llm_name in _MISTRAL_MODELS:
+        return "MISTRAL"
+    if llm_name in _COHERE_MODELS:
+        return "COHERE"
+    return "HF" if base_url is None else None
+
+
+def llm_generation_kwargs(provider: str | None, temperature: float = 0.7,
+                          max_new_tokens: int | None = None) -> dict:
+    """Per-provider generation-kwarg spelling
+    (``rag/llm.py:130-138`` LLMConfig.generation_kwargs)."""
+    if provider in ("MISTRAL", "ANTHROPIC", "COHERE"):
+        key = "max_tokens"
+    elif provider == "HF":
+        key = "max_new_tokens"
+    else:
+        key = "max_completion_tokens"
+    return {"temperature": temperature, key: max_new_tokens}
+
+
+class HFChatGenerator:
+    """Local text-generation chat model (reference ``rag/llm.py:183-214``:
+    ``HuggingFacePipeline.from_model_id(task='text-generation')`` wrapped
+    as a chat model).  Same ``generate(prompt, question)`` contract as
+    the deterministic default (``pipelines/rag.py`` FakeChatLLM), so
+    ``MMORE_RAY_LLM=hf`` swaps a real generative answer stage into
+    ``rag_answer`` with zero pipeline change.  Deterministic by default
+    (greedy decoding) — set ``temperature`` to sample."""
+
+    REQUIRES = "transformers"
+
+    def __init__(self, model_name: str = "Qwen/Qwen2.5-0.5B-Instruct",
+                 max_new_tokens: int = 256,
+                 temperature: float | None = None,
+                 device: str | None = None):
+        from transformers import pipeline
+
+        kwargs = llm_generation_kwargs("HF", temperature or 0.0,
+                                       max_new_tokens)
+        if temperature is None:  # greedy: reproducible answers
+            kwargs.pop("temperature")
+            kwargs["do_sample"] = False
+        self._gen = pipeline("text-generation", model=model_name,
+                             device=device, return_full_text=False,
+                             **kwargs)
+
+    def generate(self, prompt: str, question: str) -> str:
+        msgs = [{"role": "system", "content": prompt},
+                {"role": "user", "content": question}]
+        out = self._gen(msgs)[0]["generated_text"]
+        if isinstance(out, list):  # chat-format pipelines return turns
+            out = out[-1]["content"]
+        return str(out).strip()
+
+
+def _synthetic_openvocab_scanner() -> type:
+    from .stages.mentions import MentionScanner
+
+    class SyntheticOpenVocabScanner(MentionScanner):
+        """Deterministic OPEN-VOCABULARY scanner for scale validation:
+        emits ``mentions_per_doc`` surfaces unique to each document
+        (derived from the content sha1), so distinct triples grow
+        linearly with the corpus — the adversarial shape for any
+        vocabulary-bounded assumption in the rollup / sort-boundary
+        paths (``pipelines/kg.py``).  No heavy dependencies; swaps in
+        via ``MMORE_RAY_MENTION_SCANNER=synthetic-openvocab`` exactly
+        like ``hf-ner``, so stress tests exercise the REAL provider
+        seam."""
+
+        def __init__(self, mentions_per_doc: int = 8,
+                     max_clique: int = MentionScanner.DEFAULT_MAX_CLIQUE):
+            super().__init__(gazetteer=[], max_clique=max_clique)
+            self._k = mentions_per_doc
+
+        def _scan(self, content: str):
+            if not content:
+                return [], []
+            import hashlib
+
+            from .functions.textfns import clean_str
+
+            tag = hashlib.sha1(
+                content.encode("utf-8")).hexdigest()[:12].upper()
+            found: list[tuple[str, str]] = []
+            counts: dict[str, list[int]] = {}
+            for i in range(self._k):
+                s = f"SYN {tag} {i:02d}"
+                counts[s] = [1, i]
+                self._type_of[s] = "SYNTH"
+                self._entity_of[s] = (str(clean_str(s)), "SYNTH",
+                                      str(clean_str(f"MENTION OF {s}")))
+                found.append((s, "SYNTH"))
+            rows = self._rows(found, counts)
+            # per-doc vocabulary is unique to the doc — drop it after
+            # the rows are built so actor memory stays bounded by a
+            # batch, not by the corpus
+            for s, _ in found:
+                del self._type_of[s]
+                del self._entity_of[s]
+            return rows
+
+    return SyntheticOpenVocabScanner
+
+
 def _register_builtins() -> None:
     from .stages.embed import (FakeDenseEmbedder, FakeReranker,
                                FakeSparseEmbedder)
@@ -361,6 +510,8 @@ def _register_builtins() -> None:
     register("reranker", "cross-encoder", CrossEncoderReranker)
     register("mention_scanner", "gazetteer", MentionScanner, default=True)
     register("mention_scanner", "hf-ner", _hf_ner_scanner())
+    register("mention_scanner", "synthetic-openvocab",
+             _synthetic_openvocab_scanner())
     # defaults are always constructible in this env; the heavy
     # providers opt in by name / env var (consumed by
     # stages/processors.py PDFProcessor.parse and MediaProcessor.parse)
@@ -368,6 +519,10 @@ def _register_builtins() -> None:
     register("pdf_parser", "marker", MarkerPdfParser)
     register("asr", "fake", AsrTranscriber, default=True)
     register("asr", "whisper", WhisperTranscriber)
+    from .pipelines.rag import FakeChatLLM
+
+    register("llm", "fake", FakeChatLLM, default=True)
+    register("llm", "hf", HFChatGenerator)
 
 
 _register_builtins()

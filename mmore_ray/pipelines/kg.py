@@ -30,6 +30,7 @@ global rollup+sort runs over the per-shard triple parquet.
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 import time
@@ -51,12 +52,28 @@ from ..stages.triples import (
 )
 from ..state import manifest as mf
 
+logger = logging.getLogger(__name__)
+
 # Default actor-pool sizing: autoscaling pools so extraction never
 # starves the read/write stages; per-batch work is regex-bound CPU.
 # Batches small enough that (docs / batch_size) >> pool size keeps every
 # actor busy even on modest shards.
 _SCAN_CONCURRENCY = (1, 64)
 _BATCH_SIZE = 256
+
+#: driver-memory bound on the sorted-write boundary sample: with an
+#: open-vocabulary scanner the warmup's distinct-key set scales with
+#: the sample, not the dictionary, so the gather is capped by
+#: hash-threshold key sampling (compute_boundaries only needs mass
+#: PROPORTIONS — a uniform key subsample with exact per-key counts is
+#: an unbiased mass estimate).
+_BOUNDARY_SAMPLE_CAP = 65536
+
+#: rollup combines at most this many parquet bytes driver-side; above
+#: it (open-vocabulary scanners, where distinct triples scale with the
+#: corpus) the combine runs as a distributed bucketed aggregation and
+#: the driver never materializes the key set.
+_ROLLUP_DRIVER_LIMIT = 64 << 20
 
 
 def canonical_alias_map(alias: dict[str, str] | None = None) -> dict[str, str]:
@@ -263,7 +280,82 @@ def _shard_filter(bucket: int, num_shards: int):
     return fn
 
 
-def _config_digest(gazetteer, alias) -> str:
+def _vocab_bounded() -> bool:
+    """True iff the active mention scanner's triple vocabulary is
+    bounded by a dictionary (the gazetteer family: distinct
+    (subj,pred,obj) ≤ O(gazetteer²)) rather than by the corpus.  An
+    open-vocabulary provider (``hf-ner``, or any registered subclass)
+    makes distinct triples scale with the data — every driver-side
+    rollup materialization must then switch to sampled / distributed
+    paths.  Exact-class check: subclasses override detection and are
+    presumed open."""
+    scanner = os.environ.get("MMORE_RAY_MENTION_SCANNER") or None
+    if scanner is None or scanner == "gazetteer":
+        return True
+    from ..models import provider_class
+    from ..stages.mentions import MentionScanner
+
+    return provider_class("mention_scanner", scanner) is MentionScanner
+
+
+def _rollup_agg(df, keys):
+    """Mergeable sum for the (subj,pred,obj) rollup partials — applied
+    per batch AND per bucket by groupby.bucketed_agg (keys are scanner
+    output strings, never null)."""
+    return df.groupby(keys, as_index=False, sort=False)[
+        ["weight", "n_rows"]].sum()
+
+
+def _sample_key_counts(rollup_ds, cap: int) -> tuple[list, float]:
+    """Stream the warmup rollup through the driver with BOUNDED memory:
+    hash-threshold key sampling (a bottom-sketch).  Keys whose stable
+    64-bit hash falls below ``theta`` are kept with EXACT accumulated
+    counts; whenever the kept set exceeds ``cap``, ``theta`` halves and
+    above-threshold keys are evicted — later occurrences of an evicted
+    key are filtered by the same threshold, so the survivor set is a
+    consistent uniform key sample at rate ``theta / 2**64``.
+
+    Returns ``(key_counts, rate)``: ``key_counts`` feeds
+    sortwrite.compute_boundaries (which uses mass proportions, so a
+    uniform key subsample is unbiased); divide sampled mass by ``rate``
+    for totals.  With a bounded vocabulary the cap is never hit and the
+    result is exact (``rate == 1.0``)."""
+    import numpy as np
+
+    from ..functions.hashing import stable_u64_of_string_array
+
+    full = 1 << 64
+    theta = full
+    agg: dict[tuple[str, str, str], list] = {}  # key -> [hash, count]
+    for batch in rollup_ds.iter_batches(batch_format="pyarrow",
+                                        batch_size=32768):
+        joined = pc.binary_join_element_wise(
+            batch.column("subj"), batch.column("pred"),
+            batch.column("obj"), "\x00")
+        h = stable_u64_of_string_array(joined)
+        subj = batch.column("subj").to_pylist()
+        pred = batch.column("pred").to_pylist()
+        obj = batch.column("obj").to_pylist()
+        n = batch.column("n").to_pylist()
+        idx = (np.nonzero(h < theta)[0] if theta < full
+               else range(len(h)))
+        for i in idx:
+            hi = int(h[i])
+            if hi >= theta:  # theta may have halved mid-batch
+                continue
+            k = (subj[i], pred[i], obj[i])
+            slot = agg.get(k)
+            if slot is None:
+                agg[k] = [hi, float(n[i])]
+                if len(agg) > cap:
+                    theta >>= 1
+                    agg = {kk: v for kk, v in agg.items() if v[0] < theta}
+            else:
+                slot[1] += float(n[i])
+    return [(k, v[1]) for k, v in agg.items()], theta / float(full)
+
+
+def _config_digest(gazetteer, alias, scanner_kwargs=None) -> str:
     """Digest of every parameter that changes EXTRACTION SEMANTICS —
     gazetteer entries, alias dict, scanner provider.  Resuming an
     out_dir under a different digest would silently mix extraction
@@ -284,14 +376,22 @@ def _config_digest(gazetteer, alias) -> str:
         h.update(f"{k}\t{src[k]}\n".encode())
     h.update(b"|scanner|")
     h.update(os.environ.get("MMORE_RAY_MENTION_SCANNER", "").encode())
+    if scanner_kwargs:  # appended ONLY when set: pre-existing output
+        # dirs (digested without this field) must keep resuming
+        h.update(b"|scanner_kwargs|")
+        h.update(repr(sorted(scanner_kwargs.items())).encode())
     return h.hexdigest()
 
 
 def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
            gazetteer=None, alias: dict[str, str] | None = None,
            concurrency=_SCAN_CONCURRENCY, max_concurrent_shards: int = 2,
-           num_sorted_partitions: int = 32, warm_docs: int = 20_000,
-           tee_batch_size: int = 8_192) -> dict:
+           num_sorted_partitions: int | None = None, warm_docs: int = 20_000,
+           tee_batch_size: int = 8_192,
+           target_partition_bytes: int = 256 << 20,
+           corpus_docs: int | None = None,
+           boundary_sample_cap: int = _BOUNDARY_SAMPLE_CAP,
+           scanner_kwargs: dict | None = None) -> dict:
     """Sharded, resumable KG run.
 
     ``read_corpus`` is a factory returning a fresh corpus Dataset:
@@ -314,7 +414,18 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
         graph/*.parquet                 global rollup (after all shards)
         triples_sorted/*.parquet        globally sorted (subj,pred,obj)
         _manifest/*.json                completed-partition records
-    """
+
+    ``num_sorted_partitions=None`` (default) derives the sorted-shard
+    count from a warmup estimate of total triple bytes (target
+    ``target_partition_bytes`` per merge partition, floor 32 — small
+    corpora behave exactly like the old fixed default) — pass
+    ``corpus_docs`` to skip the shard row-count probe when the factory
+    is not a cheap metadata-countable parquet read.  The count (like
+    the boundaries) freezes at first run in ``sort_bounds.json``; a
+    corpus later grown far past the recorded estimate should start a
+    fresh out_dir (documented there).  ``scanner_kwargs`` flow to the
+    mention-scanner provider's constructor (semantics-changing: they
+    join the resume config digest)."""
     import inspect
     from concurrent.futures import ThreadPoolExecutor
 
@@ -362,7 +473,9 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
                          "obj": g.column("obj"),
                          "n": g.column("weight_count")})
 
-    config = _config_digest(gazetteer, alias)
+    config = _config_digest(gazetteer, alias, scanner_kwargs)
+    bounded_vocab = _vocab_bounded()
+    stats["rollup"] = {"bounded_vocab": bounded_vocab}
     bounds_file = out_dir / mf.MANIFEST_DIR / "sort_bounds.json"
     if bounds_file.exists():
         raw = json.loads(bounds_file.read_text())
@@ -398,32 +511,76 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
     else:
         # warmup sample: shard 0 first, falling back to later shards —
         # an empty shard-0 file group would yield zero boundaries and
-        # collapse the ENTIRE sorted write into one merge partition
-        parts: list = []
+        # collapse the ENTIRE sorted write into one merge partition.
+        # The gather is a BOUNDED hash-threshold key sample
+        # (_sample_key_counts): exact for dictionary-bounded
+        # vocabularies, capped at boundary_sample_cap keys for
+        # open-vocabulary scanners where distinct triples scale with
+        # the corpus (boundaries need only mass proportions).
+        key_counts: list = []
+        rate = 1.0
+        warm_shard = 0
         for warm_shard in range(num_shards):
             warm = extract_docs(shard_corpus(warm_shard).limit(warm_docs),
-                                gazetteer, concurrency)
+                                gazetteer, concurrency,
+                                scanner_kwargs=scanner_kwargs)
             rollup = warm.map_batches(
                 _doc_triples_fn, fn_kwargs={"canon_ref": canon_ref},
                 batch_format="pyarrow",
             ).map_batches(_key_counts_kernel, batch_format="pyarrow")
-            parts = rollup.take_all()  # vocabulary-bounded: tiny
-            if parts:
+            key_counts, rate = _sample_key_counts(rollup,
+                                                  boundary_sample_cap)
+            if key_counts:
                 break
-        agg: dict[tuple[str, str, str], float] = {}
-        for r in parts:
-            k = (r["subj"], r["pred"], r["obj"])
-            agg[k] = agg.get(k, 0.0) + float(r["n"])
+        if rate < 1.0 and bounded_vocab:
+            logger.warning(
+                "sorted-write warmup: %d distinct triples exceeded the "
+                "boundary sample cap (%d) under a gazetteer scanner — "
+                "boundaries are computed from a %.4f key sample "
+                "(balance, not correctness, is affected)",
+                len(key_counts), boundary_sample_cap, rate)
+        n_parts_req = num_sorted_partitions
+        est_total_bytes = None
+        if n_parts_req is None:
+            # derive the partition count from the warmup's byte
+            # estimate: sampled triple-row bytes, un-sampled by rate,
+            # extrapolated from warmup docs to the whole corpus.  The
+            # doc counts are metadata-cheap for parquet-backed
+            # factories; derived corpora pay one (limited) read —
+            # callers there should pass corpus_docs or an explicit
+            # num_sorted_partitions.
+            sample_bytes = sum(
+                n * (len(s) + len(p) + len(o) + 80)
+                for (s, p, o), n in key_counts)
+            warm_used = shard_corpus(warm_shard).limit(warm_docs).count()
+            if corpus_docs is not None:
+                total_docs = corpus_docs
+            elif warm_used < warm_docs:  # whole shard fit in the warmup
+                total_docs = warm_used * num_shards
+            else:
+                total_docs = shard_corpus(warm_shard).count() * num_shards
+            est_total_bytes = (sample_bytes / max(rate, 1e-12)
+                               * total_docs / max(1, warm_used))
+            n_parts_req = int(min(
+                16384,
+                max(32, -(-est_total_bytes // target_partition_bytes))))
         bounds = np.array(
-            compute_boundaries(list(agg.items()), num_sorted_partitions),
-            dtype=object)
+            compute_boundaries(key_counts, n_parts_req), dtype=object)
         bounds_file.parent.mkdir(parents=True, exist_ok=True)
         # atomic publish (tmp + replace, like mf.publish): a crash
         # mid-write must not leave truncated JSON that bricks resume
         tmp = bounds_file.with_suffix(".json.tmp")
         tmp.write_text(json.dumps(
             {"num_shards": num_shards, "bounds": list(bounds),
-             "config": config}))
+             "config": config,
+             "partitions": n_parts_req,
+             "sampled": rate < 1.0, "sample_rate": rate,
+             "sample_keys": len(key_counts),
+             "est_total_triple_bytes": est_total_bytes,
+             "growth_note": (
+                 "partition count and boundaries freeze at first run; "
+                 "a corpus grown far beyond est_total_triple_bytes "
+                 "should start a fresh out_dir")}))
         os.replace(tmp, bounds_file)
     n_sorted_parts = len(bounds) + 1
 
@@ -446,6 +603,8 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
         for d in dirs.values():
             shutil.rmtree(d, ignore_errors=True)
             d.mkdir(parents=True, exist_ok=True)
+        shutil.rmtree(out_dir / "_rollup_tmp" / f"shard={shard:04d}",
+                      ignore_errors=True)
         paths = {k: str(v) for k, v in dirs.items()}
 
         def tee(batch: pa.Table, alias_ref=alias_ref, canon_ref=canon_ref,
@@ -492,7 +651,8 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
         # load balance (16384 measured SLOWER end-to-end: 12 tasks on 8
         # effective CPUs leaves a second-wave tail)
         lineage = (
-            extract_docs(shard_corpus(shard), gazetteer, concurrency)
+            extract_docs(shard_corpus(shard), gazetteer, concurrency,
+                         scanner_kwargs=scanner_kwargs)
             .map_batches(tee, batch_format="pyarrow",
                          batch_size=tee_batch_size)
         )
@@ -517,20 +677,44 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
         partial_files = sorted(Path(paths["_rollup"]).rglob("*.parquet"))
         if partial_files:  # an empty shard has no partials — still
             # publishes its (zero-count) manifest below
-            g = (
-                pa.concat_tables([pq.read_table(f) for f in partial_files])
-                .group_by(["subj", "pred", "obj"])
-                .aggregate([("weight", "sum"), ("n_rows", "sum")])
-            )
-            combined = pa.table({
-                "subj": g.column("subj"), "pred": g.column("pred"),
-                "obj": g.column("obj"), "weight": g.column("weight_sum"),
-                "n_rows": g.column("n_rows_sum"),
-            })
-            pq.write_table(combined,
-                           Path(paths["_rollup"]) / "_combined.parquet")
-            for f in partial_files:
-                f.unlink()
+            partial_bytes = sum(f.stat().st_size for f in partial_files)
+            if partial_bytes <= _ROLLUP_DRIVER_LIMIT:
+                # dictionary-bounded vocabulary: the combine is tiny
+                g = (
+                    pa.concat_tables(
+                        [pq.read_table(f) for f in partial_files])
+                    .group_by(["subj", "pred", "obj"])
+                    .aggregate([("weight", "sum"), ("n_rows", "sum")])
+                )
+                combined = pa.table({
+                    "subj": g.column("subj"), "pred": g.column("pred"),
+                    "obj": g.column("obj"),
+                    "weight": g.column("weight_sum"),
+                    "n_rows": g.column("n_rows_sum"),
+                })
+                pq.write_table(combined,
+                               Path(paths["_rollup"]) / "_combined.parquet")
+                for f in partial_files:
+                    f.unlink()
+            else:
+                # open-vocabulary scanner (distinct triples scale with
+                # the corpus): combine as a distributed bucketed
+                # aggregation — the driver never holds the shard's key
+                # set.  Written to a sibling tmp dir then swapped in,
+                # so a crash mid-combine re-runs the shard cleanly and
+                # finalize's rglob never sees half-written output.
+                from ..stages.groupby import bucketed_agg
+
+                pds = ray.data.read_parquet(
+                    [str(f) for f in partial_files])
+                combined_ds = bucketed_agg(
+                    pds, ["subj", "pred", "obj"], _rollup_agg)
+                tmp = out_dir / "_rollup_tmp" / f"shard={shard:04d}"
+                shutil.rmtree(tmp, ignore_errors=True)
+                combined_ds.write_parquet(str(tmp))
+                shutil.rmtree(dirs["_rollup"])
+                shutil.move(str(tmp), paths["_rollup"])
+                stats["rollup"][f"shard_{shard}"] = "distributed"
         mf.publish(out_dir, "extract", shard, {
             "n_docs": n_docs,
             "n_mentions": n_mentions,
@@ -570,11 +754,23 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
         for d in (out_dir / "graph", out_dir / "triples_sorted"):
             shutil.rmtree(d, ignore_errors=True)
 
-        partials = [_pq.read_table(f)
-                    for f in sorted((out_dir / "_rollup").rglob("*.parquet"))]
-        if partials:
+        graph_dir = out_dir / "graph"
+        rollup_files = sorted((out_dir / "_rollup").rglob("*.parquet"))
+        rollup_bytes = sum(f.stat().st_size for f in rollup_files)
+        if not rollup_files:
+            # every shard was empty: a schema-correct empty graph
+            graph_dir.mkdir(parents=True, exist_ok=True)
+            _pq.write_table(pa.table({
+                "subj": pa.array([], pa.string()),
+                "pred": pa.array([], pa.string()),
+                "obj": pa.array([], pa.string()),
+                "weight": pa.array([], pa.float64()),
+            }), graph_dir / "part-00000.parquet")
+            stats["rollup"]["finalize"] = "driver"
+        elif rollup_bytes <= _ROLLUP_DRIVER_LIMIT:
+            # dictionary-bounded vocabulary: tiny driver-side combine
             rolled = (
-                pa.concat_tables(partials)
+                pa.concat_tables([_pq.read_table(f) for f in rollup_files])
                 .group_by(["subj", "pred", "obj"])
                 .aggregate([("weight", "sum"), ("n_rows", "sum")])
             )
@@ -584,16 +780,24 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
                 "obj": rolled.column("obj"),
                 "weight": rolled.column("weight_sum"),
             })
-        else:  # every shard was empty: a schema-correct empty graph
-            graph = pa.table({
-                "subj": pa.array([], pa.string()),
-                "pred": pa.array([], pa.string()),
-                "obj": pa.array([], pa.string()),
-                "weight": pa.array([], pa.float64()),
-            })
-        graph_dir = out_dir / "graph"
-        graph_dir.mkdir(parents=True, exist_ok=True)
-        _pq.write_table(graph, graph_dir / "part-00000.parquet")
+            graph_dir.mkdir(parents=True, exist_ok=True)
+            _pq.write_table(graph, graph_dir / "part-00000.parquet")
+            stats["rollup"]["finalize"] = "driver"
+        else:
+            # open-vocabulary scanner: the global rollup is
+            # corpus-scale — run it as a distributed bucketed
+            # aggregation streaming straight into the graph parquet;
+            # the driver never materializes the key set
+            from ..stages.groupby import bucketed_agg
+
+            rds = ray.data.read_parquet([str(f) for f in rollup_files])
+            rolled_ds = bucketed_agg(rds, ["subj", "pred", "obj"],
+                                     _rollup_agg)
+            graph_ds = rolled_ds.map_batches(
+                lambda t: t.select(["subj", "pred", "obj", "weight"]),
+                batch_format="pyarrow")
+            graph_ds.write_parquet(str(graph_dir))
+            stats["rollup"]["finalize"] = "distributed"
         spill_roots = sorted((out_dir / "triples").glob("shard=*"))
         merge_sorted_spills(spill_roots, n_sorted_parts,
                             out_dir / "triples_sorted")

@@ -72,7 +72,8 @@ def rag_answer(collection_dir: str, queries: dict[str, str], k: int = 3,
                dense_weight: float = 0.5, llm=None,
                prompt: str = DEFAULT_PROMPT,
                dense_provider: str | None = None,
-               sparse_provider: str | None = None) -> pd.DataFrame:
+               sparse_provider: str | None = None,
+               llm_provider: str | None = None) -> pd.DataFrame:
     """Answer ``queries`` ({query_id: question}) against an indexed
     parquet collection (built by ``stages/embed.index_documents``).
 
@@ -87,7 +88,12 @@ def rag_answer(collection_dir: str, queries: dict[str, str], k: int = 3,
 
     from ..models import get_instance
 
-    llm = llm or FakeChatLLM()
+    # the chat model resolves through the provider registry (reference
+    # rag/llm.py name tables ≙ models.infer_llm_provider): default is
+    # the deterministic extractive fake, MMORE_RAY_LLM=hf /
+    # llm_provider="hf" swaps in a real local text-generation model
+    # with no other change; an explicit `llm` object overrides both
+    llm = llm if llm is not None else get_instance("llm", llm_provider)
     q_ids = sorted(queries)
     dense = get_instance("dense_embedder", dense_provider)
     sparse = get_instance("sparse_embedder", sparse_provider)

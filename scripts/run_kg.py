@@ -34,6 +34,12 @@ def main() -> None:
                          "derive the corpus deterministically")
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local-mode CPU count (omit on a real cluster)")
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="sorted-output partition count (default: derived "
+                         "from the warmup byte estimate, floor 32)")
+    ap.add_argument("--corpus-docs", type=int, default=None,
+                    help="known total doc count — skips the shard "
+                         "row-count probe when deriving partitions")
     args = ap.parse_args()
 
     import ray
@@ -95,7 +101,9 @@ def main() -> None:
             return _derive(read_parquet_clean(p))
 
     stats = run_kg(read_corpus, args.out, num_shards=args.shards,
-                   max_concurrent_shards=args.concurrent_shards)
+                   max_concurrent_shards=args.concurrent_shards,
+                   num_sorted_partitions=args.partitions,
+                   corpus_docs=args.corpus_docs)
     print(json.dumps({"skipped": stats["shards_skipped"],
                       "manifest_entries": len(stats["manifest"])}))
     ray.shutdown()

@@ -267,3 +267,88 @@ def test_hf_ner_window_overlap_no_phantom_fragments():
     mentions2, _ = sc._scan(content2)
     got2 = {m["surface"]: m["n_occ"] for m in mentions2}
     assert got2 == {"John Smith": 1}, got2
+
+
+# --- llm role (reference rag/llm.py name tables + generation kwargs) --------
+
+def test_llm_provider_inference_matches_reference_tables():
+    """Spot-check each family + the two fallbacks
+    (rag/llm.py:106-128)."""
+    assert models.infer_llm_provider("gpt-4o") == "OPENAI"
+    assert models.infer_llm_provider("claude-3-5-sonnet") == "ANTHROPIC"
+    assert models.infer_llm_provider("mistral-large-3") == "MISTRAL"
+    assert models.infer_llm_provider("command-r-08-2024") == "COHERE"
+    # unknown name, no base_url -> local HF checkpoint
+    assert models.infer_llm_provider("meta-llama/Llama-3-8B") == "HF"
+    # unknown name WITH base_url -> self-hosted endpoint (provider None)
+    assert models.infer_llm_provider("my-vllm-model",
+                                     base_url="http://h:8000") is None
+
+
+def test_llm_generation_kwargs_spelling():
+    """Per-provider max-token key (rag/llm.py:130-138)."""
+    assert models.llm_generation_kwargs("ANTHROPIC", 0.2, 64) == {
+        "temperature": 0.2, "max_tokens": 64}
+    assert models.llm_generation_kwargs("HF", 0.2, 64) == {
+        "temperature": 0.2, "max_new_tokens": 64}
+    assert models.llm_generation_kwargs("OPENAI", 0.2, 64) == {
+        "temperature": 0.2, "max_completion_tokens": 64}
+    assert models.llm_generation_kwargs(None, 0.2, 64) == {
+        "temperature": 0.2, "max_completion_tokens": 64}
+
+
+def test_llm_role_default_is_deterministic_fake():
+    from mmore_ray.pipelines.rag import FakeChatLLM
+
+    assert models.provider_class("llm") is FakeChatLLM
+    assert models.provider_class("llm", "hf") is models.HFChatGenerator
+
+
+def test_rag_answer_resolves_llm_through_registry(ray_session, tmp_path,
+                                                  monkeypatch):
+    """A custom llm provider selected by env var reaches rag_answer
+    with no code change (and the default stays the extractive fake,
+    so q_rag's output is untouched)."""
+    import ray
+
+    from mmore_ray.pipelines.rag import rag_answer
+    from mmore_ray.stages.embed import index_documents
+
+    class EchoLLM:
+        def generate(self, prompt, question):
+            return f"ECHO:{question}"
+
+    models.register("llm", "echo-test", EchoLLM)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "sample_id": ["a", "b"],
+        "text": ["the sky is blue today", "grass is green"]}))
+    coll = tmp_path / "coll_llm"
+    index_documents(ds, str(coll))
+
+    monkeypatch.setenv("MMORE_RAY_LLM", "echo-test")
+    got = rag_answer(str(coll), {"q1": "what color is the sky"}, k=1)
+    assert got.iloc[0]["answer"] == "ECHO:what color is the sky"
+    # explicit provider arg beats the env var; default path unchanged
+    monkeypatch.delenv("MMORE_RAY_LLM")
+    base = rag_answer(str(coll), {"q1": "what color is the sky"}, k=1)
+    assert base.iloc[0]["answer"] != "ECHO:what color is the sky"
+
+
+requires_llm_hf = pytest.mark.skipif(
+    not models.available("llm", "hf"), reason="transformers not installed")
+
+
+@requires_llm_hf
+def test_real_hf_chat_generator_answers(ray_session, tmp_path):
+    import ray
+
+    from mmore_ray.pipelines.rag import rag_answer
+    from mmore_ray.stages.embed import index_documents
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "sample_id": ["a"], "text": ["Paris is the capital of France."]}))
+    coll = tmp_path / "coll_hf_llm"
+    index_documents(ds, str(coll))
+    got = rag_answer(str(coll), {"q1": "What is the capital of France?"},
+                     k=1, llm_provider="hf")
+    assert isinstance(got.iloc[0]["answer"], str) and got.iloc[0]["answer"]
