@@ -19,6 +19,17 @@ total weight = row count), so the sorted write can skip sampling:
 This is the at-scale design (the rollup is tiny: bounded by vocabulary,
 not corpus), and it makes the sorted write a single cheap shuffle on a
 small-int key.
+
+**Exchange medium.**  Spill and merge exchange data through a
+filesystem.  All file operations route through a ``pyarrow.fs``
+FileSystem (the ``filesystem`` parameter; default LocalFileSystem), so
+on a multi-node cluster the exchange needs NO shared POSIX mount — pass
+``pyarrow.fs.S3FileSystem(...)`` (or any fsspec-wrapped store via
+``pyarrow.fs.PyFileSystem``) with bucket-relative paths and both phases
+read/write the object store directly.  The filesystem object is
+pickled into the spill/merge tasks, so credentials configured on it
+travel with the job.  Tested against a SubTreeFileSystem (which rejects
+absolute host paths) to prove no code path bypasses the abstraction.
 """
 
 from __future__ import annotations
@@ -27,6 +38,17 @@ from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
+
+
+def _resolve_fs(filesystem):
+    """Default to the local filesystem; accept any pyarrow.fs
+    FileSystem (S3FileSystem, GcsFileSystem, SubTreeFileSystem, a
+    PyFileSystem-wrapped fsspec store, ...)."""
+    if filesystem is not None:
+        return filesystem
+    from pyarrow import fs as pafs
+
+    return pafs.LocalFileSystem()
 
 SEP = "\x00"
 HI = "￿"  # sorts after any sha hex char
@@ -110,7 +132,7 @@ def encode_table_keys(batch: pa.Table) -> np.ndarray:
 
 
 def bucket_spill(batch: pa.Table, bounds: np.ndarray,
-                 spill_root: Path, tag: str) -> None:
+                 spill_root, tag: str, filesystem=None) -> None:
     """Split a triple batch by FINAL output partition (``bounds`` =
     :func:`compute_boundaries` output over encoded sort keys) and write
     one parquet per (batch, partition) under ``spill_root/b=BBBBB/``.
@@ -119,19 +141,22 @@ def bucket_spill(batch: pa.Table, bounds: np.ndarray,
     pass of the sorted write rides the streaming scan instead of being
     a serial finalize phase (the Amdahl term of the scaling criterion).
     ``tag`` must be collision-proof across batches and stable on retry
-    (the caller derives it from the batch's full key content)."""
+    (the caller derives it from the batch's full key content).
+    ``filesystem``: pyarrow.fs target (module doc: the exchange
+    medium) — ``spill_root`` is then a path WITHIN that filesystem."""
     import pyarrow.parquet as pq
 
+    fs = _resolve_fs(filesystem)
     part = np.searchsorted(bounds, encode_table_keys(batch), side="right")
     for p in np.unique(part):
         sub = batch.filter(pa.array(part == p))
-        d = Path(spill_root) / f"b={int(p):05d}"
-        d.mkdir(parents=True, exist_ok=True)
-        pq.write_table(sub, d / f"{tag}.parquet")
+        d = f"{spill_root}/b={int(p):05d}"
+        fs.create_dir(d, recursive=True)
+        pq.write_table(sub, f"{d}/{tag}.parquet", filesystem=fs)
 
 
-def merge_sorted_spills(spill_roots: list[Path], num_partitions: int,
-                        out_dir: str | Path) -> None:
+def merge_sorted_spills(spill_roots: list, num_partitions: int,
+                        out_dir, filesystem=None) -> None:
     """Final phase of the spill-at-extract sorted write: one Ray task
     per output partition concatenates exactly its own ``b=BBBBB`` spill
     dirs (across all shards' spill roots), sorts, and writes
@@ -140,11 +165,15 @@ def merge_sorted_spills(spill_roots: list[Path], num_partitions: int,
 
     Fully parallel, zero read amplification: every spill row is read
     exactly once, because the spill already used the final partition
-    boundaries."""
+    boundaries.  ``filesystem``: pyarrow.fs exchange medium (module
+    doc) — pickled into the merge tasks, so an S3FileSystem's
+    credentials/region travel with the job and no shared POSIX mount
+    is needed."""
     import ray
 
-    out_dir = Path(out_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
+    fs = _resolve_fs(filesystem)
+    out_dir = str(out_dir)
+    fs.create_dir(out_dir, recursive=True)
     roots = [str(r) for r in spill_roots]
 
     @ray.remote
@@ -152,12 +181,15 @@ def merge_sorted_spills(spill_roots: list[Path], num_partitions: int,
         from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
+        from pyarrow.fs import FileSelector, FileType
 
         files = []
         for root in roots:
-            d = Path(root) / f"b={p:05d}"
-            if d.is_dir():
-                files.extend(sorted(d.glob("*.parquet")))
+            sel = FileSelector(f"{root}/b={p:05d}", allow_not_found=True)
+            files.extend(sorted(
+                info.path for info in fs.get_file_info(sel)
+                if info.type == FileType.File
+                and info.path.endswith(".parquet")))
         if not files:
             return 0
         # threaded opens: the fan-in is one small spill file per
@@ -165,19 +197,21 @@ def merge_sorted_spills(spill_roots: list[Path], num_partitions: int,
         # whose latency (not bandwidth) dominates; parquet reads drop
         # the GIL, so 8 threads ≈ 8x the open throughput per task
         with ThreadPoolExecutor(max_workers=8) as pool:
-            tables = list(pool.map(pq.read_table, sorted(files)))
+            tables = list(pool.map(
+                lambda f: pq.read_table(f, filesystem=fs), files))
         tbl = pa.concat_tables(tables)
         # Arrow-native sort: C++ string comparisons, no pandas
         # object-array roundtrip (measured ~2x on the merge task)
         tbl = tbl.sort_by([(c, "ascending") for c in SORT_COLS])
-        pq.write_table(tbl, out_dir / f"part-{p:05d}.parquet")
+        pq.write_table(tbl, f"{out_dir}/part-{p:05d}.parquet",
+                       filesystem=fs)
         return tbl.num_rows
 
     ray.get([merge.remote(p) for p in range(num_partitions)])
 
 
-def write_sorted(triples_ds, key_counts, out_dir: str | Path,
-                 num_partitions: int = 32) -> None:
+def write_sorted(triples_ds, key_counts, out_dir,
+                 num_partitions: int = 32, filesystem=None) -> None:
     """Write ``triples_ds`` as globally (subj,pred,obj)-sorted parquet
     files ``part-NNNNN.parquet`` under ``out_dir``.
 
@@ -188,20 +222,24 @@ def write_sorted(triples_ds, key_counts, out_dir: str | Path,
       * **merge** — one plain Ray task per partition concatenates its
         spill files, Arrow-sorts, writes the final part file.
 
-    Both phases are embarrassingly parallel; the exchange medium is the
-    filesystem (single-node sandbox ≙ a cluster's shared store; on a
-    real multi-node cluster the spill dir must be shared or replaced by
-    object-store refs — documented partitioning assumption).
+    Both phases are embarrassingly parallel.  The exchange medium is
+    ``filesystem`` (module doc): local by default; pass a
+    pyarrow.fs.S3FileSystem (or any pyarrow.fs implementation) and the
+    spill/merge exchange works on a multi-node cluster with NO shared
+    POSIX mount — every task reads and writes the object store
+    directly.
     """
-    import shutil
+    from pyarrow.fs import FileType
 
-    out_dir = Path(out_dir)
-    spill_dir = out_dir / "_spill"
-    out_dir.mkdir(parents=True, exist_ok=True)
+    fs = _resolve_fs(filesystem)
+    out_dir = str(out_dir)
+    spill_dir = f"{out_dir}/_spill"
+    fs.create_dir(out_dir, recursive=True)
     # stale spill files from a crashed earlier invocation would be
     # concatenated into the final partitions as duplicate rows
-    shutil.rmtree(spill_dir, ignore_errors=True)
-    spill_dir.mkdir(parents=True, exist_ok=True)
+    if fs.get_file_info(spill_dir).type != FileType.NotFound:
+        fs.delete_dir(spill_dir)
+    fs.create_dir(spill_dir, recursive=True)
     bounds = np.array(compute_boundaries(key_counts, num_partitions))
     n_parts = len(bounds) + 1
 
@@ -209,10 +247,12 @@ def write_sorted(triples_ds, key_counts, out_dir: str | Path,
     # (bucket_spill + merge_sorted_spills) — one copy of the
     # partitioning logic, not a parallel re-implementation
     def spill(batch: pa.Table) -> pa.Table:
-        bucket_spill(batch, bounds, spill_dir, _batch_tag(batch))
+        bucket_spill(batch, bounds, spill_dir, _batch_tag(batch),
+                     filesystem=filesystem)
         return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
 
     triples_ds.map_batches(spill, batch_format="pyarrow",
                            batch_size=65536).count()
-    merge_sorted_spills([spill_dir], n_parts, out_dir)
-    shutil.rmtree(spill_dir, ignore_errors=True)
+    merge_sorted_spills([spill_dir], n_parts, out_dir,
+                        filesystem=filesystem)
+    fs.delete_dir(spill_dir)
