@@ -552,13 +552,14 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
             sample_bytes = sum(
                 n * (len(s) + len(p) + len(o) + 80)
                 for (s, p, o), n in key_counts)
-            warm_used = shard_corpus(warm_shard).limit(warm_docs).count()
-            if corpus_docs is not None:
-                total_docs = corpus_docs
-            elif warm_used < warm_docs:  # whole shard fit in the warmup
-                total_docs = warm_used * num_shards
-            else:
-                total_docs = shard_corpus(warm_shard).count() * num_shards
+            # ONE count probe, and the bare-Dataset form: count() on an
+            # untransformed parquet read is metadata-only (~0.1 s at
+            # 190k rows), where a limit(n).count() EXECUTES the read
+            # (measured 1.7 s on the same input — it was headline time)
+            shard_count = shard_corpus(warm_shard).count()
+            warm_used = min(warm_docs, shard_count)
+            total_docs = (corpus_docs if corpus_docs is not None
+                          else shard_count * num_shards)
             est_total_bytes = (sample_bytes / max(rate, 1e-12)
                                * total_docs / max(1, warm_used))
             n_parts_req = int(min(
