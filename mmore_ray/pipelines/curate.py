@@ -49,6 +49,11 @@ class _SpillPoint:
     working exactly as the in-memory path did."""
 
     def __init__(self, ds, path: str):
+        # Ray's write_parquet APPENDS uniquely-named files: a reused
+        # scratch_dir would resurface the PREVIOUS run's rows as live
+        # data on re-read, so each spill point owns a fresh directory
+        if os.path.isdir(path):
+            shutil.rmtree(path)
         ds.write_parquet(path)
         has_files = os.path.isdir(path) and any(
             f.endswith(".parquet") for f in os.listdir(path))

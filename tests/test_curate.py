@@ -128,3 +128,28 @@ def test_curate_spill_scratch_dir_and_cleanup(ray_session, tmp_path):
     before = set(glob.glob("/tmp/mmore_ray_curate_*"))
     curate(ds, min_words=5, min_stop_e4=100).to_pandas()
     assert set(glob.glob("/tmp/mmore_ray_curate_*")) == before
+
+
+def test_curate_scratch_dir_reuse_no_stale_rows(ray_session, tmp_path):
+    """Ray's write_parquet APPENDS uniquely-named files into an existing
+    directory: a second run over the same scratch_dir must not resurface
+    the first run's rows as live data on re-read."""
+    import pyarrow as pa
+    import ray.data
+
+    from mmore_ray.pipelines.curate import curate
+
+    good = ("the cat and the dog is a fine pair of animals that like "
+            "to play in the yard all day long with the ball")
+    scratch = str(tmp_path / "reused")
+    ds1 = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2], "text": [good, good + " extra tail words here"]}))
+    out1 = curate(ds1, min_words=5, min_stop_e4=100, jaccard=0.99,
+                  scratch_dir=scratch).to_pandas()
+    assert sorted(out1.doc_id) == [1, 2]
+
+    ds2 = ray.data.from_arrow(pa.table({
+        "doc_id": [7], "text": [good + " a different run entirely"]}))
+    out2 = curate(ds2, min_words=5, min_stop_e4=100, jaccard=0.99,
+                  scratch_dir=scratch).to_pandas()
+    assert sorted(out2.doc_id) == [7]  # no phantom rows from run 1
