@@ -433,6 +433,10 @@ class HFChatGenerator:
         if temperature is None:  # greedy: reproducible answers
             kwargs.pop("temperature")
             kwargs["do_sample"] = False
+        else:
+            # transformers defaults do_sample=False and silently
+            # ignores temperature without this
+            kwargs["do_sample"] = True
         self._gen = pipeline("text-generation", model=model_name,
                              device=device, return_full_text=False,
                              **kwargs)

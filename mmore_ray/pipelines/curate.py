@@ -43,22 +43,34 @@ class _SpillPoint:
     ``Dataset.materialize()`` here would hold the full TEXT-bearing
     corpus in the object store (~1× corpus bytes spilled at 100 TB);
     writing it to parquet once and re-reading streams each consumer
-    from disk, so peak store usage is streaming-block-scale.  Ray
-    writes NO files for an empty dataset, so that case falls back to
-    ``materialize()`` — free at zero rows, and schema propagation keeps
-    working exactly as the in-memory path did."""
+    from disk, so peak store usage is streaming-block-scale.
+
+    Ray writes NO files for an empty dataset, and 0-row blocks are
+    never handed to downstream ``map_batches`` fns — so a schema for
+    the empty case cannot be observed at this spill point.  Re-running
+    the upstream pipeline just to recover one would double the most
+    expensive scan; instead the PRODUCING stage records its output
+    schema from a batch that still has input rows (``_record_schema``
+    inside ``curate.annotate``) into the spill dir's side file, and the
+    empty case reads that."""
 
     def __init__(self, ds, path: str):
+        import pyarrow as pa
+
         # Ray's write_parquet APPENDS uniquely-named files: a reused
         # scratch_dir would resurface the PREVIOUS run's rows as live
         # data on re-read, so each spill point owns a fresh directory
         if os.path.isdir(path):
             shutil.rmtree(path)
+        os.makedirs(path, exist_ok=True)
         ds.write_parquet(path)
-        has_files = os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path))
+        has_files = any(f.endswith(".parquet") for f in os.listdir(path))
         self._path = path if has_files else None
-        self._mat = None if has_files else ds.materialize()
+        self._schema = None
+        schema_file = _schema_sidecar(path)
+        if not has_files and os.path.exists(schema_file):
+            with open(schema_file, "rb") as f:
+                self._schema = pa.ipc.read_schema(pa.py_buffer(f.read()))
 
     @property
     def is_empty(self) -> bool:
@@ -66,20 +78,63 @@ class _SpillPoint:
         return self._path is None
 
     @property
-    def column_names(self) -> list[str]:
+    def schema(self):
+        """Arrow schema, or None for a blockless (never-executed-a-
+        batch) input — only possible when the caller's dataset itself
+        had no blocks."""
         if self._path is None:
-            return list(self._mat.schema().names)
+            return self._schema
         from ..sources.readers import clean_schema
 
-        return list(clean_schema(self._path).names)
+        return clean_schema(self._path)
+
+    @property
+    def column_names(self) -> list[str]:
+        return list(self.schema.names) if self.schema is not None else []
 
     def read(self, columns: list[str] | None = None):
         if self._path is None:
-            return (self._mat.select_columns(columns)
-                    if columns is not None else self._mat)
+            return _empty_dataset(self._schema, columns)
         from ..sources.readers import read_parquet_clean
 
         return read_parquet_clean(self._path, columns=columns)
+
+
+def _schema_sidecar(path: str) -> str:
+    return os.path.join(path, "_schema.arrowipc")
+
+
+def _record_schema(df, schema_file: str) -> None:
+    """Record ``df``'s Arrow schema as an idempotent side file (atomic
+    tmp+replace; concurrent writers race benignly — same content).
+    Call with a frame that HAS rows: inference on a 0-row pandas frame
+    degrades object columns to Arrow ``null``."""
+    if os.path.exists(schema_file):
+        return
+    import pyarrow as pa
+
+    tmp = f"{schema_file}.{os.getpid()}.tmp"
+    with open(tmp, "wb") as f:
+        f.write(pa.Schema.from_pandas(df, preserve_index=False)
+                .serialize().to_pybytes())
+    os.replace(tmp, schema_file)
+
+
+def _empty_dataset(schema, columns: list[str] | None = None):
+    """A 0-row Dataset that still REPORTS ``schema``'s columns.
+    ``from_arrow`` on a 0-row table yields a blockless dataset that
+    forgets its schema; routing through one dummy block keeps a real
+    0-row Arrow block downstream consumers can see columns on."""
+    import pyarrow as pa
+    import ray.data
+
+    fields = ([(n, t) for n, t in zip(schema.names, schema.types)]
+              if schema is not None else [])
+    if columns is not None:
+        fields = [(n, t) for n, t in fields if n in columns]
+    empty = pa.table({n: pa.array([], t) for n, t in fields})
+    return ray.data.from_items([{"_": 0}]).map_batches(
+        lambda _b: empty, batch_format="pyarrow")
 
 
 def curate(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -113,6 +168,10 @@ def curate(ds, text_col: str = "text", id_col: str = "doc_id",
     if group_cap == "default":
         group_cap = DEFAULT_GROUP_CAP
 
+    own_scratch = scratch_dir is None
+    spill_root = scratch_dir or tempfile.mkdtemp(prefix="mmore_ray_curate_")
+    annotated_dir = os.path.join(spill_root, "annotated")
+
     def annotate(df: pd.DataFrame) -> pd.DataFrame:
         qs = quality_stats(df, text_col)
         langs = detect_lang_batch(df[text_col])
@@ -125,32 +184,36 @@ def curate(ds, text_col: str = "text", id_col: str = "doc_id",
         })
         for c in carry_cols:
             out[c] = df[c].to_numpy()
+        if len(out):
+            # schema capture for the everything-filtered case: 0-row
+            # blocks never reach a downstream map fn, so the empty
+            # fallback cannot observe dtypes anywhere else without
+            # re-running this (hot-path) scan
+            _record_schema(out, _schema_sidecar(annotated_dir))
         keep = ((out["word_count"].to_numpy() >= min_words)
                 & (out["stop_ratio_e4"].to_numpy() >= min_stop_e4)
                 & (langs == lang))
         return out[keep].reset_index(drop=True)
 
-    own_scratch = scratch_dir is None
-    spill_root = scratch_dir or tempfile.mkdtemp(prefix="mmore_ray_curate_")
     try:
         # checkpoint the annotated corpus to parquet, not the object
         # store: both consumers below re-read it streaming, and the
         # dedup scan prunes to (doc_id, text)
         kept = _SpillPoint(ds.map_batches(annotate, batch_format="pandas"),
-                           os.path.join(spill_root, "annotated"))
+                           annotated_dir)
         if kept.is_empty:
             # a blockless empty dataset loses its schema through the
             # bucketed dedup aggregations — build the (empty) output
             # with the contract schema directly
             import pyarrow as pa
-            import ray.data
 
-            schema = kept._mat.schema()
+            schema = kept.schema
             if schema is not None and schema.names:
-                # pandas-backed blocks report object columns as the
-                # PYTHON type `object`, not an Arrow DataType — those
-                # are the string columns (text/lang_pred/carries)
-                fields = [(n, t if isinstance(t, pa.DataType) else pa.string())
+                # the captured Arrow schema preserves real carry dtypes
+                # (an int64 carry stays int64); a 0-row pandas OBJECT
+                # column infers as Arrow `null` — those are the string
+                # columns (text/lang_pred/string carries)
+                fields = [(n, pa.string() if pa.types.is_null(t) else t)
                           for n, t in zip(schema.names, schema.types)
                           if n != "text"]
             else:  # blockless input: fall back to the contract dtypes
@@ -159,12 +222,7 @@ def curate(ds, text_col: str = "text", id_col: str = "doc_id",
                           ("lang_pred", pa.string())]
                 fields += [(c, pa.string()) for c in carry_cols]
             fields += [("n_dupes", pa.int64())]
-            empty = pa.table({n: pa.array([], t) for n, t in fields})
-            # from_arrow(0-row table) drops the schema (blockless);
-            # routing it through one dummy block keeps a real 0-row
-            # Arrow block so downstream consumers see the columns
-            return ray.data.from_items([{"_": 0}]).map_batches(
-                lambda _b: empty, batch_format="pyarrow")
+            return _empty_dataset(pa.schema(fields))
 
         # exact dedup: keep the minimum id per content; n_dupes rides
         # along

@@ -272,9 +272,13 @@ def _shard_filter(bucket: int, num_shards: int):
     from ..functions.hashing import stable_u64_of_string_array
 
     def fn(batch: pa.Table) -> pa.Table:
+        # fill_null("None"): the scalar path f-stringed None as the
+        # literal "None" — a null repo/path must hash to the SAME shard
+        # (binary_join would emit null → hash of "" → layout drift)
         keys = pc.binary_join_element_wise(
-            batch.column("repo").cast(pa.string()),
-            batch.column("path").cast(pa.string()), "\x00")
+            pc.fill_null(batch.column("repo").cast(pa.string()), "None"),
+            pc.fill_null(batch.column("path").cast(pa.string()), "None"),
+            "\x00")
         h = stable_u64_of_string_array(keys)
         return batch.filter(pa.array(h % num_shards == bucket))
     return fn
@@ -333,13 +337,20 @@ def _sample_key_counts(rollup_ds, cap: int) -> tuple[list, float]:
             batch.column("subj"), batch.column("pred"),
             batch.column("obj"), "\x00")
         h = stable_u64_of_string_array(joined)
+        if theta < full:
+            # materialize ONLY the sampled survivors — at the cap the
+            # filter keeps a few rows per 32k-row batch, and a full
+            # to_pylist would waste exactly the work the hash saved
+            keep = np.nonzero(h < theta)[0]
+            if len(keep) == 0:
+                continue
+            batch = batch.take(pa.array(keep))
+            h = h[keep]
         subj = batch.column("subj").to_pylist()
         pred = batch.column("pred").to_pylist()
         obj = batch.column("obj").to_pylist()
         n = batch.column("n").to_pylist()
-        idx = (np.nonzero(h < theta)[0] if theta < full
-               else range(len(h)))
-        for i in idx:
+        for i in range(len(h)):
             hi = int(h[i])
             if hi >= theta:  # theta may have halved mid-batch
                 continue
@@ -418,9 +429,11 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
     ``num_sorted_partitions=None`` (default) derives the sorted-shard
     count from a warmup estimate of total triple bytes (target
     ``target_partition_bytes`` per merge partition, floor 32 — small
-    corpora behave exactly like the old fixed default) — pass
-    ``corpus_docs`` to skip the shard row-count probe when the factory
-    is not a cheap metadata-countable parquet read.  The count (like
+    corpora behave exactly like the old fixed default).  The row-count
+    probe runs ONLY when it is metadata-only (a bare parquet factory);
+    a derived corpus uses ``corpus_docs`` if given and otherwise falls
+    back to the fixed default of 32 with a logged warning — an estimate
+    is never worth a full corpus scan.  The count (like
     the boundaries) freezes at first run in ``sort_bounds.json``; a
     corpus later grown far past the recorded estimate should start a
     fresh out_dir (documented there).  ``scanner_kwargs`` flow to the
@@ -520,11 +533,27 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
         key_counts: list = []
         rate = 1.0
         warm_shard = 0
+        # exact warmup doc count, observed from inside the warmup pass
+        # itself (a side-file on the shared out_dir FS — same exchange
+        # assumption sortwrite documents) so the partition estimate
+        # never needs a separate corpus probe for it
+        bounds_file.parent.mkdir(parents=True, exist_ok=True)
+        warm_count_file = bounds_file.parent / ".warm_docs.tmp"
         for warm_shard in range(num_shards):
+            warm_count_file.write_text("")
+
+            def _count_docs(batch: pa.Table,
+                            _cf=str(warm_count_file)) -> pa.Table:
+                with open(_cf, "a") as f:
+                    f.write(f"{batch.num_rows}\n")
+                return batch
+
             warm = extract_docs(shard_corpus(warm_shard).limit(warm_docs),
                                 gazetteer, concurrency,
                                 scanner_kwargs=scanner_kwargs)
             rollup = warm.map_batches(
+                _count_docs, batch_format="pyarrow",
+            ).map_batches(
                 _doc_triples_fn, fn_kwargs={"canon_ref": canon_ref},
                 batch_format="pyarrow",
             ).map_batches(_key_counts_kernel, batch_format="pyarrow")
@@ -532,6 +561,9 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
                                                   boundary_sample_cap)
             if key_counts:
                 break
+        warm_used = sum(
+            int(line) for line in warm_count_file.read_text().split())
+        warm_count_file.unlink(missing_ok=True)
         if rate < 1.0 and bounded_vocab:
             logger.warning(
                 "sorted-write warmup: %d distinct triples exceeded the "
@@ -544,27 +576,41 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
         if n_parts_req is None:
             # derive the partition count from the warmup's byte
             # estimate: sampled triple-row bytes, un-sampled by rate,
-            # extrapolated from warmup docs to the whole corpus.  The
-            # doc counts are metadata-cheap for parquet-backed
-            # factories; derived corpora pay one (limited) read —
-            # callers there should pass corpus_docs or an explicit
-            # num_sorted_partitions.
+            # extrapolated from warmup docs to the whole corpus.
             sample_bytes = sum(
                 n * (len(s) + len(p) + len(o) + 80)
                 for (s, p, o), n in key_counts)
-            # ONE count probe, and the bare-Dataset form: count() on an
+            # ONE count probe, and ONLY on a bare Dataset: count() on an
             # untransformed parquet read is metadata-only (~0.1 s at
-            # 190k rows), where a limit(n).count() EXECUTES the read
-            # (measured 1.7 s on the same input — it was headline time)
-            shard_count = shard_corpus(warm_shard).count()
-            warm_used = min(warm_docs, shard_count)
-            total_docs = (corpus_docs if corpus_docs is not None
-                          else shard_count * num_shards)
-            est_total_bytes = (sample_bytes / max(rate, 1e-12)
-                               * total_docs / max(1, warm_used))
-            n_parts_req = int(min(
-                16384,
-                max(32, -(-est_total_bytes // target_partition_bytes))))
+            # 190k rows), where count() on a derived corpus (map_batches
+            # chain — the zero-arg-factory shard filter, or a transform
+            # inside a sharded factory) EXECUTES a full decode pass.
+            # Never pay a corpus scan for a size ESTIMATE: prefer the
+            # caller's corpus_docs, then a metadata count, else keep the
+            # old fixed default and say so.
+            from ..stages.joins import _is_source_plan
+
+            total_docs = corpus_docs
+            if total_docs is None:
+                probe = (shard_corpus(warm_shard) if sharded_factory
+                         else read_corpus())
+                if _is_source_plan(probe):
+                    total_docs = (probe.count() * num_shards
+                                  if sharded_factory else probe.count())
+            if total_docs is None:
+                logger.warning(
+                    "adaptive sorted-partition probe skipped: the corpus "
+                    "factory is not a metadata-countable parquet read and "
+                    "corpus_docs was not given — using the fixed default "
+                    "of 32 partitions (pass corpus_docs or "
+                    "num_sorted_partitions to size explicitly)")
+                n_parts_req = 32
+            else:
+                est_total_bytes = (sample_bytes / max(rate, 1e-12)
+                                   * total_docs / max(1, warm_used))
+                n_parts_req = int(min(
+                    16384,
+                    max(32, -(-est_total_bytes // target_partition_bytes))))
         bounds = np.array(
             compute_boundaries(key_counts, n_parts_req), dtype=object)
         bounds_file.parent.mkdir(parents=True, exist_ok=True)

@@ -118,7 +118,7 @@ class IndexJobQueue:
 
     def submit(self, file_id: str, filename: str,
                work_fn: Callable[[str], dict]) -> str:
-        if getattr(self, "_closed", False):
+        if self._closed:
             # a silent post-shutdown accept would return a job id that
             # can never run (no slots; _dispatch is a no-op)
             raise RuntimeError("queue is shut down")

@@ -116,6 +116,10 @@ def index_documents(ds, out_dir: str, concurrency=(1, 4),
     # untouched (same tmp+replace shape as run_process's merged sink).
     tmp_dir = out_dir.rstrip("/") + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
+    # pre-create: Ray writes NO files (and no directory) for an empty
+    # dataset, and the swap below must still run — an empty collection
+    # is the correct result of indexing zero docs, not a lost index
+    os.makedirs(tmp_dir, exist_ok=True)
     out.write_parquet(tmp_dir)
     shutil.rmtree(out_dir, ignore_errors=True)
     os.replace(tmp_dir, out_dir)

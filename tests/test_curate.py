@@ -130,6 +130,40 @@ def test_curate_spill_scratch_dir_and_cleanup(ray_session, tmp_path):
     assert set(glob.glob("/tmp/mmore_ray_curate_*")) == before
 
 
+def test_curate_empty_result_runs_upstream_once(ray_session, tmp_path):
+    """The all-filtered-out fallback must NOT re-execute the upstream
+    pipeline to recover a schema (the annotate scan is the per-byte hot
+    path): the spill pass records the schema side-file, and the empty
+    branch reads it.  Carry dtypes survive: an int64 carry stays int64
+    in the empty output."""
+    import pyarrow as pa
+    import ray.data
+
+    from mmore_ray.pipelines.curate import curate
+
+    marker = tmp_path / "execs.log"
+
+    def counted(b: pa.Table) -> pa.Table:
+        with open(marker, "a") as f:
+            f.write("x\n")
+        return b
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2], "text": ["too short", "also short"],
+        "weight": pa.array([5, 6], pa.int64()),
+    })).map_batches(counted, batch_format="pyarrow")
+    out = curate(ds, min_words=50, carry_cols=("weight",))
+    assert out.count() == 0
+    # one block, one pass: the old fallback materialised a second one
+    assert len(marker.read_text().splitlines()) == 1
+    blocks = [b for b in out.to_arrow_refs()]
+    import ray as _ray
+    schema = pa.unify_schemas([_ray.get(r).schema for r in blocks])
+    assert schema.field("weight").type == pa.int64()
+    assert schema.field("lang_pred").type == pa.string()
+    assert schema.field("n_dupes").type == pa.int64()
+
+
 def test_curate_scratch_dir_reuse_no_stale_rows(ray_session, tmp_path):
     """Ray's write_parquet APPENDS uniquely-named files into an existing
     directory: a second run over the same scratch_dir must not resurface

@@ -55,10 +55,13 @@ def test_shard_filter_partitions_exactly():
     from mmore_ray.pipelines.kg import _shard_filter
 
     rows = [("repo%d" % (i % 7), "src/f%03d.py" % i) for i in range(200)]
+    # null keys: the scalar form f-strings None as the literal "None" —
+    # the vector form must land those rows in the SAME shard
+    rows += [(None, "orphan.py"), ("repo0", None), (None, None)]
     batch = pa.table({
-        "repo": [r for r, _ in rows],
-        "path": [p for _, p in rows],
-        "content": ["c%d" % i for i in range(200)],
+        "repo": pa.array([r for r, _ in rows], pa.string()),
+        "path": pa.array([p for _, p in rows], pa.string()),
+        "content": ["c%d" % i for i in range(len(rows))],
     })
     num_shards = 5
     seen = []
@@ -68,4 +71,4 @@ def test_shard_filter_partitions_exactly():
                         part.column("path").to_pylist()):
             assert stable_u64(f"{r}\x00{p}") % num_shards == shard
             seen.append((r, p))
-    assert sorted(seen) == sorted(rows)
+    assert sorted(seen, key=str) == sorted(rows, key=str)

@@ -58,6 +58,45 @@ def test_corpus_docs_hint_skips_probe_and_scales(ray_session, tmp_path):
     assert meta["partitions"] > 32
 
 
+def test_derived_factory_never_pays_a_probe_scan(ray_session, tmp_path):
+    """A corpus factory with compute stages (map_batches) is not
+    metadata-countable: the adaptive probe must SKIP it (fixed default
+    32, estimate recorded as null) rather than silently execute a full
+    extra corpus scan for a size estimate."""
+    table = synthesize_corpus(200, seed=7)
+    marker = tmp_path / "reads.log"
+
+    def factory():
+        def counted(b):
+            with open(marker, "a") as f:
+                f.write("r\n")
+            return b
+        return ray_session.data.from_arrow(table).map_batches(
+            counted, batch_format="pyarrow")
+
+    out = tmp_path / "kg"
+    run_kg(factory, out, num_shards=2, target_partition_bytes=512)
+    meta = json.loads((out / "_manifest" / "sort_bounds.json").read_text())
+    assert meta["partitions"] == 32
+    assert meta["est_total_triple_bytes"] is None
+    # executions: warmup (1 shard) + 2 shard runs = 3 passes; the old
+    # count probe would have added a 4th
+    assert len(marker.read_text().splitlines()) <= 3
+
+
+def test_derived_factory_with_corpus_docs_hint_adapts(ray_session, tmp_path):
+    table = synthesize_corpus(200, seed=7)
+
+    def factory():
+        return ray_session.data.from_arrow(table).map_batches(
+            lambda b: b, batch_format="pyarrow")
+
+    out = tmp_path / "kg"
+    run_kg(factory, out, num_shards=2, corpus_docs=200_000_000)
+    meta = json.loads((out / "_manifest" / "sort_bounds.json").read_text())
+    assert meta["partitions"] > 32  # hint restores adaptive sizing
+
+
 def test_resume_reuses_frozen_partition_count(ray_session, tmp_path):
     out = tmp_path / "kg"
     run_kg(_factory(ray_session), out, num_shards=2,

@@ -352,3 +352,30 @@ def test_real_hf_chat_generator_answers(ray_session, tmp_path):
     got = rag_answer(str(coll), {"q1": "What is the capital of France?"},
                      k=1, llm_provider="hf")
     assert isinstance(got.iloc[0]["answer"], str) and got.iloc[0]["answer"]
+
+
+def test_hf_chat_generator_sampling_kwargs(monkeypatch):
+    """temperature=None → greedy (do_sample=False, no temperature);
+    temperature set → do_sample=True, or transformers silently ignores
+    the temperature and decodes greedily anyway.  Exercised through a
+    stub transformers module so the kwarg contract is tested even where
+    the real library is absent."""
+    import sys
+    import types
+
+    seen = {}
+
+    def fake_pipeline(task, **kwargs):
+        seen.update(kwargs, task=task)
+        return lambda msgs: [{"generated_text": "ok"}]
+
+    stub = types.ModuleType("transformers")
+    stub.pipeline = fake_pipeline
+    monkeypatch.setitem(sys.modules, "transformers", stub)
+
+    models.HFChatGenerator(temperature=None)
+    assert seen["do_sample"] is False and "temperature" not in seen
+
+    seen.clear()
+    models.HFChatGenerator(temperature=0.9)
+    assert seen["do_sample"] is True and seen["temperature"] == 0.9

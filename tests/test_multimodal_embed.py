@@ -261,3 +261,24 @@ def test_failed_reindex_preserves_old_collection(ray_session, tmp_path):
     after = sorted(retrieve(str(coll), "alpha", k=2)
                    .to_pandas()["sample_id"])
     assert after == before == ["a", "b"]
+
+
+def test_reindex_with_empty_dataset_swaps_to_empty_collection(
+        ray_session, tmp_path):
+    """Ray writes no files (and no directory) for an empty dataset: the
+    swap must still run — indexing zero docs yields an EMPTY collection,
+    not a crash that strands or destroys the old one."""
+    import pandas as pd
+    import ray
+
+    from mmore_ray.stages.embed import index_documents
+
+    docs = pd.DataFrame({"sample_id": ["a"], "text": ["alpha words"]})
+    coll = tmp_path / "coll"
+    index_documents(ray.data.from_pandas(docs), str(coll))
+
+    empty = ray.data.from_pandas(docs).filter(lambda r: False)
+    index_documents(empty, str(coll))  # must not raise
+    assert coll.is_dir()
+    assert not list(coll.glob("*.parquet"))        # empty collection
+    assert not (tmp_path / "coll.tmp").exists()    # tmp swapped away
