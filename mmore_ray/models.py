@@ -430,7 +430,8 @@ class HFChatGenerator:
 
         kwargs = llm_generation_kwargs("HF", temperature or 0.0,
                                        max_new_tokens)
-        if temperature is None:  # greedy: reproducible answers
+        if not temperature:  # None OR 0.0: greedy, reproducible —
+            # transformers rejects do_sample with temperature=0
             kwargs.pop("temperature")
             kwargs["do_sample"] = False
         else:

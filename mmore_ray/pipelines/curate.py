@@ -55,8 +55,6 @@ class _SpillPoint:
     empty case reads that."""
 
     def __init__(self, ds, path: str):
-        import pyarrow as pa
-
         # Ray's write_parquet APPENDS uniquely-named files: a reused
         # scratch_dir would resurface the PREVIOUS run's rows as live
         # data on re-read, so each spill point owns a fresh directory
@@ -66,11 +64,8 @@ class _SpillPoint:
         ds.write_parquet(path)
         has_files = any(f.endswith(".parquet") for f in os.listdir(path))
         self._path = path if has_files else None
-        self._schema = None
-        schema_file = _schema_sidecar(path)
-        if not has_files and os.path.exists(schema_file):
-            with open(schema_file, "rb") as f:
-                self._schema = pa.ipc.read_schema(pa.py_buffer(f.read()))
+        self._schema = (None if has_files
+                        else _read_sidecar_schema(_schema_sidecar(path)))
 
     @property
     def is_empty(self) -> bool:
@@ -90,34 +85,77 @@ class _SpillPoint:
 
     @property
     def column_names(self) -> list[str]:
-        return list(self.schema.names) if self.schema is not None else []
+        return list(self._require_schema().names)
 
     def read(self, columns: list[str] | None = None):
         if self._path is None:
-            return _empty_dataset(self._schema, columns)
+            return _empty_dataset(self._require_schema(), columns)
         from ..sources.readers import read_parquet_clean
 
         return read_parquet_clean(self._path, columns=columns)
 
+    def _require_schema(self):
+        """Reading an empty spill whose producer recorded no sidecar is
+        a producer-contract violation — fail loudly rather than hand
+        downstream a silent zero-column dataset."""
+        schema = self.schema
+        if schema is None:
+            raise RuntimeError(
+                "empty spill point has no recorded schema — the "
+                "producing stage must call _record_schema on a "
+                "row-bearing batch (see _SpillPoint docstring)")
+        return schema
+
 
 def _schema_sidecar(path: str) -> str:
-    return os.path.join(path, "_schema.arrowipc")
+    # a directory: one file per worker PROCESS (its running unified
+    # schema) — pyarrow dataset discovery ignores the "_" prefix
+    return os.path.join(path, "_schema")
 
 
-def _record_schema(df, schema_file: str) -> None:
-    """Record ``df``'s Arrow schema as an idempotent side file (atomic
-    tmp+replace; concurrent writers race benignly — same content).
-    Call with a frame that HAS rows: inference on a 0-row pandas frame
-    degrades object columns to Arrow ``null``."""
-    if os.path.exists(schema_file):
-        return
+_SCHEMA_CACHE: dict = {}  # sidecar_dir -> unified Schema, per process
+
+
+def _record_schema(df, sidecar_dir: str) -> None:
+    """Record ``df``'s Arrow schema into the sidecar dir, unified with
+    every schema this process has seen for it — the reader unifies the
+    per-process files again, so the recorded schema is the SAME
+    regardless of block order (a nullable int64 carry converts to
+    float64 only in null-bearing pandas blocks; first-batch-wins would
+    make the empty-output dtype nondeterministic).  Call with a frame
+    that HAS rows: inference on a 0-row pandas frame degrades object
+    columns to Arrow ``null``."""
     import pyarrow as pa
 
-    tmp = f"{schema_file}.{os.getpid()}.tmp"
+    s = pa.Schema.from_pandas(df, preserve_index=False)
+    prev = _SCHEMA_CACHE.get(sidecar_dir)
+    uni = (s if prev is None
+           else pa.unify_schemas([prev, s], promote_options="permissive"))
+    out = os.path.join(sidecar_dir, f"{os.getpid()}.arrowipc")
+    # the exists() check guards against a long-lived worker whose cache
+    # outlived a scratch-dir wipe (a reused scratch_dir's rmtree)
+    if uni == prev and os.path.exists(out):
+        return
+    _SCHEMA_CACHE[sidecar_dir] = uni
+    os.makedirs(sidecar_dir, exist_ok=True)
+    tmp = f"{out}.tmp"
     with open(tmp, "wb") as f:
-        f.write(pa.Schema.from_pandas(df, preserve_index=False)
-                .serialize().to_pybytes())
-    os.replace(tmp, schema_file)
+        f.write(uni.serialize().to_pybytes())
+    os.replace(tmp, out)
+
+
+def _read_sidecar_schema(sidecar_dir: str):
+    import glob as _glob
+
+    import pyarrow as pa
+
+    schemas = []
+    for fn in sorted(_glob.glob(os.path.join(sidecar_dir, "*.arrowipc"))):
+        with open(fn, "rb") as f:
+            schemas.append(pa.ipc.read_schema(pa.py_buffer(f.read())))
+    if not schemas:
+        return None
+    return pa.unify_schemas(schemas, promote_options="permissive")
 
 
 def _empty_dataset(schema, columns: list[str] | None = None):

@@ -534,18 +534,29 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
         rate = 1.0
         warm_shard = 0
         # exact warmup doc count, observed from inside the warmup pass
-        # itself (a side-file on the shared out_dir FS — same exchange
+        # itself (side files on the shared out_dir FS — same exchange
         # assumption sortwrite documents) so the partition estimate
-        # never needs a separate corpus probe for it
+        # never needs a separate corpus probe for it.  One file per
+        # batch, named by the batch's content digest (sortwrite's
+        # _batch_tag): a retried or lineage-reconstructed task rewrites
+        # its OWN file instead of double-counting, and concurrent
+        # writers never interleave (no shared-append).
         bounds_file.parent.mkdir(parents=True, exist_ok=True)
-        warm_count_file = bounds_file.parent / ".warm_docs.tmp"
+        warm_count_dir = bounds_file.parent / ".warm_docs"
         for warm_shard in range(num_shards):
-            warm_count_file.write_text("")
+            shutil.rmtree(warm_count_dir, ignore_errors=True)
+            warm_count_dir.mkdir()
 
             def _count_docs(batch: pa.Table,
-                            _cf=str(warm_count_file)) -> pa.Table:
-                with open(_cf, "a") as f:
-                    f.write(f"{batch.num_rows}\n")
+                            _d=str(warm_count_dir)) -> pa.Table:
+                from ..stages.sortwrite import _batch_tag
+
+                p = os.path.join(_d, f"{_batch_tag(batch)}.cnt")
+                if not os.path.exists(p):
+                    tmp = f"{p}.{os.getpid()}.tmp"
+                    with open(tmp, "w") as f:
+                        f.write(str(batch.num_rows))
+                    os.replace(tmp, p)
                 return batch
 
             warm = extract_docs(shard_corpus(warm_shard).limit(warm_docs),
@@ -562,8 +573,8 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
             if key_counts:
                 break
         warm_used = sum(
-            int(line) for line in warm_count_file.read_text().split())
-        warm_count_file.unlink(missing_ok=True)
+            int(f.read_text()) for f in warm_count_dir.glob("*.cnt"))
+        shutil.rmtree(warm_count_dir, ignore_errors=True)
         if rate < 1.0 and bounded_vocab:
             logger.warning(
                 "sorted-write warmup: %d distinct triples exceeded the "
@@ -613,7 +624,6 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
                     max(32, -(-est_total_bytes // target_partition_bytes))))
         bounds = np.array(
             compute_boundaries(key_counts, n_parts_req), dtype=object)
-        bounds_file.parent.mkdir(parents=True, exist_ok=True)
         # atomic publish (tmp + replace, like mf.publish): a crash
         # mid-write must not leave truncated JSON that bricks resume
         tmp = bounds_file.with_suffix(".json.tmp")

@@ -164,6 +164,31 @@ def test_curate_empty_result_runs_upstream_once(ray_session, tmp_path):
     assert schema.field("n_dupes").type == pa.int64()
 
 
+def test_curate_empty_result_nullable_carry_dtype_deterministic(
+        ray_session, tmp_path):
+    """A nullable int64 carry converts to float64 only in null-bearing
+    pandas blocks; the recorded empty-output schema must unify across
+    blocks (float64) rather than depend on which block ran first."""
+    import pyarrow as pa
+    import ray.data
+
+    from mmore_ray.pipelines.curate import curate
+
+    a = ray.data.from_arrow(pa.table({
+        "doc_id": [1], "text": ["too short"],
+        "weight": pa.array([5], pa.int64())}))
+    b = ray.data.from_arrow(pa.table({
+        "doc_id": [2], "text": ["also short"],
+        "weight": pa.array([None], pa.int64())}))
+    for ds in (a.union(b), b.union(a)):  # both block orders
+        out = curate(ds, min_words=50, carry_cols=("weight",))
+        assert out.count() == 0
+        import ray as _ray
+        schema = pa.unify_schemas(
+            [_ray.get(r).schema for r in out.to_arrow_refs()])
+        assert schema.field("weight").type == pa.float64()
+
+
 def test_curate_scratch_dir_reuse_no_stale_rows(ray_session, tmp_path):
     """Ray's write_parquet APPENDS uniquely-named files into an existing
     directory: a second run over the same scratch_dir must not resurface

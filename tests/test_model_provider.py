@@ -379,3 +379,9 @@ def test_hf_chat_generator_sampling_kwargs(monkeypatch):
     seen.clear()
     models.HFChatGenerator(temperature=0.9)
     assert seen["do_sample"] is True and seen["temperature"] == 0.9
+
+    # temperature=0.0 means greedy, not "sample at 0" (transformers
+    # rejects do_sample with a non-positive temperature)
+    seen.clear()
+    models.HFChatGenerator(temperature=0.0)
+    assert seen["do_sample"] is False and "temperature" not in seen
