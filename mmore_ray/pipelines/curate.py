@@ -195,9 +195,9 @@ def curate(ds, text_col: str = "text", id_col: str = "doc_id",
     exact (uncapped) pair set — the oracle-checked query wrappers do,
     so the SQL comparison stays apples-to-apples on ANY corpus.
 
-    ``scratch_dir``: where the two text-bearing intermediates spill as
-    parquet (kept across the run for inspection); default a private
-    temp dir removed before returning."""
+    ``scratch_dir``: where the annotated corpus (the one text-bearing
+    intermediate) spills as parquet (kept across the run for
+    inspection); default a private temp dir removed before returning."""
     from ..stages.dedup import (DEFAULT_GROUP_CAP, exact_dedup,
                                 near_dup_jaccard)
     from ..stages.joins import anti_join, lookup_join
@@ -263,27 +263,37 @@ def curate(ds, text_col: str = "text", id_col: str = "doc_id",
             return _empty_dataset(pa.schema(fields))
 
         # exact dedup: keep the minimum id per content; n_dupes rides
-        # along
+        # along.  `groups` feeds TWO joins below — materialize it ONCE
+        # (metadata-width: keep_id + n_dupes) so the bucketed dedup
+        # shuffle doesn't execute twice; pinning id-scale bytes is the
+        # accepted checkpoint cost, the TEXT column never is.
         groups = exact_dedup(kept.read(["doc_id", "text"]),
                              text_col="text", id_col="doc_id",
-                             num_buckets=num_buckets)
-        survivors = _SpillPoint(
-            lookup_join(kept.read(),
-                        groups.select_columns(["keep_id", "n_dupes"]),
-                        "doc_id", "keep_id"),
-            os.path.join(spill_root, "survivors"))
+                             num_buckets=num_buckets).materialize()
+
+        # the two survivor views derive straight from the annotated
+        # spill (a second text-bearing spill would re-WRITE the whole
+        # corpus; the broadcast/hash join is far cheaper to run twice):
+        # text view for the near-dup scan, text-free view for the output
+        survivors_text = lookup_join(kept.read(["doc_id", "text"]),
+                                     groups.select_columns(["keep_id"]),
+                                     "doc_id", "keep_id")
 
         # near-dup: exact Jaccard pairs; drop every id_b (id_a < id_b).
         # anti_join keeps the drop set distributed (broadcast only when
         # small; a dup-heavy corpus's pair ids never gather on the
         # driver) and runs on the TEXT-FREE projection — text never
         # enters the final exchange
-        pairs = near_dup_jaccard(survivors.read(["doc_id", "text"]),
+        pairs = near_dup_jaccard(survivors_text,
                                  text_col="text", id_col="doc_id",
                                  threshold=jaccard, num_buckets=num_buckets,
                                  group_cap=group_cap)
-        meta_cols = [c for c in survivors.column_names if c != "text"]
-        out = anti_join(survivors.read(meta_cols),
+        meta_cols = [c for c in kept.column_names if c != "text"]
+        survivors_meta = lookup_join(
+            kept.read(meta_cols),
+            groups.select_columns(["keep_id", "n_dupes"]),
+            "doc_id", "keep_id")
+        out = anti_join(survivors_meta,
                         pairs.select_columns(["id_b"]), "doc_id", "id_b")
         # the result is metadata-width (no text): materializing it pins
         # metadata-scale bytes only, and lets the scratch dir go away

@@ -100,9 +100,10 @@ def test_curate_all_filtered_out_is_empty_not_crash(ray_session):
 
 
 def test_curate_spill_scratch_dir_and_cleanup(ray_session, tmp_path):
-    """With an explicit scratch_dir the two text-bearing checkpoints
-    land on disk (annotated + survivors) and are KEPT; the default
-    private temp dir is removed before returning."""
+    """With an explicit scratch_dir the text-bearing annotated
+    checkpoint lands on disk and is KEPT (and it is the ONLY text
+    spill — survivors derive from it by re-join, not a second corpus
+    write); the default private temp dir is removed before returning."""
     import glob
 
     import pyarrow as pa
@@ -119,7 +120,7 @@ def test_curate_spill_scratch_dir_and_cleanup(ray_session, tmp_path):
                  scratch_dir=str(scratch)).to_pandas()
     assert len(out) == 2
     assert glob.glob(str(scratch / "annotated" / "*.parquet"))
-    assert glob.glob(str(scratch / "survivors" / "*.parquet"))
+    assert not (scratch / "survivors").exists()  # no second text write
     # text never reaches the output; metadata columns all present
     assert "text" not in out.columns
     assert {"doc_id", "word_count", "stop_ratio_e4",
