@@ -113,34 +113,50 @@ def _schema_sidecar(path: str) -> str:
     return os.path.join(path, "_schema")
 
 
-_SCHEMA_CACHE: dict = {}  # sidecar_dir -> unified Schema, per process
+# per-process state: [run_token, dtype_signature, unified Schema] per
+# sidecar dir — token-scoped so a reused scratch_dir's NEXT run never
+# unifies against (or skips re-writing over) a previous run's schema
+_SCHEMA_CACHE: dict = {}
+_PROC_TAG: str | None = None  # unique per process ACROSS nodes (pid alone
+#                               collides between container pid namespaces)
 
 
-def _record_schema(df, sidecar_dir: str) -> None:
+def _record_schema(df, sidecar_dir: str, run_token: str) -> None:
     """Record ``df``'s Arrow schema into the sidecar dir, unified with
-    every schema this process has seen for it — the reader unifies the
-    per-process files again, so the recorded schema is the SAME
-    regardless of block order (a nullable int64 carry converts to
+    every schema this process has seen for it THIS RUN — the reader
+    unifies the per-process files again, so the recorded schema is the
+    SAME regardless of block order (a nullable int64 carry converts to
     float64 only in null-bearing pandas blocks; first-batch-wins would
     make the empty-output dtype nondeterministic).  Call with a frame
     that HAS rows: inference on a 0-row pandas frame degrades object
-    columns to Arrow ``null``."""
+    columns to Arrow ``null``.
+
+    Hot-path cost: one dtype-signature compare + one stat per batch;
+    ``Schema.from_pandas`` (which scans object columns) runs only when
+    the pandas dtype signature changes."""
     import pyarrow as pa
 
-    s = pa.Schema.from_pandas(df, preserve_index=False)
-    prev = _SCHEMA_CACHE.get(sidecar_dir)
-    uni = (s if prev is None
-           else pa.unify_schemas([prev, s], promote_options="permissive"))
-    out = os.path.join(sidecar_dir, f"{os.getpid()}.arrowipc")
-    # the exists() check guards against a long-lived worker whose cache
-    # outlived a scratch-dir wipe (a reused scratch_dir's rmtree)
-    if uni == prev and os.path.exists(out):
+    global _PROC_TAG
+    if _PROC_TAG is None:
+        import uuid
+        _PROC_TAG = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    out = os.path.join(sidecar_dir, f"{_PROC_TAG}.arrowipc")
+    sig = (tuple(df.columns), tuple(str(t) for t in df.dtypes))
+    slot = _SCHEMA_CACHE.get(sidecar_dir)
+    if slot is not None and slot[0] != run_token:
+        slot = None  # stale: a previous run of a reused scratch_dir
+    if slot is not None and slot[1] == sig and os.path.exists(out):
         return
-    _SCHEMA_CACHE[sidecar_dir] = uni
+    s = pa.Schema.from_pandas(df, preserve_index=False)
+    if slot is not None:
+        s = pa.unify_schemas([slot[2], s], promote_options="permissive")
+    if len(_SCHEMA_CACHE) > 64:  # bound: dead-tempdir keys never recur
+        _SCHEMA_CACHE.clear()
+    _SCHEMA_CACHE[sidecar_dir] = [run_token, sig, s]
     os.makedirs(sidecar_dir, exist_ok=True)
-    tmp = f"{out}.tmp"
+    tmp = f"{out}.tmp"  # per-process-unique via _PROC_TAG in `out`
     with open(tmp, "wb") as f:
-        f.write(uni.serialize().to_pybytes())
+        f.write(s.serialize().to_pybytes())
     os.replace(tmp, out)
 
 
@@ -209,6 +225,8 @@ def curate(ds, text_col: str = "text", id_col: str = "doc_id",
     own_scratch = scratch_dir is None
     spill_root = scratch_dir or tempfile.mkdtemp(prefix="mmore_ray_curate_")
     annotated_dir = os.path.join(spill_root, "annotated")
+    import uuid
+    run_token = uuid.uuid4().hex  # scopes worker schema caches to this run
 
     def annotate(df: pd.DataFrame) -> pd.DataFrame:
         qs = quality_stats(df, text_col)
@@ -226,8 +244,11 @@ def curate(ds, text_col: str = "text", id_col: str = "doc_id",
             # schema capture for the everything-filtered case: 0-row
             # blocks never reach a downstream map fn, so the empty
             # fallback cannot observe dtypes anywhere else without
-            # re-running this (hot-path) scan
-            _record_schema(out, _schema_sidecar(annotated_dir))
+            # re-running this (hot-path) scan.  Text is dropped: the
+            # empty path never reads it, and object-column inference
+            # over full document texts is the one expensive part
+            _record_schema(out.drop(columns=["text"]),
+                           _schema_sidecar(annotated_dir), run_token)
         keep = ((out["word_count"].to_numpy() >= min_words)
                 & (out["stop_ratio_e4"].to_numpy() >= min_stop_e4)
                 & (langs == lang))

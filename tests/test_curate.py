@@ -165,6 +165,36 @@ def test_curate_empty_result_runs_upstream_once(ray_session, tmp_path):
     assert schema.field("n_dupes").type == pa.int64()
 
 
+def test_curate_reused_scratch_no_schema_pollution(ray_session, tmp_path):
+    """Worker schema caches are run-scoped: a second run over the SAME
+    scratch_dir (reusing the same Ray worker processes) must not unify
+    the previous run's columns into the new run's empty-output schema —
+    run 1 carries `weight`, run 2 does not, so run 2's empty output
+    must have no phantom `weight` column."""
+    import pyarrow as pa
+    import ray.data
+
+    from mmore_ray.pipelines.curate import curate
+
+    scratch = str(tmp_path / "reused")
+    ds1 = ray.data.from_arrow(pa.table({
+        "doc_id": [1], "text": ["too short"],
+        "weight": pa.array([5], pa.int64())}))
+    out1 = curate(ds1, min_words=50, carry_cols=("weight",),
+                  scratch_dir=scratch)
+    assert out1.count() == 0
+
+    ds2 = ray.data.from_arrow(pa.table({
+        "doc_id": [2], "text": ["also short"]}))
+    out2 = curate(ds2, min_words=50, scratch_dir=scratch)
+    assert out2.count() == 0
+    import ray as _ray
+    names = {n for r in out2.to_arrow_refs()
+             for n in _ray.get(r).schema.names}
+    assert "weight" not in names
+    assert {"doc_id", "n_dupes"} <= names
+
+
 def test_curate_empty_result_nullable_carry_dtype_deterministic(
         ray_session, tmp_path):
     """A nullable int64 carry converts to float64 only in null-bearing
