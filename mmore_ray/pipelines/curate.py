@@ -54,18 +54,26 @@ class _SpillPoint:
     inside ``curate.annotate``) into the spill dir's side file, and the
     empty case reads that."""
 
-    def __init__(self, ds, path: str):
+    def __init__(self, ds, path: str, filesystem=None):
+        import pyarrow.fs as pafs
+
+        from ..stages.sortwrite import _resolve_fs
+
+        self._fs = _resolve_fs(filesystem)
         # Ray's write_parquet APPENDS uniquely-named files: a reused
         # scratch_dir would resurface the PREVIOUS run's rows as live
         # data on re-read, so each spill point owns a fresh directory
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.makedirs(path, exist_ok=True)
-        ds.write_parquet(path)
-        has_files = any(f.endswith(".parquet") for f in os.listdir(path))
+        if self._fs.get_file_info(path).type != pafs.FileType.NotFound:
+            self._fs.delete_dir(path)
+        self._fs.create_dir(path, recursive=True)
+        ds.write_parquet(path, filesystem=self._fs)
+        has_files = any(
+            fi.base_name.endswith(".parquet")
+            for fi in self._fs.get_file_info(pafs.FileSelector(path)))
         self._path = path if has_files else None
         self._schema = (None if has_files
-                        else _read_sidecar_schema(_schema_sidecar(path)))
+                        else _read_sidecar_schema(_schema_sidecar(path),
+                                                  self._fs))
 
     @property
     def is_empty(self) -> bool:
@@ -81,7 +89,7 @@ class _SpillPoint:
             return self._schema
         from ..sources.readers import clean_schema
 
-        return clean_schema(self._path)
+        return clean_schema(self._path, filesystem=self._fs)
 
     @property
     def column_names(self) -> list[str]:
@@ -92,7 +100,8 @@ class _SpillPoint:
             return _empty_dataset(self._require_schema(), columns)
         from ..sources.readers import read_parquet_clean
 
-        return read_parquet_clean(self._path, columns=columns)
+        return read_parquet_clean(self._path, columns=columns,
+                                  filesystem=self._fs)
 
     def _require_schema(self):
         """Reading an empty spill whose producer recorded no sidecar is
@@ -110,7 +119,7 @@ class _SpillPoint:
 def _schema_sidecar(path: str) -> str:
     # a directory: one file per worker PROCESS (its running unified
     # schema) — pyarrow dataset discovery ignores the "_" prefix
-    return os.path.join(path, "_schema")
+    return f"{path.rstrip('/')}/_schema"
 
 
 # per-process state: [run_token, dtype_signature, unified Schema] per
@@ -121,7 +130,8 @@ _PROC_TAG: str | None = None  # unique per process ACROSS nodes (pid alone
 #                               collides between container pid namespaces)
 
 
-def _record_schema(df, sidecar_dir: str, run_token: str) -> None:
+def _record_schema(df, sidecar_dir: str, run_token: str,
+                   filesystem=None) -> None:
     """Record ``df``'s Arrow schema into the sidecar dir, unified with
     every schema this process has seen for it THIS RUN — the reader
     unifies the per-process files again, so the recorded schema is the
@@ -131,21 +141,28 @@ def _record_schema(df, sidecar_dir: str, run_token: str) -> None:
     that HAS rows: inference on a 0-row pandas frame degrades object
     columns to Arrow ``null``.
 
-    Hot-path cost: one dtype-signature compare + one stat per batch;
-    ``Schema.from_pandas`` (which scans object columns) runs only when
-    the pandas dtype signature changes."""
+    Hot-path cost: one dtype-signature compare per batch;
+    ``Schema.from_pandas`` (which scans object columns) and the file
+    write run only when the pandas dtype signature changes — the fresh
+    ``run_token`` per curate() call makes same-run cache hits safe
+    (the spill dir is wiped only before execution, never during).
+
+    All file IO routes through ``filesystem`` (``pyarrow.fs``; local
+    default) — the sidecar works on the same exchange medium as the
+    spill itself."""
     import pyarrow as pa
+
+    from ..stages.sortwrite import _resolve_fs
 
     global _PROC_TAG
     if _PROC_TAG is None:
         import uuid
         _PROC_TAG = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    out = os.path.join(sidecar_dir, f"{_PROC_TAG}.arrowipc")
     sig = (tuple(df.columns), tuple(str(t) for t in df.dtypes))
     slot = _SCHEMA_CACHE.get(sidecar_dir)
     if slot is not None and slot[0] != run_token:
         slot = None  # stale: a previous run of a reused scratch_dir
-    if slot is not None and slot[1] == sig and os.path.exists(out):
+    if slot is not None and slot[1] == sig:
         return
     s = pa.Schema.from_pandas(df, preserve_index=False)
     if slot is not None:
@@ -153,21 +170,31 @@ def _record_schema(df, sidecar_dir: str, run_token: str) -> None:
     if len(_SCHEMA_CACHE) > 64:  # bound: dead-tempdir keys never recur
         _SCHEMA_CACHE.clear()
     _SCHEMA_CACHE[sidecar_dir] = [run_token, sig, s]
-    os.makedirs(sidecar_dir, exist_ok=True)
-    tmp = f"{out}.tmp"  # per-process-unique via _PROC_TAG in `out`
-    with open(tmp, "wb") as f:
+    fs = _resolve_fs(filesystem)
+    fs.create_dir(sidecar_dir, recursive=True)
+    # per-process-unique name (pid+uuid: container pid namespaces
+    # collide across nodes); tmp+move so a reader never sees a partial
+    # file even on filesystems without atomic rename
+    out = f"{sidecar_dir}/{_PROC_TAG}.arrowipc"
+    tmp = f"{out}.tmp"
+    with fs.open_output_stream(tmp) as f:
         f.write(s.serialize().to_pybytes())
-    os.replace(tmp, out)
+    fs.move(tmp, out)
 
 
-def _read_sidecar_schema(sidecar_dir: str):
-    import glob as _glob
-
+def _read_sidecar_schema(sidecar_dir: str, filesystem=None):
     import pyarrow as pa
+    import pyarrow.fs as pafs
 
+    from ..stages.sortwrite import _resolve_fs
+
+    fs = _resolve_fs(filesystem)
+    sel = pafs.FileSelector(sidecar_dir, allow_not_found=True)
     schemas = []
-    for fn in sorted(_glob.glob(os.path.join(sidecar_dir, "*.arrowipc"))):
-        with open(fn, "rb") as f:
+    for fi in sorted(fs.get_file_info(sel), key=lambda fi: fi.path):
+        if not fi.base_name.endswith(".arrowipc"):
+            continue
+        with fs.open_input_stream(fi.path) as f:
             schemas.append(pa.ipc.read_schema(pa.py_buffer(f.read())))
     if not schemas:
         return None
@@ -196,7 +223,8 @@ def curate(ds, text_col: str = "text", id_col: str = "doc_id",
            jaccard: float = 0.5, num_buckets: int = 64,
            carry_cols: tuple[str, ...] = (),
            group_cap="default",
-           scratch_dir: str | None = None):
+           scratch_dir: str | None = None,
+           filesystem=None):
     """(id, text) Dataset → curated Dataset with columns
     (doc_id, word_count, stop_ratio_e4, lang_pred, n_dupes).
 
@@ -213,7 +241,13 @@ def curate(ds, text_col: str = "text", id_col: str = "doc_id",
 
     ``scratch_dir``: where the annotated corpus (the one text-bearing
     intermediate) spills as parquet (kept across the run for
-    inspection); default a private temp dir removed before returning."""
+    inspection); default a private temp dir removed before returning.
+
+    ``filesystem``: optional ``pyarrow.fs.FileSystem`` the scratch
+    lives on — pass an ``S3FileSystem``/``GcsFileSystem`` with a
+    bucket-relative ``scratch_dir`` and the spill exchange needs no
+    shared POSIX FS (same contract as stages/sortwrite); requires an
+    explicit ``scratch_dir`` and leaves it in place."""
     from ..stages.dedup import (DEFAULT_GROUP_CAP, exact_dedup,
                                 near_dup_jaccard)
     from ..stages.joins import anti_join, lookup_join
@@ -222,9 +256,12 @@ def curate(ds, text_col: str = "text", id_col: str = "doc_id",
     if group_cap == "default":
         group_cap = DEFAULT_GROUP_CAP
 
+    if filesystem is not None and scratch_dir is None:
+        raise ValueError("a non-local filesystem needs an explicit "
+                         "scratch_dir (a path WITHIN that filesystem)")
     own_scratch = scratch_dir is None
     spill_root = scratch_dir or tempfile.mkdtemp(prefix="mmore_ray_curate_")
-    annotated_dir = os.path.join(spill_root, "annotated")
+    annotated_dir = f"{spill_root.rstrip('/')}/annotated"
     import uuid
     run_token = uuid.uuid4().hex  # scopes worker schema caches to this run
 
@@ -248,7 +285,8 @@ def curate(ds, text_col: str = "text", id_col: str = "doc_id",
             # empty path never reads it, and object-column inference
             # over full document texts is the one expensive part
             _record_schema(out.drop(columns=["text"]),
-                           _schema_sidecar(annotated_dir), run_token)
+                           _schema_sidecar(annotated_dir), run_token,
+                           filesystem=filesystem)
         keep = ((out["word_count"].to_numpy() >= min_words)
                 & (out["stop_ratio_e4"].to_numpy() >= min_stop_e4)
                 & (langs == lang))
@@ -259,7 +297,7 @@ def curate(ds, text_col: str = "text", id_col: str = "doc_id",
         # store: both consumers below re-read it streaming, and the
         # dedup scan prunes to (doc_id, text)
         kept = _SpillPoint(ds.map_batches(annotate, batch_format="pandas"),
-                           annotated_dir)
+                           annotated_dir, filesystem=filesystem)
         if kept.is_empty:
             # a blockless empty dataset loses its schema through the
             # bucketed dedup aggregations — build the (empty) output

@@ -18,7 +18,7 @@ import pyarrow.dataset as pads
 import ray
 
 
-def clean_schema(paths, columns=None):
+def clean_schema(paths, columns=None, filesystem=None):
     """The unified Arrow schema of ``paths`` (file, dir, or list), without
     metadata, projected to ``columns`` (in the requested order) when given.
 
@@ -27,14 +27,20 @@ def clean_schema(paths, columns=None):
     exactly the requested columns in the requested order, so the schema we
     hand Ray must match that order or block construction raises
     ``ArrowInvalid`` (observed on Ray 2.49).
+
+    ``filesystem``: optional ``pyarrow.fs.FileSystem`` the paths live on.
     """
-    schema = pads.dataset(paths).schema.remove_metadata()
+    schema = pads.dataset(paths, filesystem=filesystem) \
+        .schema.remove_metadata()
     if columns is not None:
         schema = pa.schema([schema.field(n) for n in columns])
     return schema
 
 
-def read_parquet_clean(paths, *, columns=None, **kwargs) -> "ray.data.Dataset":
+def read_parquet_clean(paths, *, columns=None, filesystem=None,
+                       **kwargs) -> "ray.data.Dataset":
     return ray.data.read_parquet(
-        paths, columns=columns, schema=clean_schema(paths, columns), **kwargs
+        paths, columns=columns,
+        schema=clean_schema(paths, columns, filesystem=filesystem),
+        filesystem=filesystem, **kwargs
     )

@@ -243,3 +243,46 @@ def test_curate_scratch_dir_reuse_no_stale_rows(ray_session, tmp_path):
     out2 = curate(ds2, min_words=5, min_stop_e4=100, jaccard=0.99,
                   scratch_dir=scratch).to_pandas()
     assert sorted(out2.doc_id) == [7]  # no phantom rows from run 1
+
+
+def test_curate_spill_over_pyarrow_fs(ray_session, tmp_path):
+    """The curate spill exchange routes ALL file operations (wipe,
+    write, has-files probe, schema sidecar, re-reads) through the
+    pyarrow.fs parameter — proven with a SubTreeFileSystem over
+    RELATIVE paths, which any abstraction-bypassing os/Path operation
+    would escape (same protocol as test_sortwrite_fs)."""
+    import pyarrow as pa
+    import ray.data
+    from pyarrow import fs as pafs
+
+    from mmore_ray.pipelines.curate import curate
+
+    subfs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    good = ("the cat and the dog is a fine pair of animals that like "
+            "to play in the yard all day long with the ball")
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2], "text": [good, good + " extra tail words here"]}))
+    out = curate(ds, min_words=5, min_stop_e4=100, jaccard=0.99,
+                 scratch_dir="scratch", filesystem=subfs).to_pandas()
+    assert sorted(out.doc_id) == [1, 2]
+    # the spill landed INSIDE the subtree (relative path resolved by fs)
+    assert list((tmp_path / "scratch" / "annotated").glob("*.parquet"))
+    # sidecar written through the fs too
+    assert list((tmp_path / "scratch" / "annotated" / "_schema")
+                .glob("*.arrowipc"))
+
+    # the empty-result fallback works over the fs as well
+    short = ray.data.from_arrow(pa.table({
+        "doc_id": [9], "text": ["too short"]}))
+    empty = curate(short, min_words=50, scratch_dir="scratch2",
+                   filesystem=subfs)
+    assert empty.count() == 0
+    import ray as _ray
+    names = {n for r in empty.to_arrow_refs()
+             for n in _ray.get(r).schema.names}
+    assert {"doc_id", "n_dupes", "word_count"} <= names
+
+    # a non-local filesystem without an explicit scratch_dir is refused
+    import pytest
+    with pytest.raises(ValueError, match="scratch_dir"):
+        curate(ds, filesystem=subfs)
