@@ -2962,3 +2962,75 @@ EXTRA_ORACLES["q_kmeans_assign"] = """
 
 EXTRA_QUERIES["q_kmeans"] = q_kmeans
 EXTRA_NO_ORACLE.add("q_kmeans")
+
+
+def _lineify(batch: pa.Table) -> pa.Table:
+    """Deterministic line structure for the repetition signals: 6-word
+    lines, and docs with doc_id % 3 == 0 get their FIRST line appended
+    twice (guaranteed duplicates).  Test-variant builder (the corpus
+    has no newlines) — per-row loop is fine here, the OPERATOR under
+    test is the vectorized repetition_stats kernel.  Mirrors the SQL
+    oracle's base/extra CTEs verbatim."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    lined = []
+    for i, txt in zip(ids, texts):
+        ws = (txt or "").split(" ")
+        lines = [" ".join(ws[j:j + 6]) for j in range(0, len(ws), 6)]
+        if i % 3 == 0 and lines:
+            lines += [lines[0], lines[0]]
+        lined.append("\n".join(lines))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(lined, pa.string())})
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style duplicate-line repetition signals
+    (stages/text_analysis.repetition_stats) over the line-ified corpus —
+    the standard within-document repetition gate of a pre-training
+    quality pipeline (Rae et al. 2021 Table A1)."""
+    from ..stages.text_analysis import repetition_stats
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        stats = repetition_stats(df, "text")
+        stats.insert(0, "doc_id", df["doc_id"].astype(np.int64))
+        return stats
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(_lineify, batch_format="pyarrow")
+            .map_batches(fn, batch_format="pandas"))
+
+
+EXTRA_QUERIES["q_repetition"] = q_repetition
+EXTRA_ORACLES["q_repetition"] = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    base AS (
+      SELECT doc_id,
+             array_to_string(ws[(j-1)*6+1 : (j-1)*6+6], ' ') AS line, j
+      FROM w, unnest(range(1, CAST(ceil(len(ws)/6.0) AS BIGINT) + 1)) AS t(j)
+    ),
+    extra AS (
+      SELECT doc_id, line FROM base WHERE j = 1 AND doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, line FROM base WHERE j = 1 AND doc_id % 3 = 0
+    ),
+    lines AS (SELECT doc_id, line FROM base
+              UNION ALL SELECT doc_id, line FROM extra),
+    l AS (SELECT doc_id, line, length(line) AS ln
+          FROM lines WHERE line <> ''),
+    g AS (SELECT doc_id, line, count(*) AS c, min(ln) AS ln
+          FROM l GROUP BY doc_id, line),
+    per AS (SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS d,
+                   CAST(sum(c * ln) AS BIGINT) AS chars,
+                   CAST(sum((c - 1) * ln) AS BIGINT) AS dupchars
+            FROM g GROUP BY doc_id)
+    SELECT d0.doc_id,
+           COALESCE(per.n, 0) AS n_lines,
+           COALESCE(CAST(floor((per.n - per.d) * 10000.0 / per.n + 0.5)
+                         AS BIGINT), 0) AS dup_line_frac_e4,
+           CASE WHEN COALESCE(per.chars, 0) = 0 THEN 0
+                ELSE CAST(floor(per.dupchars * 10000.0 / per.chars + 0.5)
+                          AS BIGINT) END AS dup_line_char_frac_e4
+    FROM documents d0 LEFT JOIN per USING (doc_id)"""

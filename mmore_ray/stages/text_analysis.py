@@ -127,6 +127,50 @@ def count_tokens(text: str) -> int:
     return len(_TOKEN_RE.findall(text))
 
 
+def repetition_stats(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1 — the duplicate-line family),
+    vectorized per batch.  Lines are ``\\n``-separated; EMPTY lines are
+    excluded (blank separators are formatting, not repetition).
+
+    n_lines                  non-empty lines
+    dup_line_frac_e4         (lines − distinct lines) / lines, ×1e4
+    dup_line_char_frac_e4    chars in repeat occurrences / total line
+                             chars (newlines excluded), ×1e4
+
+    Implementation is two pandas groupbys over the exploded line table —
+    no Python loop per document (this would sit on the 100-TB quality-
+    gate hot path next to quality_stats)."""
+    s = df[text_col].fillna("")
+    ex = s.str.split("\n").explode()
+    ex = ex[ex != ""]
+    out = pd.DataFrame(index=df.index)
+    if len(ex) == 0:
+        for c in ("n_lines", "dup_line_frac_e4", "dup_line_char_frac_e4"):
+            out[c] = np.zeros(len(df), np.int64)
+        return out
+    t = pd.DataFrame({"line": ex.values, "ln": ex.str.len().values},
+                     index=ex.index)
+    g = (t.groupby([t.index, "line"], sort=False)
+          .agg(c=("ln", "size"), ln=("ln", "first")).reset_index(level=1))
+    per = pd.DataFrame({
+        "n": g["c"], "one": np.ones(len(g), np.int64),
+        "chars": g["c"] * g["ln"], "dup": (g["c"] - 1) * g["ln"],
+    }).groupby(level=0, sort=False).sum()
+    n = per["n"].reindex(df.index).fillna(0).to_numpy(np.int64)
+    d = per["one"].reindex(df.index).fillna(0).to_numpy(np.int64)
+    chars = per["chars"].reindex(df.index).fillna(0).to_numpy(np.int64)
+    dup = per["dup"].reindex(df.index).fillna(0).to_numpy(np.int64)
+    out["n_lines"] = n
+    out["dup_line_frac_e4"] = np.where(
+        n > 0, np.floor((n - d) / np.maximum(n, 1) * 10000 + 0.5), 0
+    ).astype(np.int64)
+    out["dup_line_char_frac_e4"] = np.where(
+        chars > 0, np.floor(dup / np.maximum(chars, 1) * 10000 + 0.5), 0
+    ).astype(np.int64)
+    return out
+
+
 def fingerprint_md5_batch(s: pd.Series, window: int = 4,
                           keep: int = 8) -> list[str]:
     """Winnowing fingerprints as comma-joined sorted ints, md5-hashed so

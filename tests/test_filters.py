@@ -173,3 +173,27 @@ def test_fasttext_like_label_length_validation():
     with pytest.raises(ValueError, match="one-to-one"):
         fasttext_like_filter("x", train_texts=["a b", "c d"],
                              train_labels=["x"])
+
+
+def test_repetition_stats_semantics():
+    """Hand-computed duplicate-line fractions: dup lines counted beyond
+    first occurrence, chars weighted per repeat, empty lines excluded,
+    null/newline-free text yields zeros."""
+    import numpy as np
+    import pandas as pd
+
+    from mmore_ray.stages.text_analysis import repetition_stats
+
+    df = pd.DataFrame({"text": [
+        "aa\nbb\naa\n\naa",      # lines aa,bb,aa,aa -> 4 lines, 2 dups
+        "xx yy\nzz",              # no dups
+        "solo line no newline",   # 1 line, no dups
+        None,                     # -> zeros
+        "",                       # -> zeros
+    ]})
+    out = repetition_stats(df)
+    assert out["n_lines"].tolist() == [4, 2, 1, 0, 0]
+    # doc 0: (4-2)/4 = 0.5 ; dup chars = (3-1)*2 = 4 of 8 total
+    assert out["dup_line_frac_e4"].tolist() == [5000, 0, 0, 0, 0]
+    assert out["dup_line_char_frac_e4"].tolist() == [5000, 0, 0, 0, 0]
+    assert all(out[c].dtype == np.int64 for c in out.columns)
