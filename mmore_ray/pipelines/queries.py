@@ -3034,3 +3034,42 @@ EXTRA_ORACLES["q_repetition"] = """
                 ELSE CAST(floor(per.dupchars * 10000.0 / per.chars + 0.5)
                           AS BIGINT) END AS dup_line_char_frac_e4
     FROM documents d0 LEFT JOIN per USING (doc_id)"""
+
+
+def q_top_ngram(sf_dir: str):
+    """Gopher-style top-n-gram concentration
+    (stages/text_analysis.top_ngram_stats): per doc, the char fraction
+    covered by the most char-covering word 2-gram and 3-gram — the
+    within-document repetition gate complementing q_repetition's
+    duplicate-line family."""
+    from ..stages.text_analysis import top_ngram_stats
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        stats = top_ngram_stats(df, "text", ns=(2, 3))
+        stats.insert(0, "doc_id", df["doc_id"].astype(np.int64))
+        return stats
+
+    return (_read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(fn, batch_format="pandas"))
+
+
+EXTRA_QUERIES["q_top_ngram"] = q_top_ngram
+EXTRA_ORACLES["q_top_ngram"] = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                      length(text) AS nc FROM documents),
+    g2 AS (SELECT doc_id, array_to_string(ws[i : i+1], ' ') AS g
+           FROM w, unnest(range(1, len(ws))) AS t(i)),
+    g3 AS (SELECT doc_id, array_to_string(ws[i : i+2], ' ') AS g
+           FROM w, unnest(range(1, len(ws) - 1)) AS t(i)),
+    m2 AS (SELECT doc_id, max(c * length(g)) AS m FROM (
+             SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+           GROUP BY doc_id),
+    m3 AS (SELECT doc_id, max(c * length(g)) AS m FROM (
+             SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g)
+           GROUP BY doc_id)
+    SELECT w.doc_id,
+           COALESCE(CAST(floor(m2.m * 10000.0 / w.nc + 0.5) AS BIGINT), 0)
+               AS top2gram_char_frac_e4,
+           COALESCE(CAST(floor(m3.m * 10000.0 / w.nc + 0.5) AS BIGINT), 0)
+               AS top3gram_char_frac_e4
+    FROM w LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)"""

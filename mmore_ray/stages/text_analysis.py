@@ -127,6 +127,44 @@ def count_tokens(text: str) -> int:
     return len(_TOKEN_RE.findall(text))
 
 
+def top_ngram_stats(df: pd.DataFrame, text_col: str = "text",
+                    ns: tuple[int, ...] = (2, 3)) -> pd.DataFrame:
+    """Gopher-style top-n-gram concentration (Rae et al. 2021 Table A1):
+    per document, the fraction of characters covered by the single most
+    char-covering word n-gram — ``max over grams of count(gram) ×
+    len(gram)``, divided by ``len(text)``, ×1e4.  Maximizing the char
+    product (not the bare count) makes the statistic deterministic with
+    no tie-break on equal counts.
+
+    Vectorized: one word explode + per-n groupby-shift joins — no
+    Python loop per document."""
+    s = df[text_col].fillna("")
+    n_chars = s.str.len().to_numpy(np.int64)
+    ex = s.str.split(" ").explode()
+    out = pd.DataFrame(index=df.index)
+    grp = ex.groupby(level=0, sort=False)
+    for n in ns:
+        gram = ex.copy()
+        for k in range(1, n):
+            gram = gram + " " + grp.shift(-k)
+        gram = gram.dropna()  # group tails with < n words left
+        col = f"top{n}gram_char_frac_e4"
+        if len(gram) == 0:
+            out[col] = np.zeros(len(df), np.int64)
+            continue
+        t = pd.DataFrame({"g": gram.values}, index=gram.index)
+        c = (t.groupby([t.index, "g"], sort=False).size()
+              .reset_index(level=1, name="c"))
+        c["cover"] = c["c"] * c["g"].str.len()
+        m = c.groupby(level=0, sort=False)["cover"].max() \
+             .reindex(df.index).fillna(0).to_numpy(np.int64)
+        out[col] = np.where(
+            n_chars > 0,
+            np.floor(m / np.maximum(n_chars, 1) * 10000 + 0.5),
+            0).astype(np.int64)
+    return out
+
+
 def repetition_stats(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Gopher-style within-document repetition signals (Rae et al. 2021,
     "Scaling Language Models", Table A1 — the duplicate-line family),

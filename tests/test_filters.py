@@ -197,3 +197,28 @@ def test_repetition_stats_semantics():
     assert out["dup_line_frac_e4"].tolist() == [5000, 0, 0, 0, 0]
     assert out["dup_line_char_frac_e4"].tolist() == [5000, 0, 0, 0, 0]
     assert all(out[c].dtype == np.int64 for c in out.columns)
+
+
+def test_top_ngram_stats_semantics():
+    """Hand-computed top-n-gram coverage: 'a b a b a' -> top 2-gram
+    'a b' occurs 2x, covers 2*3=6 of 9 chars -> 6667; the 3-gram
+    'a b a' occurs 2x (overlapping windows BOTH count), covers 10 of
+    9... capped by construction? No: coverage is count*len which may
+    exceed n_chars on overlap — it measures repetition mass, and the
+    oracle matches exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from mmore_ray.stages.text_analysis import top_ngram_stats
+
+    df = pd.DataFrame({"text": ["a b a b a", "x y z", None, "w"]})
+    out = top_ngram_stats(df, ns=(2, 3))
+    # doc0 2-grams: 'a b' x2 (cover 6), 'b a' x2 (cover 6) -> 6/9
+    assert out["top2gram_char_frac_e4"].tolist()[0] == 6667
+    # doc0 3-grams: 'a b a' x2 -> cover 10/9 (overlap counts twice)
+    assert out["top3gram_char_frac_e4"].tolist()[0] == 11111
+    # doc1: every 2-gram unique -> 5/5 = 1.0? 'x y' cover 3 of 5 chars
+    assert out["top2gram_char_frac_e4"].tolist()[1] == 6000
+    assert out["top2gram_char_frac_e4"].tolist()[2] == 0   # null text
+    assert out["top2gram_char_frac_e4"].tolist()[3] == 0   # 1 word
+    assert all(out[c].dtype == np.int64 for c in out.columns)
