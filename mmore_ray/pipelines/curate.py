@@ -164,22 +164,36 @@ def _record_schema(df, sidecar_dir: str, run_token: str,
         slot = None  # stale: a previous run of a reused scratch_dir
     if slot is not None and slot[1] == sig:
         return
+    fs = _resolve_fs(filesystem)
+    out = f"{sidecar_dir}/{_PROC_TAG}.arrowipc"
     s = pa.Schema.from_pandas(df, preserve_index=False)
     if slot is not None:
         s = pa.unify_schemas([slot[2], s], promote_options="permissive")
-    if len(_SCHEMA_CACHE) > 64:  # bound: dead-tempdir keys never recur
-        _SCHEMA_CACHE.clear()
-    _SCHEMA_CACHE[sidecar_dir] = [run_token, sig, s]
-    fs = _resolve_fs(filesystem)
+    else:
+        # the slot may have been lost (cache bound below, or a retried
+        # task after a write failure) while THIS RUN's file survives —
+        # the spill dir was wiped before execution, so any existing
+        # file of ours is this run's: unify rather than overwrite, or
+        # an earlier nullable promotion would be silently dropped
+        import pyarrow.fs as pafs
+
+        if fs.get_file_info(out).type != pafs.FileType.NotFound:
+            with fs.open_input_stream(out) as f:
+                prev = pa.ipc.read_schema(pa.py_buffer(f.read()))
+            s = pa.unify_schemas([prev, s], promote_options="permissive")
     fs.create_dir(sidecar_dir, recursive=True)
     # per-process-unique name (pid+uuid: container pid namespaces
     # collide across nodes); tmp+move so a reader never sees a partial
     # file even on filesystems without atomic rename
-    out = f"{sidecar_dir}/{_PROC_TAG}.arrowipc"
     tmp = f"{out}.tmp"
     with fs.open_output_stream(tmp) as f:
         f.write(s.serialize().to_pybytes())
     fs.move(tmp, out)
+    # cache only AFTER the write succeeded: a transient fs error on a
+    # retried task must not leave a sig hit with no file behind it
+    if len(_SCHEMA_CACHE) > 64:  # bound: dead-tempdir keys never recur
+        _SCHEMA_CACHE.clear()
+    _SCHEMA_CACHE[sidecar_dir] = [run_token, sig, s]
 
 
 def _read_sidecar_schema(sidecar_dir: str, filesystem=None):

@@ -3026,12 +3026,14 @@ EXTRA_ORACLES["q_repetition"] = """
                    CAST(sum(c * ln) AS BIGINT) AS chars,
                    CAST(sum((c - 1) * ln) AS BIGINT) AS dupchars
             FROM g GROUP BY doc_id)
+    -- divide FIRST then scale: identical float64 operation order as
+    -- the numpy kernel, so floor(x+0.5) agrees on half-exact ratios
     SELECT d0.doc_id,
            COALESCE(per.n, 0) AS n_lines,
-           COALESCE(CAST(floor((per.n - per.d) * 10000.0 / per.n + 0.5)
+           COALESCE(CAST(floor((per.n - per.d) * 1.0 / per.n * 10000.0 + 0.5)
                          AS BIGINT), 0) AS dup_line_frac_e4,
            CASE WHEN COALESCE(per.chars, 0) = 0 THEN 0
-                ELSE CAST(floor(per.dupchars * 10000.0 / per.chars + 0.5)
+                ELSE CAST(floor(per.dupchars * 1.0 / per.chars * 10000.0 + 0.5)
                           AS BIGINT) END AS dup_line_char_frac_e4
     FROM documents d0 LEFT JOIN per USING (doc_id)"""
 
@@ -3067,9 +3069,10 @@ EXTRA_ORACLES["q_top_ngram"] = """
     m3 AS (SELECT doc_id, max(c * length(g)) AS m FROM (
              SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g)
            GROUP BY doc_id)
+    -- divide FIRST then scale (float64 op-order parity with the kernel)
     SELECT w.doc_id,
-           COALESCE(CAST(floor(m2.m * 10000.0 / w.nc + 0.5) AS BIGINT), 0)
+           COALESCE(CAST(floor(m2.m * 1.0 / w.nc * 10000.0 + 0.5) AS BIGINT), 0)
                AS top2gram_char_frac_e4,
-           COALESCE(CAST(floor(m3.m * 10000.0 / w.nc + 0.5) AS BIGINT), 0)
+           COALESCE(CAST(floor(m3.m * 1.0 / w.nc * 10000.0 + 0.5) AS BIGINT), 0)
                AS top3gram_char_frac_e4
     FROM w LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)"""

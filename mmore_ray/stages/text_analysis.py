@@ -143,11 +143,15 @@ def top_ngram_stats(df: pd.DataFrame, text_col: str = "text",
     ex = s.str.split(" ").explode()
     out = pd.DataFrame(index=df.index)
     grp = ex.groupby(level=0, sort=False)
-    for n in ns:
-        gram = ex.copy()
-        for k in range(1, n):
-            gram = gram + " " + grp.shift(-k)
-        gram = gram.dropna()  # group tails with < n words left
+    # grams build INCREMENTALLY across sorted ns (the (n−1)-gram prefix
+    # concat is the expensive string pass — pay it once, not per n);
+    # group-tail rows carry NaN and are dropped per n below
+    run_gram, run_n = ex, 1
+    for n in sorted(ns):
+        for k in range(run_n, n):
+            run_gram = run_gram + " " + grp.shift(-k)
+        run_n = n
+        gram = run_gram.dropna()  # group tails with < n words left
         col = f"top{n}gram_char_frac_e4"
         if len(gram) == 0:
             out[col] = np.zeros(len(df), np.int64)

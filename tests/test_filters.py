@@ -200,12 +200,11 @@ def test_repetition_stats_semantics():
 
 
 def test_top_ngram_stats_semantics():
-    """Hand-computed top-n-gram coverage: 'a b a b a' -> top 2-gram
-    'a b' occurs 2x, covers 2*3=6 of 9 chars -> 6667; the 3-gram
-    'a b a' occurs 2x (overlapping windows BOTH count), covers 10 of
-    9... capped by construction? No: coverage is count*len which may
-    exceed n_chars on overlap — it measures repetition mass, and the
-    oracle matches exactly."""
+    """Hand-computed top-n-gram coverage.  Coverage is count×len over
+    SLIDING windows, so overlapping occurrences each count and the
+    fraction may exceed 1.0 (it measures repetition mass, not disjoint
+    cover) — a specified property, mirrored exactly by the SQL
+    oracle."""
     import numpy as np
     import pandas as pd
 
@@ -222,3 +221,20 @@ def test_top_ngram_stats_semantics():
     assert out["top2gram_char_frac_e4"].tolist()[2] == 0   # null text
     assert out["top2gram_char_frac_e4"].tolist()[3] == 0   # 1 word
     assert all(out[c].dtype == np.int64 for c in out.columns)
+
+
+def test_rounding_op_order_parity_with_oracle():
+    """57/800*10000 is 712.4999... in float64 divide-first order but
+    712.5 exactly in multiply-first order — the SQL oracles must use
+    the kernels' divide-first order or floor(x+0.5) disagrees."""
+    import duckdb
+    import numpy as np
+
+    kern = int(np.floor(np.int64(57) / np.int64(800) * 10000 + 0.5))
+    sql = duckdb.sql(
+        "SELECT CAST(floor(57 * 1.0 / 800 * 10000.0 + 0.5) AS BIGINT)"
+    ).fetchone()[0]
+    wrong = duckdb.sql(
+        "SELECT CAST(floor(57 * 10000.0 / 800 + 0.5) AS BIGINT)"
+    ).fetchone()[0]
+    assert kern == sql == 712 and wrong == 713
