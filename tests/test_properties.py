@@ -343,3 +343,65 @@ def test_detect_lang_batch_matches_per_row(texts):
     got = list(detect_lang_batch(pd.Series(texts, dtype=object)))
     for g, t in zip(got, texts):
         assert g == ("unknown" if t is None else detect_lang(t))
+
+
+# -- repetition-signal kernels vs naive per-doc references ---------------
+
+_word = st.text(alphabet="abcx", min_size=1, max_size=3)
+_line = st.lists(_word, min_size=0, max_size=4).map(" ".join)
+_doc = st.lists(_line, min_size=0, max_size=6).map("\n".join)
+
+
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.one_of(st.none(), _doc), min_size=1, max_size=8))
+def test_repetition_stats_matches_naive(texts):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from mmore_ray.stages.text_analysis import repetition_stats
+
+    out = repetition_stats(pd.DataFrame({"text": texts}))
+    for i, t in enumerate(texts):
+        lines = [ln for ln in (t or "").split("\n") if ln != ""]
+        n = len(lines)
+        d = len(set(lines))
+        from collections import Counter
+        c = Counter(lines)
+        chars = sum(cnt * len(ln) for ln, cnt in c.items())
+        dup = sum((cnt - 1) * len(ln) for ln, cnt in c.items())
+        assert out["n_lines"][i] == n
+        want_f = math.floor((n - d) / n * 10000 + 0.5) if n else 0
+        assert out["dup_line_frac_e4"][i] == want_f
+        want_c = math.floor(dup / chars * 10000 + 0.5) if chars else 0
+        assert out["dup_line_char_frac_e4"][i] == want_c
+
+
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.one_of(st.none(),
+              st.lists(_word, min_size=0, max_size=8).map(" ".join)),
+    min_size=1, max_size=8))
+def test_top_ngram_stats_matches_naive(texts):
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from mmore_ray.stages.text_analysis import top_ngram_stats
+
+    out = top_ngram_stats(pd.DataFrame({"text": texts}), ns=(2, 3))
+    for i, t in enumerate(texts):
+        s = t or ""
+        ws = s.split(" ")
+        for n in (2, 3):
+            grams = [" ".join(ws[j:j + n])
+                     for j in range(len(ws) - n + 1)]
+            col = f"top{n}gram_char_frac_e4"
+            if not grams or not len(s):
+                assert out[col][i] == 0
+                continue
+            c = Counter(grams)
+            m = max(cnt * len(g) for g, cnt in c.items())
+            assert out[col][i] == math.floor(m / len(s) * 10000 + 0.5)
