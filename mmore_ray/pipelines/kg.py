@@ -864,3 +864,20 @@ def run_kg(read_corpus, out_dir: str | Path, num_shards: int = 4,
 
     stats["manifest"] = mf.all_entries(out_dir)
     return stats
+
+
+def kg_lookup(out_dir, subj: str, pred: str | None = None) -> pa.Table:
+    """Partition-pruned point lookup over a completed run's globally
+    sorted triple shards: reads ``sort_bounds.json`` and opens ONLY the
+    part files whose key range can contain ``subj`` (optionally
+    narrowed to one predicate) — O(1) of the shard files at scale,
+    which is what the sorted layout buys (a serving-side ego-network /
+    entity query never scans the corpus-sized table)."""
+    import json
+
+    from ..stages.sortwrite import lookup_sorted
+
+    out_dir = Path(out_dir)
+    bounds = json.loads(
+        (out_dir / "_manifest" / "sort_bounds.json").read_text())["bounds"]
+    return lookup_sorted(out_dir / "triples_sorted", bounds, subj, pred)

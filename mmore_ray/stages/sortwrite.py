@@ -210,6 +210,65 @@ def merge_sorted_spills(spill_roots: list, num_partitions: int,
     ray.get([merge.remote(p) for p in range(num_partitions)])
 
 
+def partitions_for_key_range(bounds, lo_key: str, hi_key: str) -> list[int]:
+    """Sorted-partition ids whose key range intersects
+    ``[lo_key, hi_key]`` — the same ``searchsorted(side='right')``
+    assignment the spill used, so the answer is exact, not a guess."""
+    b = np.asarray(bounds, dtype=object)
+    p_lo = int(np.searchsorted(b, lo_key, side="right"))
+    p_hi = int(np.searchsorted(b, hi_key, side="right"))
+    return list(range(p_lo, p_hi + 1))
+
+
+def lookup_sorted(sorted_dir, bounds, subj: str, pred: str | None = None,
+                  filesystem=None) -> pa.Table:
+    """Point lookup over the globally sorted shards WITHOUT a scan:
+    all keys for a subject (optionally narrowed to one predicate) are
+    contiguous in the global order, so only the partitions whose range
+    intersects the subject's key interval are opened — at scale that is
+    O(1) of the part files, which is the reason the sorted layout
+    exists.  Parquet row-group predicate pushdown prunes further within
+    each opened file.
+
+    ``bounds``: the run's boundary list (``sort_bounds.json``).
+    Returns the matching triples as one Arrow table (empty table with
+    the shard schema when the subject is absent)."""
+    import pyarrow.parquet as pq
+    from pyarrow.fs import FileType
+
+    fs = _resolve_fs(filesystem)
+    sorted_dir = str(sorted_dir)
+    prefix = subj + SEP if pred is None else subj + SEP + pred + SEP
+    parts = partitions_for_key_range(bounds, prefix, prefix + HI)
+    filters = [("subj", "==", subj)]
+    if pred is not None:
+        filters.append(("pred", "==", pred))
+    tables = []
+    schema = None
+    for p in parts:
+        path = f"{sorted_dir}/part-{p:05d}.parquet"
+        # a partition that received no rows has no file (merge skips it)
+        if fs.get_file_info(path).type == FileType.NotFound:
+            continue
+        t = pq.read_table(path, filesystem=fs, filters=filters)
+        schema = t.schema
+        if t.num_rows:
+            tables.append(t)
+    if tables:
+        return pa.concat_tables(tables)
+    if schema is None:  # every candidate partition was empty on disk
+        from pyarrow.fs import FileSelector
+
+        for fi in sorted(fs.get_file_info(FileSelector(sorted_dir)),
+                         key=lambda fi: fi.path):
+            if fi.base_name.endswith(".parquet"):
+                schema = pq.read_schema(fi.path, filesystem=fs)
+                break
+    if schema is None:
+        raise FileNotFoundError(f"no sorted part files under {sorted_dir}")
+    return schema.empty_table()
+
+
 def write_sorted(triples_ds, key_counts, out_dir,
                  num_partitions: int = 32, filesystem=None) -> None:
     """Write ``triples_ds`` as globally (subj,pred,obj)-sorted parquet

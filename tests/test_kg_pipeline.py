@@ -97,3 +97,56 @@ def test_canonicalization_merges_alias_clusters(kg_parts):
     assert (alphabet.canonical == "GOOGLE LLC").all()
     # link scores present and in range
     assert ((m.link_score >= 0) & (m.link_score <= 1)).all()
+
+
+def test_kg_lookup_is_partition_pruned(ray_session, tmp_path):
+    """kg_lookup must return exactly the full-scan answer for a subject
+    while OPENING only the partitions whose key range can contain it —
+    the point of the globally sorted layout."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    from mmore_ray.pipelines.kg import kg_lookup, run_kg
+    from mmore_ray.sources.corpus import synthesize_corpus
+    from mmore_ray.stages.sortwrite import (SEP, HI,
+                                            partitions_for_key_range)
+
+    table = synthesize_corpus(300, seed=11)
+    out = tmp_path / "kg"
+    run_kg(lambda: ray_session.data.from_arrow(table), out, num_shards=2)
+
+    files = sorted(glob.glob(f"{out}/triples_sorted/*.parquet"))
+    full = pq.ParquetDataset(files).read()
+    subjects = sorted(set(full.column("subj").to_pylist()))
+    bounds = json.loads(
+        (out / "_manifest" / "sort_bounds.json").read_text())["bounds"]
+
+    n_parts_total = len(bounds) + 1
+    import pyarrow.compute as pc
+
+    def rows(t):
+        return sorted((r["subj"], r["pred"], r["obj"])
+                      for r in t.select(["subj", "pred", "obj"]).to_pylist())
+
+    for subj in (subjects[0], subjects[len(subjects) // 2], subjects[-1]):
+        got = kg_lookup(out, subj)
+        want = full.filter(pc.equal(full.column("subj"), subj))
+        assert got.num_rows == want.num_rows > 0
+        assert rows(got) == rows(want)
+        parts = partitions_for_key_range(bounds, subj + SEP,
+                                         subj + SEP + HI)
+        assert len(parts) < n_parts_total / 4  # pruned, not a scan
+
+    # absent subject: empty table, correct schema, still pruned
+    miss = kg_lookup(out, "NO-SUCH-ENTITY-ZZZ")
+    assert miss.num_rows == 0
+    assert set(full.schema.names) == set(miss.schema.names)
+
+    # predicate narrowing is a subset of the subject lookup
+    subj = subjects[0]
+    preds = set(kg_lookup(out, subj).column("pred").to_pylist())
+    p0 = sorted(preds)[0]
+    narrowed = kg_lookup(out, subj, p0)
+    assert set(narrowed.column("pred").to_pylist()) == {p0}
