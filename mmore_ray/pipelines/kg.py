@@ -878,6 +878,17 @@ def kg_lookup(out_dir, subj: str, pred: str | None = None) -> pa.Table:
     from ..stages.sortwrite import lookup_sorted
 
     out_dir = Path(out_dir)
-    bounds = json.loads(
-        (out_dir / "_manifest" / "sort_bounds.json").read_text())["bounds"]
-    return lookup_sorted(out_dir / "triples_sorted", bounds, subj, pred)
+    raw = json.loads(
+        (out_dir / "_manifest" / "sort_bounds.json").read_text())
+    # legacy format (bare bounds list) — same normalization run_kg's
+    # resume path applies; lookup is the serving path, so a pre-guard
+    # run that was never resumed still reads here
+    bounds = raw if isinstance(raw, list) else raw["bounds"]
+    # static shard schema: the no-rows answer on a completed run over
+    # an empty corpus needs no directory listing
+    schema = pa.schema([(n, pa.string()) for n in
+                        ("repo", "path", "commit", "lang",
+                         "content_sha256", "subj", "pred", "obj")]
+                       + [("weight", pa.float64())])
+    return lookup_sorted(out_dir / "triples_sorted", bounds, subj, pred,
+                         schema=schema)

@@ -220,53 +220,68 @@ def partitions_for_key_range(bounds, lo_key: str, hi_key: str) -> list[int]:
     return list(range(p_lo, p_hi + 1))
 
 
+#: prefix TERMINATOR for key-range lookups: must sort after the first
+#: character of ANY next key component.  ``HI`` (U+FFFF) only promises
+#: to sort after sha hex chars (its within-key-cut contract) — a pred
+#: or obj starting with an astral-plane character (> U+FFFF, realistic
+#: under an open-vocabulary scanner) sorts ABOVE it and would silently
+#: escape the pruned range.
+PREFIX_HI = chr(0x10FFFF)
+
+
 def lookup_sorted(sorted_dir, bounds, subj: str, pred: str | None = None,
-                  filesystem=None) -> pa.Table:
+                  filesystem=None, schema: pa.Schema | None = None
+                  ) -> pa.Table:
     """Point lookup over the globally sorted shards WITHOUT a scan:
     all keys for a subject (optionally narrowed to one predicate) are
     contiguous in the global order, so only the partitions whose range
     intersects the subject's key interval are opened — at scale that is
     O(1) of the part files, which is the reason the sorted layout
     exists.  Parquet row-group predicate pushdown prunes further within
-    each opened file.
+    each opened file.  Missing part files (empty partitions are never
+    written) are detected by the read itself — no per-partition
+    existence HEAD on the serving hot path.
 
     ``bounds``: the run's boundary list (``sort_bounds.json``).
+    ``schema``: fallback for the no-rows answer when every candidate
+    partition is absent (e.g. a completed run over an empty corpus);
+    without it the last resort is one directory listing.
     Returns the matching triples as one Arrow table (empty table with
     the shard schema when the subject is absent)."""
     import pyarrow.parquet as pq
-    from pyarrow.fs import FileType
 
     fs = _resolve_fs(filesystem)
     sorted_dir = str(sorted_dir)
     prefix = subj + SEP if pred is None else subj + SEP + pred + SEP
-    parts = partitions_for_key_range(bounds, prefix, prefix + HI)
+    parts = partitions_for_key_range(bounds, prefix, prefix + PREFIX_HI)
     filters = [("subj", "==", subj)]
     if pred is not None:
         filters.append(("pred", "==", pred))
     tables = []
-    schema = None
+    seen = None
     for p in parts:
         path = f"{sorted_dir}/part-{p:05d}.parquet"
-        # a partition that received no rows has no file (merge skips it)
-        if fs.get_file_info(path).type == FileType.NotFound:
-            continue
-        t = pq.read_table(path, filesystem=fs, filters=filters)
-        schema = t.schema
+        try:
+            t = pq.read_table(path, filesystem=fs, filters=filters)
+        except FileNotFoundError:
+            continue  # empty partition: merge wrote no file
+        seen = t.schema
         if t.num_rows:
             tables.append(t)
     if tables:
         return pa.concat_tables(tables)
-    if schema is None:  # every candidate partition was empty on disk
-        from pyarrow.fs import FileSelector
+    if seen is not None:
+        return seen.empty_table()
+    if schema is not None:
+        return schema.empty_table()
+    from pyarrow.fs import FileSelector
 
-        for fi in sorted(fs.get_file_info(FileSelector(sorted_dir)),
-                         key=lambda fi: fi.path):
-            if fi.base_name.endswith(".parquet"):
-                schema = pq.read_schema(fi.path, filesystem=fs)
-                break
-    if schema is None:
-        raise FileNotFoundError(f"no sorted part files under {sorted_dir}")
-    return schema.empty_table()
+    for fi in sorted(fs.get_file_info(FileSelector(sorted_dir)),
+                     key=lambda fi: fi.path):
+        if fi.base_name.endswith(".parquet"):
+            return pq.read_schema(fi.path, filesystem=fs).empty_table()
+    raise FileNotFoundError(
+        f"no sorted part files under {sorted_dir} and no fallback schema")
 
 
 def write_sorted(triples_ds, key_counts, out_dir,

@@ -150,3 +150,59 @@ def test_kg_lookup_is_partition_pruned(ray_session, tmp_path):
     p0 = sorted(preds)[0]
     narrowed = kg_lookup(out, subj, p0)
     assert set(narrowed.column("pred").to_pylist()) == {p0}
+
+
+def test_lookup_prefix_terminator_covers_astral_components():
+    """A pred/obj starting with an astral-plane char (> U+FFFF) sorts
+    ABOVE the U+FFFF sha-cut sentinel — the lookup's prefix terminator
+    must still cover it or rows silently escape the pruned range."""
+    from mmore_ray.stages.sortwrite import (HI, PREFIX_HI, SEP,
+                                            partitions_for_key_range)
+
+    subj = "S"
+    astral_prefix = subj + SEP + "\U0001F600PRED" + SEP + "o" + SEP
+    # a hot astral-pred key got a within-key sha cut from
+    # compute_boundaries: rows with sha above the cut live in the NEXT
+    # partition, whose lower edge sorts above U+FFFF
+    bound_inside = astral_prefix + "80000000"
+    bounds = ["A" + SEP, bound_inside, "T" + SEP]
+    high_sha_key = astral_prefix + "c0000000"
+    import numpy as np
+    assert int(np.searchsorted(np.asarray(bounds, object),
+                               high_sha_key, side="right")) == 2
+    parts = partitions_for_key_range(bounds, subj + SEP,
+                                     subj + SEP + PREFIX_HI)
+    assert 2 in parts  # PREFIX_HI covers the astral-pred tail
+    old = partitions_for_key_range(bounds, subj + SEP, subj + SEP + HI)
+    assert 2 not in old  # the U+FFFF sentinel silently missed it
+
+
+def test_kg_lookup_empty_corpus_and_legacy_bounds(ray_session, tmp_path):
+    """A completed run over an all-empty corpus answers lookups with an
+    empty, schema-correct table (not FileNotFoundError), and a legacy
+    bare-list sort_bounds.json still reads."""
+    import json
+
+    import pyarrow as pa
+
+    from mmore_ray.pipelines.kg import kg_lookup, run_kg
+
+    empty = pa.table({
+        "repo": pa.array([], pa.string()),
+        "path": pa.array([], pa.string()),
+        "commit": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "content": pa.array([], pa.string()),
+    })
+    out = tmp_path / "kg_empty"
+    run_kg(lambda: ray_session.data.from_arrow(empty), out, num_shards=2)
+    got = kg_lookup(out, "ANYTHING")
+    assert got.num_rows == 0
+    assert {"subj", "pred", "obj", "weight"} <= set(got.schema.names)
+
+    # legacy format: bare list instead of the dict wrapper
+    bf = out / "_manifest" / "sort_bounds.json"
+    meta = json.loads(bf.read_text())
+    bf.write_text(json.dumps(meta["bounds"]))
+    got2 = kg_lookup(out, "ANYTHING")
+    assert got2.num_rows == 0
