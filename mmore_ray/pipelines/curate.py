@@ -226,7 +226,16 @@ def _empty_dataset(schema, columns: list[str] | None = None):
     fields = ([(n, t) for n, t in zip(schema.names, schema.types)]
               if schema is not None else [])
     if columns is not None:
-        fields = [(n, t) for n, t in fields if n in columns]
+        # match clean_schema semantics: requested ORDER is preserved and
+        # an unknown name fails loudly — the non-empty parquet path
+        # raises on it, so the empty path must not silently diverge
+        by_name = dict(fields)
+        missing = [n for n in columns if n not in by_name]
+        if missing:
+            raise KeyError(
+                f"columns not in spill schema: {missing} "
+                f"(schema has {sorted(by_name)})")
+        fields = [(n, by_name[n]) for n in columns]
     empty = pa.table({n: pa.array([], t) for n, t in fields})
     return ray.data.from_items([{"_": 0}]).map_batches(
         lambda _b: empty, batch_format="pyarrow")

@@ -239,8 +239,11 @@ def lookup_sorted(sorted_dir, bounds, subj: str, pred: str | None = None,
     O(1) of the part files, which is the reason the sorted layout
     exists.  Parquet row-group predicate pushdown prunes further within
     each opened file.  Missing part files (empty partitions are never
-    written) are detected by the read itself — no per-partition
-    existence HEAD on the serving hot path.
+    written) are detected by ONE batched ``fs.get_file_info`` call over
+    the candidate paths — portable across filesystems (S3/GCS map
+    not-found to exception types that vary by pyarrow version, so the
+    read-then-catch pattern is not) and a single roundtrip-bounded
+    probe, not a per-partition serial HEAD.
 
     ``bounds``: the run's boundary list (``sort_bounds.json``).
     ``schema``: fallback for the no-rows answer when every candidate
@@ -257,14 +260,16 @@ def lookup_sorted(sorted_dir, bounds, subj: str, pred: str | None = None,
     filters = [("subj", "==", subj)]
     if pred is not None:
         filters.append(("pred", "==", pred))
+    from pyarrow.fs import FileType
+
+    candidates = [f"{sorted_dir}/part-{p:05d}.parquet" for p in parts]
+    infos = fs.get_file_info(candidates)  # one batched call
     tables = []
     seen = None
-    for p in parts:
-        path = f"{sorted_dir}/part-{p:05d}.parquet"
-        try:
-            t = pq.read_table(path, filesystem=fs, filters=filters)
-        except FileNotFoundError:
+    for path, info in zip(candidates, infos):
+        if info.type != FileType.File:
             continue  # empty partition: merge wrote no file
+        t = pq.read_table(path, filesystem=fs, filters=filters)
         seen = t.schema
         if t.num_rows:
             tables.append(t)

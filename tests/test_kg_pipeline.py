@@ -110,7 +110,7 @@ def test_kg_lookup_is_partition_pruned(ray_session, tmp_path):
 
     from mmore_ray.pipelines.kg import kg_lookup, run_kg
     from mmore_ray.sources.corpus import synthesize_corpus
-    from mmore_ray.stages.sortwrite import (SEP, HI,
+    from mmore_ray.stages.sortwrite import (SEP, PREFIX_HI,
                                             partitions_for_key_range)
 
     table = synthesize_corpus(300, seed=11)
@@ -135,8 +135,11 @@ def test_kg_lookup_is_partition_pruned(ray_session, tmp_path):
         want = full.filter(pc.equal(full.column("subj"), subj))
         assert got.num_rows == want.num_rows > 0
         assert rows(got) == rows(want)
+        # PREFIX_HI (U+10FFFF), not HI: this is the terminator kg_lookup
+        # actually uses, so the pruning assertion exercises the
+        # production range
         parts = partitions_for_key_range(bounds, subj + SEP,
-                                         subj + SEP + HI)
+                                         subj + SEP + PREFIX_HI)
         assert len(parts) < n_parts_total / 4  # pruned, not a scan
 
     # absent subject: empty table, correct schema, still pruned
