@@ -3076,3 +3076,49 @@ EXTRA_ORACLES["q_top_ngram"] = """
            COALESCE(CAST(floor(m3.m * 1.0 / w.nc * 10000.0 + 0.5) AS BIGINT), 0)
                AS top3gram_char_frac_e4
     FROM w LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)"""
+
+
+_KG_LOOKUP_SUBJ = "BARACK OBAMA"
+
+
+def _kg_run_dir(sf_dir: str) -> str:
+    """Completed run_kg output for this corpus under /tmp, built (or
+    resumed) on first use — run_kg's manifest makes the repeat call a
+    cheap no-op once finalize has published.  The cache tag covers the
+    source file's identity AND the extraction-config digest, so a
+    gazetteer/alias change never trips the resume refusal on a stale
+    cached dir."""
+    import hashlib
+    import os
+
+    from .kg import _config_digest, run_kg
+
+    src = os.stat(f"{sf_dir}/documents.parquet")
+    cfg = _config_digest(None, None, None)[:8]
+    tag = hashlib.sha1(
+        f"{sf_dir}:{src.st_mtime_ns}:{src.st_size}:{cfg}".encode()
+    ).hexdigest()[:10]
+    out = f"/tmp/kg_run_{tag}"
+    run_kg(lambda: _corpus_ds(sf_dir), out, num_shards=4)
+    return out
+
+
+def q_kg_lookup(sf_dir: str):
+    """Serving-side point lookup over a completed run's globally sorted
+    triple shards (pipelines/kg.kg_lookup — the payoff of the sorted
+    layout): answers ``subj = 'BARACK OBAMA'`` by opening ONLY the
+    partitions whose key range can contain the subject (the file-open
+    count is asserted in tests/test_kg_pipeline.py) and must return
+    exactly the rows the corpus-scale doc_triple relation holds for
+    it."""
+    from .kg import kg_lookup
+
+    t = kg_lookup(_kg_run_dir(sf_dir), _KG_LOOKUP_SUBJ)
+    return t.select(["repo", "path", "content_sha256",
+                     "subj", "pred", "obj", "weight"])
+
+
+EXTRA_QUERIES["q_kg_lookup"] = q_kg_lookup
+EXTRA_ORACLES["q_kg_lookup"] = _kg_sql(
+    "SELECT repo, path, content_sha256, subj, pred, obj, weight "
+    f"FROM doc_triple WHERE subj = '{_KG_LOOKUP_SUBJ}'")

@@ -131,7 +131,20 @@ def test_kg_lookup_is_partition_pruned(ray_session, tmp_path):
                       for r in t.select(["subj", "pred", "obj"]).to_pylist())
 
     for subj in (subjects[0], subjects[len(subjects) // 2], subjects[-1]):
-        got = kg_lookup(out, subj)
+        # count actual part-file OPENS: the pruning must show up as
+        # fewer reads, not just a smaller candidate list
+        opens = []
+        orig_read = pq.read_table
+
+        def counting_read(path, *a, _orig=orig_read, _opens=opens, **kw):
+            _opens.append(str(path))
+            return _orig(path, *a, **kw)
+
+        pq.read_table = counting_read
+        try:
+            got = kg_lookup(out, subj)
+        finally:
+            pq.read_table = orig_read
         want = full.filter(pc.equal(full.column("subj"), subj))
         assert got.num_rows == want.num_rows > 0
         assert rows(got) == rows(want)
@@ -141,6 +154,7 @@ def test_kg_lookup_is_partition_pruned(ray_session, tmp_path):
         parts = partitions_for_key_range(bounds, subj + SEP,
                                          subj + SEP + PREFIX_HI)
         assert len(parts) < n_parts_total / 4  # pruned, not a scan
+        assert 0 < len(opens) <= len(parts)  # opened only candidates
 
     # absent subject: empty table, correct schema, still pruned
     miss = kg_lookup(out, "NO-SUCH-ENTITY-ZZZ")
