@@ -348,6 +348,25 @@ def near_dup_minhash(ds, text_col: str = "text", id_col: str = "doc_id",
                                 num_buckets=num_buckets)
 
 
+def _drop_schemaless_empties(mat_ds, fallback: pa.Table):
+    """Ray's hash JoinOperator materializes empty partitions as
+    zero-COLUMN Arrow blocks, and map_batches passes 0-row blocks
+    through WITHOUT running the fn — so typed-output map fns cannot
+    heal them, and a downstream acero join rejects the schema-less
+    side with "No match or multiple matches for key field reference".
+    Rebuild a MATERIALIZED dataset from its non-empty blocks (cheap:
+    driver-side ref filtering; blocks stay in the object store).
+    ``fallback``: the typed empty table to return when every block is
+    empty, so downstream consumers keep their schema."""
+    import ray
+    import ray.data
+
+    refs = [r for r in mat_ds.to_arrow_refs() if ray.get(r).num_rows > 0]
+    if not refs:
+        return ray.data.from_arrow(fallback)
+    return ray.data.from_arrow_refs(refs)
+
+
 def _typed_pairs(df: pd.DataFrame,
                  extra: tuple[str, ...] = ()) -> pd.DataFrame:
     """Normalize a gathered pair frame: an EMPTY ``map_groups`` output
@@ -737,15 +756,30 @@ def _bound_filter_pairs(pairs, ex, threshold: float, num_buckets: int):
         on=("id_b",), right_on=("_ib",),
     )
 
-    def flt(df: pd.DataFrame) -> pd.DataFrame:
+    def flt(df: pd.DataFrame) -> pa.Table:
+        # typed ARROW output: a 0-row pandas block loses its schema
+        # (the _typed_pairs class) and the downstream _verify_join
+        # JoinOperator (acero) rejects a schema-less left side with
+        # "No match ... for key field reference FieldRef.Name(id_a)"
+        # — map_batches tolerated it, the hash join does not
+        df = _typed_pairs(df, extra=("c", "_sz_a", "_sz_b"))
         keep = df[(2 * df["c"] * 10000)
                   >= (2 * thr - 1) * (df["_sz_a"] + df["_sz_b"] - df["c"])]
-        return keep[["id_a", "id_b"]].reset_index(drop=True)
+        return pa.table({
+            "id_a": pa.array(keep["id_a"].to_numpy(), pa.int64()),
+            "id_b": pa.array(keep["id_b"].to_numpy(), pa.int64()),
+        })
 
     # materialized: the pending joins must not share one plan with the
     # verify stage's JoinOperators (CPU-slot starvation; same rule as
-    # _verify_join), and verify consumes the pair list twice
-    return j.map_batches(flt, batch_format="pandas").materialize()
+    # _verify_join), and verify consumes the pair list twice.  The
+    # join upstream leaves zero-column empty-partition blocks behind
+    # (see _drop_schemaless_empties) — strip them or the verify join
+    # plan crashes on a schema-less left side.
+    out = j.map_batches(flt, batch_format="pandas").materialize()
+    return _drop_schemaless_empties(out, pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64())}))
 
 
 def _sum_pair_counts(pairs, num_buckets: int, small_limit: int = 5_000_000):

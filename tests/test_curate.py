@@ -245,26 +245,57 @@ def test_curate_scratch_dir_reuse_no_stale_rows(ray_session, tmp_path):
     assert sorted(out2.doc_id) == [7]  # no phantom rows from run 1
 
 
-def test_curate_spill_over_pyarrow_fs(ray_session, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("verify_plan", ["broadcast", "join"])
+def test_curate_spill_over_pyarrow_fs(ray_session, tmp_path, monkeypatch,
+                                      verify_plan):
     """The curate spill exchange routes ALL file operations (wipe,
     write, has-files probe, schema sidecar, re-reads) through the
     pyarrow.fs parameter — proven with a SubTreeFileSystem over
     RELATIVE paths, which any abstraction-bypassing os/Path operation
-    would escape (same protocol as test_sortwrite_fs)."""
+    would escape (same protocol as test_sortwrite_fs).  Parametrized
+    over BOTH near-dup verify plans: the broadcast plan (default at
+    this scale) and the large-candidate-set join plan (_verify_join,
+    forced by dropping the small-side limits to 0), whose Ray joins
+    re-execute the spill-backed source read inside join tasks — that
+    re-read must be fs-clean too."""
     import pyarrow as pa
     import ray.data
     from pyarrow import fs as pafs
 
     from mmore_ray.pipelines.curate import curate
 
+    if verify_plan == "join":
+        import mmore_ray.stages.dedup as dd
+
+        orig_verify = dd.verify_pairs_jaccard
+        orig_sum = dd._sum_pair_counts
+        monkeypatch.setattr(
+            dd, "verify_pairs_jaccard",
+            lambda *a, **kw: orig_verify(
+                *a, **{**kw, "broadcast_limit": 0}))
+        # keep the pair list a Dataset so the dispatcher can actually
+        # pick the join plan (a DataFrame pair list forces broadcast)
+        monkeypatch.setattr(
+            dd, "_sum_pair_counts",
+            lambda pairs, nb, small_limit=None: orig_sum(
+                pairs, nb, small_limit=0))
+    # join mode: a threshold the near-copy pair actually clears, so the
+    # candidate set is non-empty and _verify_join's joins re-read the
+    # spill through the fs on real rows (doc 2, the higher id, drops)
+    jaccard = 0.99 if verify_plan == "broadcast" else 0.5
+    expect = [1, 2] if verify_plan == "broadcast" else [1]
+
     subfs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
     good = ("the cat and the dog is a fine pair of animals that like "
             "to play in the yard all day long with the ball")
     ds = ray.data.from_arrow(pa.table({
         "doc_id": [1, 2], "text": [good, good + " extra tail words here"]}))
-    out = curate(ds, min_words=5, min_stop_e4=100, jaccard=0.99,
+    out = curate(ds, min_words=5, min_stop_e4=100, jaccard=jaccard,
                  scratch_dir="scratch", filesystem=subfs).to_pandas()
-    assert sorted(out.doc_id) == [1, 2]
+    assert sorted(out.doc_id) == expect
     # the spill landed INSIDE the subtree (relative path resolved by fs)
     assert list((tmp_path / "scratch" / "annotated").glob("*.parquet"))
     # sidecar written through the fs too
