@@ -80,74 +80,67 @@ _ROLLUP_DRIVER_LIMIT = 64 << 20
 _CONSOLIDATE_TARGET_BYTES = 256 << 20
 
 
-def _consolidate_dir(fs, dir_path: str, max_files: int,
-                     target_bytes: int = _CONSOLIDATE_TARGET_BYTES,
-                     metric_cols: tuple[str, ...] = ()) -> dict:
-    """Bound a side-output directory's file count and (optionally)
-    aggregate its metric columns, in one distributed pass.
+def _consolidate_dirs(fs, jobs: dict, max_files: int,
+                      target_bytes: int = _CONSOLIDATE_TARGET_BYTES
+                      ) -> dict:
+    """Bound side-output directories' file counts and (optionally)
+    aggregate their metric columns, in one distributed pass over ALL
+    the directories (single barrier, not one per directory).
+
+    ``jobs``: ``{name: (dir_path, metric_cols)}``.  Returns
+    ``{name: {"n_rows": total, **{c: sum}}}``.
 
     The tee writes one part file per (tee batch, output) for retry
     idempotency — at corpus scale that is millions of small files per
-    output directory.  After the shard's streaming pass completes, this
-    groups the part files into cumulative-size buckets of
-    ``target_bytes`` and merges each bucket into ONE file via a
-    parallel Ray task, so the post-shard file count is bounded by
+    output directory.  After the shard's streaming pass completes, the
+    part files of each directory above ``max_files`` are grouped into
+    cumulative-size buckets of ``target_bytes`` and each bucket is
+    merged into ONE file, so the post-shard file count is bounded by
     ``max(max_files, ceil(shard_output_bytes / target_bytes))`` —
     independent of doc count / tee batch size (the verdict-r4 #2
     fan-out bound; shard byte size is itself bounded by input-file-
     group sizing at real scale).  Directories already at or under
     ``max_files`` are left untouched (zero data movement on small
-    shards).
+    shards); their metric columns (the lineage counters) are summed by
+    parallel readers instead of run_kg's former serial driver-side
+    per-file loop.
 
-    ``metric_cols``: per-partition metric columns to sum (the lineage
-    counters) — computed INSIDE the same tasks that already read the
-    data, replacing run_kg's former serial driver-side per-file rglob
-    loop.  Returns ``{"n_rows": total, **{c: sum for c in
-    metric_cols}}`` (zeros when there is nothing to read).
-
-    Crash-safe by construction: runs before the shard's manifest
-    publish, so any interruption re-runs the whole shard (whose first
-    step clears the directory).  Consolidated tmp files are dot-
-    prefixed, which parquet dataset readers ignore.
+    Retry-safe in two write-only waves: wave 1 tasks ONLY create the
+    consolidated files (dot-prefixed tmp + move; a retried task whose
+    output already exists reads its metrics back from that output
+    instead of re-reading sources that wave 2 may have deleted); the
+    original part files are deleted by wave 2 tasks only after every
+    wave-1 result is in, and a retried delete tolerates already-missing
+    files.  A crash anywhere re-runs the whole shard (its manifest is
+    unpublished), whose first step clears the directory.
     """
-    infos = fsio.list_files(fs, str(dir_path), ".parquet")
-    metrics = {"n_rows": 0, **{c: 0 for c in metric_cols}}
-    if not infos:
-        return metrics
-    rewrite = len(infos) > max_files
-    if not rewrite and not metric_cols:
-        return metrics  # under the bound, no metrics wanted: no-op
-    dir_path = str(dir_path)
-
-    buckets: list[list[str]] = []
-    if rewrite:
-        cur: list[str] = []
-        cur_bytes = 0
-        for fi in infos:
-            if cur and cur_bytes + fi.size > target_bytes:
-                buckets.append(cur)
-                cur, cur_bytes = [], 0
-            cur.append(fi.path)
-            cur_bytes += fi.size
-        if cur:
-            buckets.append(cur)
-    else:
-        # metrics-only: fixed fan-out of parallel readers
-        n_groups = min(16, len(infos))
-        buckets = [[fi.path for fi in infos[i::n_groups]]
-                   for i in range(n_groups)]
+    results = {}
+    wave1 = []  # (name, ref)
+    wave2 = []  # (files_to_delete) — submitted after wave 1 completes
 
     @ray.remote
-    def work(idx: int, files: list[str]) -> dict:
+    def work(files: list[str], out_path: str | None,
+             metric_cols: tuple) -> dict:
         from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
 
+        from ..state import fsio as _fsio
+
+        if out_path is not None and _fsio.exists(fs, out_path):
+            # retried task: the consolidated output is already durable
+            # (and wave 2 may have deleted the sources) — recover the
+            # metrics from the output itself
+            t = pq.read_table(out_path, filesystem=fs,
+                              columns=list(metric_cols))
+            return {"n_rows": t.num_rows,
+                    **{c: pc.sum(t.column(c)).as_py() or 0
+                       for c in metric_cols}}
         # metrics-only tasks read just the metric columns; rewrite
-        # tasks read everything (they re-write it anyway)
-        cols = None if rewrite else list(metric_cols)
-        # threaded opens: many small files, open+footer latency-bound
-        # (parquet reads drop the GIL) — same shape as the sorted merge
+        # tasks read everything (they re-write it anyway).  Threaded
+        # opens: many small files, open+footer latency-bound (parquet
+        # reads drop the GIL) — same shape as the sorted merge.
+        cols = list(metric_cols) if out_path is None else None
         with ThreadPoolExecutor(max_workers=8) as pool:
             tables = list(pool.map(
                 lambda f: pq.read_table(f, filesystem=fs, columns=cols),
@@ -156,19 +149,75 @@ def _consolidate_dir(fs, dir_path: str, max_files: int,
         out = {"n_rows": t.num_rows}
         for c in metric_cols:
             out[c] = pc.sum(t.column(c)).as_py() or 0
-        if rewrite and len(files) > 1:
-            tmp = f"{dir_path}/.consolidated-{idx:05d}.parquet.tmp"
+        if out_path is not None:
+            # DOT-prefixed tmp: pyarrow dataset discovery ignores dot/
+            # underscore PREFIXES (not suffixes), so a crash mid-write
+            # never leaves a truncated file that a directory-level
+            # parquet read would try to parse
+            d, base = out_path.rsplit("/", 1)
+            tmp = f"{d}/.{base}.tmp"
             pq.write_table(t, tmp, filesystem=fs)
-            for f in files:
-                fs.delete_file(f)
-            fs.move(tmp, f"{dir_path}/consolidated-{idx:05d}.parquet")
+            fs.move(tmp, out_path)
         return out
 
-    for r in ray.get([work.remote(i, b) for i, b in enumerate(buckets)]):
-        metrics["n_rows"] += r["n_rows"]
-        for c in metric_cols:
-            metrics[c] += r[c]
-    return metrics
+    @ray.remote
+    def cleanup(files: list[str]) -> None:
+        from ..state import fsio as _fsio
+
+        for f in files:  # already-missing is fine (retried delete)
+            if _fsio.exists(fs, f):
+                fs.delete_file(f)
+
+    for name, (dir_path, metric_cols) in jobs.items():
+        dir_path = str(dir_path)
+        infos = fsio.list_files(fs, dir_path, ".parquet")
+        results[name] = {"n_rows": 0, **{c: 0 for c in metric_cols}}
+        if not infos:
+            continue
+        rewrite = len(infos) > max_files
+        if not rewrite and not metric_cols:
+            continue  # under the bound, no metrics wanted: no-op
+        if rewrite:
+            buckets: list[list[str]] = []
+            cur: list[str] = []
+            cur_bytes = 0
+            for fi in infos:
+                if cur and cur_bytes + fi.size > target_bytes:
+                    buckets.append(cur)
+                    cur, cur_bytes = [], 0
+                cur.append(fi.path)
+                cur_bytes += fi.size
+            if cur:
+                buckets.append(cur)
+            for i, b in enumerate(buckets):
+                if len(b) == 1:  # already one file: keep it in place
+                    if metric_cols:
+                        wave1.append((name, work.remote(
+                            b, None, tuple(metric_cols))))
+                    continue
+                # the in-flight ".parquet.tmp" suffix keeps half-written
+                # output invisible to parquet listings; the move target
+                # becomes visible atomically (local) / on completed copy
+                out_path = f"{dir_path}/consolidated-{i:05d}.parquet"
+                wave1.append((name, work.remote(b, out_path,
+                                                tuple(metric_cols))))
+                wave2.append(b)
+        else:
+            # metrics-only: fixed fan-out of parallel readers
+            n_groups = min(16, len(infos))
+            for i in range(n_groups):
+                wave1.append((name, work.remote(
+                    [fi.path for fi in infos[i::n_groups]], None,
+                    tuple(metric_cols))))
+
+    for (name, _), r in zip(wave1, ray.get([ref for _, ref in wave1])):
+        results[name]["n_rows"] += r["n_rows"]
+        for c, v in r.items():
+            if c != "n_rows":
+                results[name][c] += v
+    if wave2:
+        ray.get([cleanup.remote(b) for b in wave2])
+    return results
 
 
 def canonical_alias_map(alias: dict[str, str] | None = None) -> dict[str, str]:
@@ -861,11 +910,11 @@ def run_kg(read_corpus, out_dir, num_shards: int = 4,
         # per-file loop.
         import pyarrow.parquet as pq
 
-        for name in ("docs", "mentions"):
-            _consolidate_dir(fs, paths[name], consolidate_max_files)
-        lmetrics = _consolidate_dir(fs, paths["lineage"],
-                                    consolidate_max_files,
-                                    metric_cols=("n_mentions", "n_edges"))
+        lmetrics = _consolidate_dirs(fs, {
+            "docs": (paths["docs"], ()),
+            "mentions": (paths["mentions"], ()),
+            "lineage": (paths["lineage"], ("n_mentions", "n_edges")),
+        }, consolidate_max_files)["lineage"]
         # Consolidate this shard's per-batch rollup partials into ONE
         # file before publishing: the partials are one-per-tee-batch,
         # which at corpus scale is millions of tiny files — after this,

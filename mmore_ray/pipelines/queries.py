@@ -3085,21 +3085,33 @@ def _kg_run_dir(sf_dir: str) -> str:
     """Completed run_kg output for this corpus under /tmp, built (or
     resumed) on first use — run_kg's manifest makes the repeat call a
     cheap no-op once finalize has published.  The cache tag covers the
-    source file's identity AND the extraction-config digest, so a
-    gazetteer/alias change never trips the resume refusal on a stale
-    cached dir."""
+    source file's identity, the extraction-config digest AND a digest
+    of the pipeline source modules, so neither a gazetteer/alias change
+    nor a code change can serve stale cached output (a stale hit would
+    make the oracle gate silently validate OLD code).  Not safe against
+    two processes building the same tag concurrently (the oracle gates
+    run queries serially)."""
     import hashlib
+    import inspect
     import os
 
-    from .kg import _config_digest, run_kg
+    from ..functions import hashing as _hashing
+    from ..stages import canonicalize, linking, mentions, sortwrite, triples
+    from ..state import fsio as _fsio
+    from ..state import manifest as _manifest
+    from . import kg as _kg
 
+    code = hashlib.sha1()
+    for mod in (_kg, mentions, triples, linking, canonicalize, sortwrite,
+                _hashing, _fsio, _manifest):
+        code.update(inspect.getsource(mod).encode())
     src = os.stat(f"{sf_dir}/documents.parquet")
-    cfg = _config_digest(None, None, None)[:8]
+    cfg = _kg._config_digest(None, None, None)[:8]
     tag = hashlib.sha1(
-        f"{sf_dir}:{src.st_mtime_ns}:{src.st_size}:{cfg}".encode()
-    ).hexdigest()[:10]
+        f"{sf_dir}:{src.st_mtime_ns}:{src.st_size}:{cfg}:"
+        f"{code.hexdigest()}".encode()).hexdigest()[:10]
     out = f"/tmp/kg_run_{tag}"
-    run_kg(lambda: _corpus_ds(sf_dir), out, num_shards=4)
+    _kg.run_kg(lambda: _corpus_ds(sf_dir), out, num_shards=4)
     return out
 
 

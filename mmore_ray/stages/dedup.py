@@ -354,17 +354,37 @@ def _drop_schemaless_empties(mat_ds, fallback: pa.Table):
     through WITHOUT running the fn — so typed-output map fns cannot
     heal them, and a downstream acero join rejects the schema-less
     side with "No match or multiple matches for key field reference".
-    Rebuild a MATERIALIZED dataset from its non-empty blocks (cheap:
-    driver-side ref filtering; blocks stay in the object store).
-    ``fallback``: the typed empty table to return when every block is
-    empty, so downstream consumers keep their schema."""
+    Rebuild a MATERIALIZED dataset from its non-empty blocks.  Row
+    counts come from the dataset's own block METADATA (recorded at
+    materialization) — no tasks, and blocks are never pulled into the
+    driver: the join plan exists precisely because the pair set can be
+    too large for driver memory.  Tiny remote probes are the fallback
+    only for blocks whose metadata lacks a row count.  ``fallback``:
+    the typed empty table to return when every block is empty, so
+    downstream consumers keep their schema."""
     import ray
     import ray.data
 
-    refs = [r for r in mat_ds.to_arrow_refs() if ray.get(r).num_rows > 0]
-    if not refs:
+    counts = [m.num_rows for b in mat_ds.iter_internal_ref_bundles()
+              for m in b.metadata]
+    # to_arrow_refs preserves block order (and is ref-identity for
+    # Arrow blocks; pandas blocks get one remote conversion task each)
+    refs = mat_ds.to_arrow_refs()
+    assert len(refs) == len(counts), (len(refs), len(counts))
+    if any(n is None for n in counts):  # metadata-less block: probe
+
+        @ray.remote(num_cpus=0)
+        def _nrows(block) -> int:
+            return block.num_rows
+
+        probe = [i for i, n in enumerate(counts) if n is None]
+        for i, n in zip(probe,
+                        ray.get([_nrows.remote(refs[i]) for i in probe])):
+            counts[i] = n
+    keep = [r for r, n in zip(refs, counts) if n]
+    if not keep:
         return ray.data.from_arrow(fallback)
-    return ray.data.from_arrow_refs(refs)
+    return ray.data.from_arrow_refs(keep)
 
 
 def _typed_pairs(df: pd.DataFrame,
@@ -438,6 +458,16 @@ def verify_pairs_jaccard(pairs, source, id_col: str, text_col: str,
                   for i in range(n_chunks)]
         return _verify_broadcast(ray.data.from_pandas(chunks), id_set,
                                  source, id_col, text_col, k, threshold)
+
+    # Dataset pair lists arrive from join/map_groups producers that
+    # leave zero-column empty-partition blocks behind; strip them at
+    # this single dispatch point so BOTH plans (and their outputs) stay
+    # clean — map_batches passes 0-row blocks through untouched, so the
+    # broadcast plan would otherwise re-expose them to downstream acero
+    # joins (e.g. curate's anti_join large path).
+    pairs = _drop_schemaless_empties(pairs.materialize(), pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64())}))
 
     def stack_ids(t: pa.Table) -> pa.Table:
         return pa.table({"id": pa.concat_arrays([
@@ -541,20 +571,35 @@ def _verify_broadcast(pairs, id_set: set, source, id_col: str,
 def _verify_join(pairs, cand_ids, source, id_col: str, text_col: str,
                  k: int, threshold: float):
     """Join plan: candidate texts reach the pair rows through hash
-    joins, never through a driver-side map."""
+    joins, never through a driver-side map.
+
+    ``pairs`` arrives pre-stripped of schema-less empty blocks (the
+    dispatcher does it); the join outputs produced HERE get the same
+    treatment (:func:`_drop_schemaless_empties`) before feeding the
+    next acero join, which rejects a side containing a zero-column
+    block."""
+    _int64 = pa.array([], pa.int64())
+    _str = pa.array([], pa.string())
+
     # semi-join: only candidate docs' texts leave the scan
     cand_docs = cand_ids.join(
         source, join_type="inner", num_partitions=16,
         on=("id",), right_on=(id_col,),
     ).materialize()
+    cand_docs = _drop_schemaless_empties(
+        cand_docs, pa.table({"id": _int64, text_col: _str}))
 
     # one JoinOperator per execution (materialize between): two joins
     # sharing a plan can deadlock on CPU slots at low parallelism
-    j = pairs.join(
+    j1 = pairs.join(
         cand_docs.rename_columns({"id": "_ia", text_col: "_text_a"}),
         join_type="inner", num_partitions=16,
         on=("id_a",), right_on=("_ia",),
-    ).materialize().join(
+    ).materialize()
+    j1 = _drop_schemaless_empties(
+        j1, pa.table({"id_a": _int64, "id_b": _int64,
+                      "_ia": _int64, "_text_a": _str}))
+    j = j1.join(
         cand_docs.rename_columns({"id": "_ib", text_col: "_text_b"}),
         join_type="inner", num_partitions=16,
         on=("id_b",), right_on=("_ib",),
@@ -772,14 +817,10 @@ def _bound_filter_pairs(pairs, ex, threshold: float, num_buckets: int):
 
     # materialized: the pending joins must not share one plan with the
     # verify stage's JoinOperators (CPU-slot starvation; same rule as
-    # _verify_join), and verify consumes the pair list twice.  The
-    # join upstream leaves zero-column empty-partition blocks behind
-    # (see _drop_schemaless_empties) — strip them or the verify join
-    # plan crashes on a schema-less left side.
-    out = j.map_batches(flt, batch_format="pandas").materialize()
-    return _drop_schemaless_empties(out, pa.table({
-        "id_a": pa.array([], pa.int64()),
-        "id_b": pa.array([], pa.int64())}))
+    # _verify_join), and verify consumes the pair list twice.  The join
+    # upstream leaves zero-column empty-partition blocks in the output;
+    # _verify_join strips them at its own inputs.
+    return j.map_batches(flt, batch_format="pandas").materialize()
 
 
 def _sum_pair_counts(pairs, num_buckets: int, small_limit: int = 5_000_000):

@@ -32,13 +32,14 @@ def read_text(fs, path: str) -> str:
 
 def write_text_atomic(fs, path: str, text: str) -> None:
     """tmp + move publish (see module atomicity note).  The tmp name is
-    pid-unique: two workers racing to publish the SAME path (e.g. the
+    uuid-unique: two workers racing to publish the SAME path (e.g. the
     warm-count files, keyed by batch content digest) must not move each
-    other's half-written tmp."""
-    import os
+    other's half-written tmp — and on a multi-node cluster pids collide
+    across nodes, so a pid suffix would not be enough."""
+    import uuid
 
     path = str(path)
-    tmp = f"{path}.{os.getpid()}.tmp"
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
     with fs.open_output_stream(tmp) as f:
         f.write(text.encode())
     fs.move(tmp, path)

@@ -61,7 +61,15 @@ def publish(out_dir: str | Path, step: str, shard: int,
         "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     text = json.dumps(record, sort_keys=True, indent=1)
-    if filesystem is not None:
+    # An explicit LOCAL filesystem keeps the full POSIX durability path
+    # below (its paths are host paths): routing it through pyarrow
+    # streams would silently drop the fsync-file-and-directory
+    # guarantee the crash-safety comment depends on.  Non-local
+    # filesystems get tmp + move (see fsio's atomicity contract).
+    from pyarrow import fs as pafs
+
+    if filesystem is not None and not isinstance(filesystem,
+                                                 pafs.LocalFileSystem):
         fsio.ensure_dir(filesystem, f"{out_dir}/{MANIFEST_DIR}")
         fsio.write_text_atomic(filesystem, path, text)
         return path
