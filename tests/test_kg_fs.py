@@ -130,6 +130,38 @@ def test_run_kg_resume_over_subtree_fs(ray_session, tmp_path):
     assert bounds["num_shards"] == 3
 
 
+def test_run_kg_distributed_rollup_over_subtree_fs(ray_session, tmp_path,
+                                                   monkeypatch):
+    """The open-vocabulary rollup path (distributed bucketed_agg +
+    tmp-dir swap via fsio.move_dir_contents, and the distributed
+    finalize combine) must also be fs-clean — forced at tiny scale by
+    dropping the driver-combine byte limit to zero."""
+    from mmore_ray.pipelines import kg
+    from mmore_ray.sources.corpus import synthesize_corpus
+
+    ray = ray_session
+    monkeypatch.setattr(kg, "_ROLLUP_DRIVER_LIMIT", 0)
+    table = synthesize_corpus(200, seed=3)
+    factory = lambda: ray.data.from_arrow(table)  # noqa: E731
+
+    local_out = tmp_path / "local"
+    stats_l = kg.run_kg(factory, local_out, num_shards=2)
+    _, subfs = _subfs(tmp_path, "base")
+    stats_s = kg.run_kg(factory, "out", num_shards=2, filesystem=subfs)
+    assert stats_s["rollup"]["finalize"] == "distributed"
+    assert stats_s["rollup"].get("shard_0") == "distributed"
+
+    _, lg = _read_dir(local_out / "graph")
+    _, sg = _read_dir("out/graph", filesystem=subfs)
+    key = [(c, "ascending") for c in ("subj", "pred", "obj")]
+    assert lg.sort_by(key).equals(sg.sort_by(key))
+    assert stats_l["rollup"]["finalize"] == "distributed"
+
+    import os
+
+    assert not os.path.exists("out")
+
+
 def test_side_file_fanout_is_bounded_and_lossless(ray_session, tmp_path):
     """Per-shard docs/mentions/lineage file counts must stay under the
     consolidation bound regardless of corpus size (here: 2 corpus sizes,
