@@ -18,7 +18,18 @@ implemented on the standard library's ``ThreadingHTTPServer``:
 
 Work runs on :class:`mmore_ray.serving.IndexJobQueue` (Ray device-slot
 actors — the Ray-native queue the reference implements with a thread
-pool); the default ingest processes the uploaded file with the real
+pool).  The queue is deliberately lock-free (pull-model, deterministic
+to test), so THIS layer owns one service lock that serializes every
+queue call and every staged-file mutation across handler threads.
+
+Each accepted upload stages an immutable per-job snapshot under
+``uploads/.jobs/`` that the work fn reads — the canonical staged file
+(``uploads/<fileId>``, what GET/DELETE see) is only committed once the
+queue has accepted the job, so a 409/503 rejection leaves no state
+behind (a rejected retry works, a rejected PUT keeps the old bytes,
+and an in-flight job can never observe a later upload's content).
+
+The default ingest processes the uploaded file with the real
 AutoProcessor dispatch, embeds it through the model-provider registry,
 and writes one parquet per document into the collection dir the
 reference's Milvus held — so DELETE can unindex per document and
@@ -30,6 +41,8 @@ from __future__ import annotations
 import json
 import threading
 import time
+import urllib.parse
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
@@ -57,9 +70,10 @@ def _job_payload(job: Job) -> dict:
 
 def _safe_component(name: str) -> bool:
     """Path-component sanity (≙ the reference's Invalid-filename 422,
-    run_index_api.py:118-128): no separators, no traversal, non-empty."""
+    run_index_api.py:118-128): no separators, no traversal, non-empty.
+    ``.jobs`` is reserved for the per-job snapshot directory."""
     return bool(name) and "/" not in name and "\\" not in name \
-        and "\x00" not in name and name not in (".", "..")
+        and "\x00" not in name and name not in (".", "..", ".jobs")
 
 
 def _parse_multipart(content_type: str, body: bytes):
@@ -89,14 +103,20 @@ def _parse_multipart(content_type: str, body: bytes):
 
 
 def default_ingest(upload_dir: str, collection_dir: str, file_id: str,
-                   filename: str):
+                   filename: str, staged_path: str):
     """Build the work_fn the queue runs for one uploaded file: process
     (AutoProcessor dispatch — the real processor stack) → embed (dense
     + sparse through the model-provider registry) → write ONE parquet
     per document into the collection (atomic tmp+rename), so deletion /
     replacement is a per-document file operation — the role the
     reference's Milvus ``document_id`` filter plays
-    (run_index_api.py:414-427)."""
+    (run_index_api.py:414-427).
+
+    ``staged_path`` is this job's immutable snapshot — the work fn
+    never reads the canonical ``uploads/<fileId>`` (which a later PUT
+    may rewrite).  After indexing it re-checks the canonical file: if a
+    DELETE removed it mid-flight, the just-written parquet is unlinked
+    so a deleted document can never be resurrected by a racing job."""
 
     def work(device: str) -> dict:
         import os
@@ -107,7 +127,7 @@ def default_ingest(upload_dir: str, collection_dir: str, file_id: str,
         from .models import provider_class
         from .stages.processors import BINARY_EXTENSIONS, process_batch
 
-        raw = (Path(upload_dir) / file_id).read_bytes()
+        raw = Path(staged_path).read_bytes()
         content = (raw.decode("latin-1")
                    if filename.lower().endswith(BINARY_EXTENSIONS)
                    else raw.decode("utf-8", errors="replace"))
@@ -130,10 +150,18 @@ def default_ingest(upload_dir: str, collection_dir: str, file_id: str,
         embedded = sparse(dense(samples))
         out = Path(collection_dir) / f"doc-{job_safe(file_id)}.parquet"
         out.parent.mkdir(parents=True, exist_ok=True)
-        tmp = out.with_name(f".{out.name}.{os.getpid()}.tmp")
+        tmp = out.with_name(f".{out.name}.{uuid.uuid4().hex}.tmp")
         pq.write_table(embedded, tmp)
         os.replace(tmp, out)
-        return {"chunks": embedded.num_rows, "device": device}
+        deleted = not (Path(upload_dir) / file_id).exists()
+        if deleted:
+            out.unlink(missing_ok=True)
+        try:
+            Path(staged_path).unlink()  # snapshot consumed
+        except OSError:
+            pass
+        return {"chunks": 0 if deleted else embedded.num_rows,
+                "device": device, "deleted": deleted}
 
     return work
 
@@ -146,7 +174,13 @@ def job_safe(file_id: str) -> str:
 
 class IndexHTTPService:
     """The running service: queue + upload dir + collection + HTTP
-    listener on 127.0.0.1 (``port=0`` → ephemeral, read ``.port``)."""
+    listener on 127.0.0.1 (``port=0`` → ephemeral, read ``.port``).
+
+    ``self._lock`` serializes every IndexJobQueue call and every
+    staged-file mutation across ThreadingHTTPServer handler threads —
+    the queue itself is single-threaded by design (serving.py).  Use
+    :meth:`wait` (not ``svc.queue.wait``) when HTTP traffic may be
+    concurrent."""
 
     def __init__(self, upload_dir: str, collection_dir: str,
                  devices: list[str] | None = None, jobs_per_gpu: int = 1,
@@ -154,10 +188,12 @@ class IndexHTTPService:
                  ingest_factory=default_ingest):
         self.upload_dir = str(upload_dir)
         self.collection_dir = str(collection_dir)
-        Path(self.upload_dir).mkdir(parents=True, exist_ok=True)
+        self._jobs_dir = Path(self.upload_dir) / ".jobs"
+        self._jobs_dir.mkdir(parents=True, exist_ok=True)
         Path(self.collection_dir).mkdir(parents=True, exist_ok=True)
         self.queue = IndexJobQueue(devices or ["cpu:0"], jobs_per_gpu,
                                    max_queue_size)
+        self._lock = threading.Lock()
         self._ingest_factory = ingest_factory
         svc = self
 
@@ -178,44 +214,53 @@ class IndexHTTPService:
                 n = int(self.headers.get("Content-Length", "0") or 0)
                 return self.rfile.read(n) if n else b""
 
+            def _route(self):
+                """(raw-path-no-query-rstripped, decoded segments) —
+                segments are split BEFORE unquoting so an encoded '/'
+                in a fileId cannot change the route shape."""
+                raw = self.path.split("?", 1)[0].rstrip("/")
+                return raw, [urllib.parse.unquote(p)
+                             for p in raw.split("/")]
+
             # -- routing ------------------------------------------------
             def do_GET(self):
-                parts = self.path.rstrip("/").split("/")
-                if self.path == "/" or not parts[1:]:
+                raw, parts = self._route()
+                if raw == "":
                     return self._send(200, {
                         "message": "Indexer API is running"})
-                if self.path.startswith("/v1/jobs/") \
-                        and self.path.endswith("/events"):
+                if len(parts) == 5 and parts[1:3] == ["v1", "jobs"] \
+                        and parts[4] == "events":
                     return svc._sse(self, parts[3])
-                if self.path.startswith("/v1/jobs/"):
+                if len(parts) == 4 and parts[1:3] == ["v1", "jobs"]:
                     return svc._job_snapshot(self, parts[3])
-                if self.path.startswith("/v1/files/"):
+                if len(parts) == 4 and parts[1:3] == ["v1", "files"]:
                     return svc._download(self, parts[3])
                 self._send(404, {"detail": "unknown route"})
 
             def do_POST(self):
-                if self.path == "/v1/files":
+                raw, _ = self._route()
+                if raw == "/v1/files":
                     return svc._upload(self, self._body(),
                                        self.headers.get("Content-Type", ""),
                                        replace=False)
-                if self.path == "/v1/files/bulk":
+                if raw == "/v1/files/bulk":
                     return svc._bulk(self, self._body(),
                                      self.headers.get("Content-Type", ""))
-                if self.path == "/v1/retrieve":
+                if raw == "/v1/retrieve":
                     return svc._retrieve(self, self._body())
                 self._send(404, {"detail": "unknown route"})
 
             def do_PUT(self):
-                parts = self.path.rstrip("/").split("/")
-                if self.path.startswith("/v1/files/") and len(parts) == 4:
+                raw, parts = self._route()
+                if len(parts) == 4 and parts[1:3] == ["v1", "files"]:
                     return svc._upload(self, self._body(),
                                        self.headers.get("Content-Type", ""),
                                        replace=True, file_id=parts[3])
                 self._send(404, {"detail": "unknown route"})
 
             def do_DELETE(self):
-                parts = self.path.rstrip("/").split("/")
-                if self.path.startswith("/v1/files/") and len(parts) == 4:
+                raw, parts = self._route()
+                if len(parts) == 4 and parts[1:3] == ["v1", "files"]:
                     return svc._delete(self, parts[3])
                 self._send(404, {"detail": "unknown route"})
 
@@ -227,27 +272,46 @@ class IndexHTTPService:
 
     # -- endpoint bodies (svc methods so they can use the queue) --------
 
-    def _submit(self, handler, file_id: str, filename: str,
-                data: bytes, replace: bool) -> None:
-        staged = Path(self.upload_dir) / file_id
-        if not replace and staged.exists():
-            return handler._send(409, {
-                "detail": f"File with ID {file_id} already exists"})
-        if replace and not staged.exists():
-            return handler._send(404, {
-                "detail": f"File with ID {file_id} not found"})
-        staged.write_bytes(data)
-        work = self._ingest_factory(self.upload_dir, self.collection_dir,
-                                    file_id, filename)
-        try:
-            job_id = self.queue.submit(file_id, filename, work)
-        except DuplicateJobError:
-            return handler._send(409, {
-                "detail": f"File with ID {file_id} is already being "
-                          "processed"})
-        except QueueFullError:
-            return handler._send(503, {"detail": "Server busy, retry later"})
-        handler._send(202, {"jobId": job_id, "fileId": file_id})
+    def _stage_and_submit(self, file_id: str, filename: str, data: bytes,
+                          replace: bool) -> tuple[int, dict]:
+        """Shared by single upload, PUT replace and bulk: validate →
+        snapshot → submit → commit canonical staged bytes.  A queue
+        rejection rolls everything back (no staged-file leak, a
+        rejected replace keeps the previous content), so the client
+        can simply retry."""
+        with self._lock:
+            staged = Path(self.upload_dir) / file_id
+            exists = staged.exists()
+            if not replace and exists:
+                return 409, {
+                    "detail": f"File with ID {file_id} already exists"}
+            if replace and not exists:
+                return 404, {
+                    "detail": f"File with ID {file_id} not found"}
+            snap = self._jobs_dir / f"{job_safe(file_id)}.{uuid.uuid4().hex}"
+            snap.write_bytes(data)
+            work = self._ingest_factory(self.upload_dir,
+                                        self.collection_dir,
+                                        file_id, filename, str(snap))
+            old = staged.read_bytes() if exists else None
+            # canonical bytes must be visible BEFORE submit: the work
+            # fn's delete-guard checks this path, and a fast job must
+            # not mistake a not-yet-committed upload for a deletion
+            staged.write_bytes(data)
+            try:
+                job_id = self.queue.submit(file_id, filename, work)
+            except (DuplicateJobError, QueueFullError) as e:
+                if old is None:
+                    staged.unlink(missing_ok=True)
+                else:
+                    staged.write_bytes(old)
+                snap.unlink(missing_ok=True)
+                if isinstance(e, DuplicateJobError):
+                    return 409, {
+                        "detail": f"File with ID {file_id} is already "
+                                  "being processed"}
+                return 503, {"detail": "Server busy, retry later"}
+            return 202, {"jobId": job_id, "fileId": file_id}
 
     def _upload(self, handler, body: bytes, ctype: str,
                 replace: bool, file_id: str | None = None) -> None:
@@ -260,7 +324,9 @@ class IndexHTTPService:
         _, filename, data = files[0]
         if not (_safe_component(file_id) and _safe_component(filename)):
             return handler._send(422, {"detail": "Invalid filename"})
-        self._submit(handler, file_id, filename, data, replace)
+        code, payload = self._stage_and_submit(file_id, filename, data,
+                                               replace)
+        handler._send(code, payload)
 
     def _bulk(self, handler, body: bytes, ctype: str) -> None:
         """Per-file outcome list (≙ run_index_api.py:245-316): each
@@ -273,84 +339,99 @@ class IndexHTTPService:
             if not (_safe_component(file_id) and _safe_component(filename)):
                 jobs.append({"fileId": file_id, "error": "invalid filename"})
                 continue
-            staged = Path(self.upload_dir) / file_id
-            if staged.exists():
-                jobs.append({"fileId": file_id, "error": "already exists"})
-                continue
-            staged.write_bytes(data)
-            work = self._ingest_factory(self.upload_dir,
-                                        self.collection_dir,
-                                        file_id, filename)
-            try:
-                jobs.append({"fileId": file_id,
-                             "jobId": self.queue.submit(file_id, filename,
-                                                        work)})
-            except DuplicateJobError:
-                jobs.append({"fileId": file_id,
-                             "error": "already being processed"})
-            except QueueFullError:
-                jobs.append({"fileId": file_id, "error": "queue full"})
+            code, payload = self._stage_and_submit(file_id, filename, data,
+                                                   replace=False)
+            if code == 202:
+                jobs.append({"fileId": file_id, "jobId": payload["jobId"]})
+            else:
+                jobs.append({"fileId": file_id, "error": payload["detail"]})
         handler._send(202, {"jobs": jobs})
 
     def _delete(self, handler, file_id: str) -> None:
-        staged = Path(self.upload_dir) / file_id
-        if not _safe_component(file_id) or not staged.exists():
-            return handler._send(404, {
-                "detail": f"File with ID {file_id} not found"})
-        staged.unlink()
-        doc = Path(self.collection_dir) / f"doc-{job_safe(file_id)}.parquet"
-        doc.unlink(missing_ok=True)  # ≙ Milvus document_id delete filter
+        with self._lock:
+            staged = Path(self.upload_dir) / file_id
+            if not _safe_component(file_id) or not staged.exists():
+                return handler._send(404, {
+                    "detail": f"File with ID {file_id} not found"})
+            # unlink canonical first: an in-flight job for this id
+            # re-checks it after indexing and removes its own parquet
+            # (default_ingest), so either ordering ends unindexed
+            staged.unlink()
+            doc = (Path(self.collection_dir)
+                   / f"doc-{job_safe(file_id)}.parquet")
+            doc.unlink(missing_ok=True)  # ≙ Milvus document_id delete
         handler._send(200, {"status": "success",
                             "message": "File successfully deleted",
                             "fileId": file_id})
 
     def _download(self, handler, file_id: str) -> None:
-        staged = Path(self.upload_dir) / file_id
-        if not _safe_component(file_id) or not staged.exists():
-            return handler._send(404, {
-                "detail": f"File with ID {file_id} not found"})
-        data = staged.read_bytes()
+        with self._lock:
+            staged = Path(self.upload_dir) / file_id
+            if not _safe_component(file_id) or not staged.exists():
+                return handler._send(404, {
+                    "detail": f"File with ID {file_id} not found"})
+            data = staged.read_bytes()
         handler.send_response(200)
         handler.send_header("Content-Type", "application/octet-stream")
         handler.send_header("Content-Length", str(len(data)))
         handler.end_headers()
         handler.wfile.write(data)
 
+    def _get_job(self, job_id: str) -> Job | None:
+        with self._lock:
+            return self.queue.get(job_id)
+
+    def wait(self, job_id: str, timeout: float = 60.0) -> Job | None:
+        """Lock-holding analogue of ``IndexJobQueue.wait`` — safe while
+        handler threads are serving traffic."""
+        deadline = time.monotonic() + timeout
+        while True:
+            job = self._get_job(job_id)
+            if job is None or job.status.is_terminal \
+                    or time.monotonic() >= deadline:
+                return job
+            time.sleep(0.05)
+
     def _job_snapshot(self, handler, job_id: str) -> None:
-        job = self.queue.get(job_id)
+        job = self._get_job(job_id)
         if job is None:
             return handler._send(404, {"detail": f"Unknown job {job_id}"})
         handler._send(200, _job_payload(job))
 
     def _sse(self, handler, job_id: str) -> None:
         """≙ run_index_api.py:540-575: push status changes until the
-        job is terminal; comment keepalives while idle."""
+        job is terminal; comment keepalives while idle.  A client
+        disconnect ends the stream quietly (BrokenPipe on the next
+        write) instead of dumping a handler traceback."""
         handler.send_response(200)
         handler.send_header("Content-Type", "text/event-stream")
         handler.send_header("Cache-Control", "no-cache")
         handler.end_headers()
         last = None
         idle = 0.0
-        while True:
-            job = self.queue.get(job_id)
-            status = job.status.value if job else "unknown"
-            if status != last:
-                last = status
-                idle = 0.0
-                payload = (_job_payload(job) if job
-                           else {"jobId": job_id, "status": status})
-                handler.wfile.write(
-                    f"data: {json.dumps(payload)}\n\n".encode())
-                handler.wfile.flush()
-                if job is None or job.status.is_terminal:
-                    return
-            else:
-                idle += SSE_POLL_INTERVAL
-                if idle >= SSE_HEARTBEAT_SECONDS:
+        try:
+            while True:
+                job = self._get_job(job_id)
+                status = job.status.value if job else "unknown"
+                if status != last:
+                    last = status
                     idle = 0.0
-                    handler.wfile.write(b": keepalive\n\n")
+                    payload = (_job_payload(job) if job
+                               else {"jobId": job_id, "status": status})
+                    handler.wfile.write(
+                        f"data: {json.dumps(payload)}\n\n".encode())
                     handler.wfile.flush()
-            time.sleep(SSE_POLL_INTERVAL)
+                    if job is None or job.status.is_terminal:
+                        return
+                else:
+                    idle += SSE_POLL_INTERVAL
+                    if idle >= SSE_HEARTBEAT_SECONDS:
+                        idle = 0.0
+                        handler.wfile.write(b": keepalive\n\n")
+                        handler.wfile.flush()
+                time.sleep(SSE_POLL_INTERVAL)
+        except (BrokenPipeError, ConnectionResetError):
+            return
 
     def _retrieve(self, handler, body: bytes) -> None:
         """≙ run_retriever.py query endpoint over RetrieverSession."""
@@ -361,14 +442,19 @@ class IndexHTTPService:
         text = req.get("text")
         if not text:
             return handler._send(422, {"detail": "missing 'text'"})
+        try:
+            k = int(req.get("k", 5))
+            dense_weight = float(req.get("dense_weight", 0.5))
+        except (TypeError, ValueError):
+            return handler._send(422, {
+                "detail": "'k' and 'dense_weight' must be numeric"})
         session = RetrieverSession(self.collection_dir)
-        hits = session.query(text, k=int(req.get("k", 5)),
-                             dense_weight=float(req.get("dense_weight",
-                                                        0.5)))
+        hits = session.query(text, k=k, dense_weight=dense_weight)
         handler._send(200, {"hits": hits})
 
     def close(self) -> None:
         self._httpd.shutdown()
         self._httpd.server_close()
         self._thread.join(timeout=5)
-        self.queue.shutdown(wait=True)
+        with self._lock:
+            self.queue.shutdown(wait=True)

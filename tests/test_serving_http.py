@@ -66,7 +66,7 @@ def test_full_file_lifecycle_over_http(service):
     body, ctype = _multipart({"fileId": "doc1"}, [("file", "a.md", doc)])
     code, resp = _call("POST", f"{base}/v1/files", body, ctype)
     assert code == 202 and resp["fileId"] == "doc1"
-    job = svc.queue.wait(resp["jobId"], timeout=60)
+    job = svc.wait(resp["jobId"], timeout=60)
     assert job.status.value == "done", job.error
     assert job.result["chunks"] >= 1
 
@@ -95,7 +95,10 @@ def test_full_file_lifecycle_over_http(service):
     body2, ctype2 = _multipart({}, [("file", "a.md", b"now about dogs only")])
     code, resp2 = _call("PUT", f"{base}/v1/files/doc1", body2, ctype2)
     assert code == 202
-    assert svc.queue.wait(resp2["jobId"], timeout=60).status.value == "done"
+    assert svc.wait(resp2["jobId"], timeout=60).status.value == "done"
+    # the canonical staged bytes were committed by the replace
+    code, raw = _call("GET", f"{base}/v1/files/doc1")
+    assert code == 200 and raw == b"now about dogs only"
 
     # delete unindexes: 200, then download 404 and retrieval is empty
     code, out = _call("DELETE", f"{base}/v1/files/doc1")
@@ -136,18 +139,52 @@ def test_validation_and_bulk_outcomes(service):
     assert "error" in b1_entries[1]  # duplicate hit the staged first b1
     bad = [j for j in resp["jobs"] if j["fileId"] == "bad/id"]
     assert bad and "error" in bad[0]
-    assert svc.queue.wait(b1_entries[0]["jobId"],
-                          timeout=60).status.value == "done"
+    assert svc.wait(b1_entries[0]["jobId"],
+                    timeout=60).status.value == "done"
+
+    # trailing slash / query string → clean 404s, never a dropped socket
+    for url in (f"{base}/v1/jobs/", f"{base}/v1/files/",
+                f"{base}/v1/jobs"):
+        code, _ = _call("GET", url)
+        assert code == 404
+    code, _ = _call("GET", f"{base}/v1/jobs/nope?x=1")
+    assert code == 404  # query string stripped before routing
+
+    # non-numeric retrieve params → 422, not a handler crash
+    code, _ = _call("POST", f"{base}/v1/retrieve",
+                    json.dumps({"text": "x", "k": "abc"}).encode())
+    assert code == 422
+    code, _ = _call("POST", f"{base}/v1/retrieve",
+                    json.dumps({"text": "x", "dense_weight": None}).encode())
+    assert code == 422
 
 
-def test_queue_full_maps_to_503(ray_session, tmp_path):
+def test_percent_encoded_file_id_roundtrip(service):
+    """A fileId needing percent-encoding must work across the whole
+    lifecycle (path segments are URL-decoded before lookup)."""
+    svc, base = service
+    fid = "a b"
+    enc = "a%20b"
+    body, ctype = _multipart({"fileId": fid},
+                             [("file", "t.txt", b"spaced id content here")])
+    code, resp = _call("POST", f"{base}/v1/files", body, ctype)
+    assert code == 202
+    assert svc.wait(resp["jobId"], timeout=60).status.value == "done"
+    code, raw = _call("GET", f"{base}/v1/files/{enc}")
+    assert code == 200 and raw == b"spaced id content here"
+    code, out = _call("DELETE", f"{base}/v1/files/{enc}")
+    assert code == 200 and out["fileId"] == fid
+
+
+def test_queue_full_maps_to_503_and_retry_succeeds(ray_session, tmp_path):
     from mmore_ray.serving_http import IndexHTTPService
 
-    def slow_factory(upload_dir, collection_dir, file_id, filename):
+    def slow_factory(upload_dir, collection_dir, file_id, filename,
+                     staged_path):
         def work(device: str) -> dict:
             import time as _t
 
-            _t.sleep(3.0)
+            _t.sleep(2.0)
             return {"chunks": 0}
         return work
 
@@ -157,11 +194,75 @@ def test_queue_full_maps_to_503(ray_session, tmp_path):
     base = f"http://127.0.0.1:{svc.port}"
     try:
         b1, c1 = _multipart({"fileId": "f1"}, [("file", "f1.txt", b"x")])
-        code, _ = _call("POST", f"{base}/v1/files", b1, c1)
+        code, resp1 = _call("POST", f"{base}/v1/files", b1, c1)
         assert code == 202
         b2, c2 = _multipart({"fileId": "f2"}, [("file", "f2.txt", b"y")])
         code, _ = _call("POST", f"{base}/v1/files", b2, c2)
         assert code == 503  # run_index_api.py:241
+        # the rejection left NO staged state: retrying after the queue
+        # drains must succeed (not 409 "already exists")
+        assert not (tmp_path / "u" / "f2").exists()
+        svc.wait(resp1["jobId"], timeout=60)
+        code, resp2 = _call("POST", f"{base}/v1/files", b2, c2)
+        assert code == 202
+        assert svc.wait(resp2["jobId"], timeout=60).status.value == "done"
+
+        # a PUT rejected as duplicate-in-flight keeps the OLD bytes
+        b3, c3 = _multipart({"fileId": "f3"}, [("file", "f3.txt", b"old")])
+        code, resp3 = _call("POST", f"{base}/v1/files", b3, c3)
+        assert code == 202
+        b3n, c3n = _multipart({}, [("file", "f3.txt", b"new")])
+        code, _ = _call("PUT", f"{base}/v1/files/f3", b3n, c3n)
+        assert code == 409  # job for f3 still queued/processing
+        assert (tmp_path / "u" / "f3").read_bytes() == b"old"
+        svc.wait(resp3["jobId"], timeout=60)
+    finally:
+        svc.close()
+
+
+def test_delete_during_inflight_job_stays_unindexed(ray_session, tmp_path):
+    """DELETE racing an in-flight ingest must not resurrect the doc:
+    the work fn re-checks the canonical staged file after indexing and
+    removes its own parquet (serving_http.default_ingest)."""
+    from mmore_ray.serving_http import IndexHTTPService, default_ingest
+
+    gate = str(tmp_path / "gate")  # sentinel file: crosses the actor
+
+    def gated_factory(upload_dir, collection_dir, file_id, filename,
+                      staged_path):
+        inner = default_ingest(upload_dir, collection_dir, file_id,
+                               filename, staged_path)
+
+        def work(device: str) -> dict:
+            import os
+            import time as _t
+
+            for _ in range(600):  # hold until the DELETE has landed
+                if os.path.exists(gate):
+                    break
+                _t.sleep(0.05)
+            return inner(device)
+        return work
+
+    svc = IndexHTTPService(tmp_path / "u", tmp_path / "c",
+                           devices=["cpu:0"], ingest_factory=gated_factory)
+    base = f"http://127.0.0.1:{svc.port}"
+    try:
+        body, ctype = _multipart({"fileId": "ghost"},
+                                 [("file", "g.md", b"to be deleted")])
+        code, resp = _call("POST", f"{base}/v1/files", body, ctype)
+        assert code == 202
+        code, _ = _call("DELETE", f"{base}/v1/files/ghost")
+        assert code == 200
+        (tmp_path / "gate").write_bytes(b"go")
+        job = svc.wait(resp["jobId"], timeout=60)
+        assert job.status.value == "done", job.error
+        assert job.result["deleted"] is True
+        assert not list((tmp_path / "c").glob("doc-ghost*"))
+        code, hits = _call("POST", f"{base}/v1/retrieve",
+                           json.dumps({"text": "deleted"}).encode())
+        assert code == 200 and not any(
+            h["sample_id"].startswith("ghost#") for h in hits["hits"])
     finally:
         svc.close()
 
