@@ -3134,3 +3134,37 @@ EXTRA_QUERIES["q_kg_lookup"] = q_kg_lookup
 EXTRA_ORACLES["q_kg_lookup"] = _kg_sql(
     "SELECT repo, path, content_sha256, subj, pred, obj, weight "
     f"FROM doc_triple WHERE subj = '{_KG_LOOKUP_SUBJ}'")
+
+
+def q_websearch(sf_dir: str):
+    """Web-search-augmented RAG (pipelines/websearch.py — the
+    reference's websearchRAG loop): three fixed questions driven
+    through the full per-record orchestration (subquery generation,
+    loop-1 relevance gate, dual token budgets, cross-loop snippet
+    dedup, per-subquery/per-loop summaries, labeled synthesis) on the
+    deterministic offline search + research-LLM providers, as an
+    actor-pool map_batches stage.  Multi-call LLM orchestration is not
+    SQL-expressible → NO_ORACLE (rows-only driver check; the
+    orchestration semantics are pinned case-for-case against the
+    reference's own test families in tests/test_websearch.py, and this
+    query's byte-exact output in test_q_websearch_deterministic)."""
+    import ray.data
+
+    from .websearch import WebsearchConfig, websearch_answers
+
+    queries = [
+        {"query_id": 0, "input": "how do customers place pending orders"},
+        {"query_id": 1, "input": "final deposits across the foxes"},
+        {"query_id": 2, "input": "slyly regular packages wake quickly"},
+    ]
+    out = websearch_answers(
+        ray.data.from_items(queries),
+        WebsearchConfig(n_loops=2, n_subqueries=2),
+        concurrency=2, batch_size=2)
+    return out.select_columns(["query_id", "query", "web_summary",
+                               "short_answer", "detailed_answer",
+                               "sources"]).sort("query_id")
+
+
+EXTRA_QUERIES["q_websearch"] = q_websearch
+EXTRA_NO_ORACLE.add("q_websearch")

@@ -543,6 +543,24 @@ def test_run_websearch_accepts_question_key(ray_session, tmp_path):
         "panels use the photovoltaic effect"
 
 
+def test_q_websearch_deterministic(ray_session):
+    """The EXTRA query surface (queries.q_websearch) is rows-only for
+    the driver, so pin it here: stable schema, 3 rows, non-empty
+    answers, offline sources, and byte-exact across two runs."""
+    from mmore_ray.pipelines.queries import EXTRA_NO_ORACLE, EXTRA_QUERIES
+
+    assert "q_websearch" in EXTRA_NO_ORACLE
+    a = EXTRA_QUERIES["q_websearch"]("/root/testdata/sf0.001").take_all()
+    assert [r["query_id"] for r in a] == [0, 1, 2]
+    for row in a:
+        assert row["short_answer"] and row["detailed_answer"]
+        sources = json.loads(row["sources"])
+        assert sources and all(u.startswith("https://fake.example/")
+                               for u in sources)
+    b = EXTRA_QUERIES["q_websearch"]("/root/testdata/sf0.001").take_all()
+    assert a == b
+
+
 # -- Ray end-to-end ---------------------------------------------------------------
 
 def test_websearch_answers_actor_pool_end_to_end(ray_session, tmp_path):
