@@ -190,9 +190,12 @@ class DdgSearchProvider:
                                             region=self.region))
             except Exception as e:
                 # ≙ RatelimitException backoff 1s → 2s → 4s; other
-                # DDGS errors return [] (websearch.py:58-72)
+                # DDGS errors return [] (websearch.py:58-72).  Deviation:
+                # the reference also sleeps after the FINAL attempt (no
+                # retry follows); we skip that dead sleep.
                 if type(e).__name__ == "RatelimitException":
-                    self._sleep(2 ** attempt)
+                    if attempt + 1 < self.max_retries:
+                        self._sleep(2 ** attempt)
                     continue
                 return []
         return []
@@ -406,11 +409,18 @@ class WebsearchAnswerer:
         total = self._count_tokens(text)
         if total <= max_tokens:
             return text
-        # proportional char cut with the reference's 10% safety margin
+        # Parity (pipeline.py:229-236): single proportional char cut
+        # with the reference's 10% margin, NOT re-checked — skewed
+        # char/token ratios can still land over budget; the real fix
+        # on both systems is a tokenizer or fast_tokenizer=True.
         cut = int(len(text) * (max_tokens / total * 0.9))
         return text[:cut] if cut > 0 else ""
 
     def _fit_to_budget(self, content: str, *fixed_parts: str) -> str:
+        # Parity (pipeline.py:238-249): fixed parts over budget raise —
+        # in the reference this aborts the whole serial run the same
+        # way it fails a Ray batch here; it is a loud config error
+        # (raise max_context_tokens), not something to truncate away.
         fixed = sum(self._count_tokens(p) for p in fixed_parts)
         available = self.config.max_context_tokens - fixed
         if available <= 0:
@@ -473,6 +483,9 @@ class WebsearchAnswerer:
                                      prefix, SYNTHESIS_SUFFIX)
         content = self._invoke(SYNTHESIS_SYSTEM_MSG,
                                prefix + fitted + SYNTHESIS_SUFFIX, original)
+        # Parity (pipeline.py:320-326): the short-answer regex requires
+        # the "detailed answer:" label as a lookahead, so a reply with
+        # only a short answer yields "" on both systems.
         sa = re.findall(r"short answer:\s*(.*?)(?=detailed answer:)",
                         content, flags=re.IGNORECASE | re.DOTALL)
         da = re.findall(r"detailed answer:\s*(.*)", content,
@@ -606,6 +619,11 @@ class WebsearchAnswerer:
             raise ValueError(
                 "websearch input needs a 'query_id' column (batch-local "
                 "fallbacks would duplicate ids across batches)")
+        if "input" not in names:
+            raise ValueError(
+                f"websearch input needs an 'input' column (got "
+                f"{sorted(names)}); rename the query column — the file "
+                f"wrapper run_websearch accepts 'question' records")
         ids = batch["query_id"].to_pylist()
         inputs = batch["input"].to_pylist()
         answers = (batch["answer"].to_pylist() if "answer" in names
@@ -644,8 +662,15 @@ def websearch_answers(queries, config: WebsearchConfig | dict | None = None,
     import ray.data
 
     if not isinstance(queries, ray.data.Dataset):
-        items = [rec if "query_id" in rec else {"query_id": i, **rec}
-                 for i, rec in enumerate(queries)]
+        items = list(queries)
+        n_with = sum("query_id" in rec for rec in items)
+        if n_with == 0:
+            items = [{"query_id": i, **rec} for i, rec in enumerate(items)]
+        elif n_with != len(items):
+            # enumerate-filling only the gaps would collide with the
+            # explicit ids; make the caller pick one convention
+            raise ValueError("either every record or no record may "
+                             "carry 'query_id' (got a mix)")
         queries = ray.data.from_items(items)
     elif "query_id" not in queries.schema().names:
         raise ValueError("websearch input Dataset needs a 'query_id' "

@@ -458,6 +458,41 @@ def test_ddg_provider_retries_on_ratelimit_then_succeeds():
     assert sleeps == [1, 2]  # exponential backoff (websearch.py:59)
 
 
+def test_ddg_provider_skips_dead_sleep_after_final_attempt():
+    class RatelimitException(Exception):
+        pass
+
+    sleeps = []
+
+    class Client:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def text(self, query, max_results, region):
+            raise RatelimitException()
+
+    p = DdgSearchProvider(_client_factory=Client, _sleep=sleeps.append)
+    assert p.search("q") == []
+    assert sleeps == [1, 2]  # no trailing 4s sleep before giving up
+
+
+def test_mixed_query_id_records_rejected(ray_session):
+    with pytest.raises(ValueError, match="mix"):
+        websearch_answers([{"query_id": 1, "input": "a"}, {"input": "b"}],
+                          WebsearchConfig(n_loops=1))
+
+
+def test_call_requires_input_column():
+    import pyarrow as pa
+
+    a = make_answerer(results=[])
+    with pytest.raises(ValueError, match="'input' column"):
+        a(pa.table({"query_id": [0], "question": ["q"]}))
+
+
 def test_ddg_provider_returns_empty_on_other_errors():
     class Client:
         def __enter__(self):
